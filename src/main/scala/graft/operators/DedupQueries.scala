@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators (SURVEY §2.9 X1) over the `documents` and
+  * `embeddings` tables: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * exact dedup is a hash groupBy on the text (one shuffle); MinHash
+  * groups by band-bucket so candidate pairs are generated per bucket;
+  * n-gram Jaccard uses an inverted shingle index (self-join on shingle,
+  * never a cross join); embedding near-dup at scale goes through the
+  * hyperplane-bucket path (see SimilarityQueries) — the exact-subset
+  * variant here exists to oracle-check the math.
+  */
+object DedupQueries {
+  import Q._
+
+  private val Bands = 4
+  private val RowsPerBand = 2
+  private val MinhashJaccardThreshold = 0.5
+
+  /** DuckDB replay of the identical MinHash pipeline (md5-based, so
+    * signatures match bit-for-bit). Generated so the band/hash counts
+    * stay in lockstep with the Spark side. */
+  private def minhashOracle: String = {
+    val mhCols = (0 until Bands * RowsPerBand).map(i =>
+      s"list_min(list_transform(s, x -> md5('$i|' || x))) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${parts.mkString(", ")})) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [text] END) AS s
+  FROM toks),
+sig AS (
+  SELECT doc_id, s,
+    $mhCols
+  FROM sh),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                           AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+FROM scored WHERE jac >= $MinhashJaccardThreshold
+ORDER BY doc_a, doc_b"""
+  }
+
+  val specs: Seq[Spec] = Seq(
+
+    // Exact dedup: hash groupBy on content — ONE shuffle on the text
+    // (at 100 TB: group on md5(text) instead to shrink shuffle keys;
+    // here the fingerprint is carried alongside).
+    Spec("q_dedup_exact",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"), md5(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS fp
+             FROM documents GROUP BY text ORDER BY doc_id""")),
+
+    // MinHash + LSH banding near-dup detection. Candidate generation is
+    // a self-equi-join on (band, bandHash) — at scale a plain shuffle
+    // join on a key whose cardinality grows with the corpus, so no
+    // quadratic blowup; candidates then verified with exact Jaccard on
+    // the shingle sets.
+    Spec("q_dedup_minhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), shingleSet(col("text")).as("s"))
+        // candidate pairs carry only ids through the band join +
+        // distinct (shuffling the shingle sets there would be the
+        // 100 TB mistake); sets are re-attached afterwards for verify.
+        val sig = docs.select(col("doc_id"),
+          posexplode(bandHashes(col("s"), Bands, RowsPerBand)).as(Seq("band", "bh")))
+        val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+          col("bh").as("bh_b"))
+        val cand = a.join(b, col("band") === col("band_b") &&
+            col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        val jac = inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter)
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+          .filter(col("jac") >= MinhashJaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(minhashOracle)),
+
+    // Direct n-gram Jaccard via an inverted shingle index on a bounded
+    // subset: explode distinct shingles, self-join on the shingle, count
+    // co-occurrences per pair. Never materializes non-overlapping pairs.
+    Spec("q_dedup_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), shingleSet(col("text")).as("s"))
+        val sizes = docs.select(col("doc_id"), size(col("s")).as("n"))
+        val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
+        val pairs = inv.as("x")
+          .join(inv.as("y"), col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+              .as("jac"))
+          .filter(col("jac") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH sh AS (
+               SELECT doc_id, list_distinct(
+                 CASE WHEN len(string_split(text,' ')) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> concat_ws(' ', string_split(text,' ')[i],
+                                            string_split(text,' ')[i+1],
+                                            string_split(text,' ')[i+2]))
+                      ELSE [text] END) AS s
+               FROM documents WHERE doc_id < 200),
+             inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+             pairs AS (
+               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+               FROM inv x JOIN inv y
+                 ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id),
+             scored AS (
+               SELECT doc_a, doc_b,
+                      CAST(inter AS DOUBLE) / (len(sa.s) + len(sb.s) - inter) AS jac
+               FROM pairs
+               JOIN sh sa ON sa.doc_id = doc_a
+               JOIN sh sb ON sb.doc_id = doc_b)
+             SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+             FROM scored WHERE jac >= 0.4 ORDER BY doc_a, doc_b""")),
+
+    // SimHash signatures + 16-bit prefix buckets. Engine-private
+    // (xxhash64) signatures have no cross-engine oracle → rows-only.
+    Spec("q_dedup_simhash",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), simhash(col("text")).as("sig"))
+        .withColumn("bucket", call_function("shiftright", col("sig"), lit(48)))
+        .orderBy(col("doc_id")),
+      None),
+
+    // Embedding-cosine near-duplicates, exact on a bounded subset
+    // (oracle for the math; the scalable path is q_ann_lsh's bucketed
+    // join).
+    Spec("q_dedup_embed_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        val cos = VectorFunctions.cosine(col("va"), col("vb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cos.as("cos"))
+          .filter(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id < 200),
+             pairs AS (
+               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                      list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))) AS cos
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             SELECT a_id, b_id, round(cos, 4) AS cos_sim
+             FROM pairs WHERE cos >= 0.4 ORDER BY a_id, b_id"""))
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-checked proofs of the reference's OWN operators (SURVEY §2.1
+  * S3, §2.2 F1–F6, §2.3 T1) expressed over the driver-generated parquet
+  * star schema — the repair pipeline semantics are exercised by
+  * synthesizing delimited/typed-text columns from table data and then
+  * applying the exact F1–F4 transforms, so DuckDB can replay the same
+  * logic as the oracle.
+  */
+object EtlQueries {
+  import Q._
+
+  val specs: Seq[Spec] = Seq(
+
+    // F5/F6 — the flagship projection+conjunctive filter shape
+    // (`assets/big_US_cars.sql:1-2`: string equality AND numeric
+    // threshold) over lineitem. Filter + pruned projection both push to
+    // the parquet scan.
+    Spec("q_flagship_filter",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 45
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    // S3/F1 — quote-less `;`-CSV arity filter (`main.py:101-103`):
+    // rebuild a raw line from nation, corrupt every 5th row with an
+    // extra field, keep only rows whose split arity == schema arity.
+    Spec("q_csv_arity_filter",
+      (s, dir) => {
+        val line = concat_ws(";", col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        t(s, dir, "nation")
+          .select(col("n_nationkey").as("k"),
+            when(col("n_nationkey") % 5 === 0, concat(line, lit(";junk")))
+              .otherwise(line).as("raw"))
+          .filter(size(split(col("raw"), ";")) === 3)
+          .select(col("k"),
+            split(col("raw"), ";").getItem(1).as("n_name"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH raw AS (
+               SELECT n_nationkey AS k,
+                      CASE WHEN n_nationkey % 5 = 0
+                           THEN concat_ws(';', n_nationkey, n_name, n_regionkey, 'junk')
+                           ELSE concat_ws(';', n_nationkey, n_name, n_regionkey)
+                      END AS raw
+               FROM nation)
+             SELECT k, string_split(raw, ';')[2] AS n_name
+             FROM raw WHERE len(string_split(raw, ';')) = 3
+             ORDER BY k""")),
+
+    // F2 — lenient INTEGER coercion (`main.py:111-115`): mixed
+    // valid-int / alphabetic strings; unparseable → NULL. (Decimal
+    // strings are deliberately absent: DuckDB TRY_CAST rounds '12.5'
+    // while Python int() and Spark try_cast null it — SURVEY §7 risk.)
+    Spec("q_repair_try_int",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 3 === 0, col("user_id").cast(StringType))
+            .when(col("event_id") % 3 === 1, col("event_type"))
+            .otherwise(concat(lit("  "), col("user_id").cast(StringType), lit(" ")))
+            .as("raw"))
+        .select(col("event_id"), col("raw"),
+          Repair.lenientLong(col("raw")).as("parsed"))
+        .orderBy(col("event_id")),
+      Some("""WITH raw AS (
+               SELECT event_id,
+                      CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+                           WHEN event_id % 3 = 1 THEN event_type
+                           ELSE concat('  ', CAST(user_id AS VARCHAR), ' ')
+                      END AS raw
+               FROM events)
+             SELECT event_id, raw, TRY_CAST(raw AS BIGINT) AS parsed
+             FROM raw ORDER BY event_id""")),
+
+    // F3 — lenient FLOAT coercion (`main.py:116-120`).
+    Spec("q_repair_try_double",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 2 === 0, col("value").cast(StringType))
+            .otherwise(col("event_type")).as("raw"))
+        .select(col("event_id"),
+          round(Repair.lenientDouble(col("raw")), 4).as("parsed"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                    round(TRY_CAST(CASE WHEN event_id % 2 = 0
+                                        THEN CAST(value AS VARCHAR)
+                                        ELSE event_type END AS DOUBLE), 4) AS parsed
+             FROM events ORDER BY event_id""")),
+
+    // F4 — multi-format timestamp normalization (`main.py:121-130`,
+    // formats `:30-35`): render o_orderdate in each of the reference's
+    // 4 wire formats by row, then parse back with the ordered coalesce
+    // and re-emit the canonical `%Y-%m-%d %H:%M:%S` string.
+    Spec("q_repair_ts_multiformat",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 4 === 0,
+              date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+            .when(col("o_orderkey") % 4 === 1,
+              date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .when(col("o_orderkey") % 4 === 2,
+              date_format(col("o_orderdate"), "dd/MM/yyyy"))
+            .otherwise(date_format(col("o_orderdate"), "yyyyMMdd"))
+            .as("raw"))
+        .select(col("o_orderkey"), col("raw"),
+          Repair.canonicalTimestampString(col("raw")).as("canonical"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH raw AS (
+               SELECT o_orderkey,
+                      CASE o_orderkey % 4
+                        WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                        WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        WHEN 2 THEN strftime(o_orderdate, '%d/%m/%Y')
+                        ELSE strftime(o_orderdate, '%Y%m%d')
+                      END AS raw
+               FROM orders)
+             SELECT o_orderkey, raw,
+                    strftime(coalesce(
+                      try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                      try_strptime(raw, '%Y-%m-%d'),
+                      try_strptime(raw, '%d/%m/%Y'),
+                      try_strptime(raw, '%Y%m%d')), '%Y-%m-%d %H:%M:%S') AS canonical
+             FROM raw ORDER BY o_orderkey""")),
+
+    // T1 — slice templating (`main.py:26,45-47`, README.md:32) as a
+    // row-level analog: destination name from a `{a:b}` slice of a
+    // source-name column (`src0` → `tbl_0`). The driver-side scalar
+    // expansion itself is unit-tested in NameTemplateSpec.
+    Spec("q_template_slice",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source")).distinct()
+        .select(col("source"),
+          concat(lit("tbl_"), substring(col("source"), 4, 10)).as("dest"))
+        .orderBy(col("source")),
+      Some("""SELECT DISTINCT source,
+                    concat('tbl_', substr(source, 4, 10)) AS dest
+             FROM documents ORDER BY source""")))
+}

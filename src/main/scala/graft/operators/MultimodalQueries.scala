@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.9 X3): media as opaque
+  * `binary` payloads + typed metadata structs. The testdata has no real
+  * image/audio bytes (and this container has no codec libraries), so
+  * payloads are derived deterministically from `documents.text` — the
+  * Spark-side schema/partitioning/batching is real and oracle-checked;
+  * the actual codec is the clearly-marked stub in
+  * [[graft.operators.Multimodal]].
+  */
+object MultimodalQueries {
+  import Q._
+
+  val specs: Seq[Spec] = Seq(
+
+    // Binary payload + typed metadata extraction: byte length, content
+    // hash, deterministic fake decode dims, head-of-payload hex. All
+    // row-local (map-only at scale).
+    Spec("q_mm_binary_meta",
+      (s, dir) => {
+        val payload = col("text").cast("binary")
+        val nbytes = octet_length(col("text")).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            nbytes.as("n_bytes"),
+            md5(payload).as("content_hash"),
+            (nbytes % 640).as("fake_width"),
+            (nbytes % 480).as("fake_height"),
+            upper(hex(substring(col("text"), 1, 8).cast("binary"))).as("head_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                    CAST(strlen(text) AS BIGINT) AS n_bytes,
+                    md5(text) AS content_hash,
+                    CAST(strlen(text) AS BIGINT) % 640 AS fake_width,
+                    CAST(strlen(text) AS BIGINT) % 480 AS fake_height,
+                    upper(hex(substr(text, 1, 8))) AS head_hex
+             FROM documents ORDER BY doc_id""")),
+
+    // Frame sampling: every 64th 16-byte window of the payload —
+    // the batch shape of video frame extraction, with the codec
+    // replaced by a positional slice.
+    Spec("q_mm_frame_sample",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(3)),
+            i => upper(hex(col("text").substr(i * 64 + 1, lit(16)).cast("binary"))))
+            .as("frames"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                    list_transform(generate_series(0, 3),
+                      i -> upper(hex(substr(text, i * 64 + 1, 16)))) AS frames
+             FROM documents ORDER BY doc_id"""))
+  )
+}

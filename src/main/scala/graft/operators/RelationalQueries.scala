@@ -1,0 +1,463 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The delegated-SQL surface (SURVEY §2.4–§2.7): the reference reaches
+  * joins/aggregations/windows/set-ops/scalars only by shipping SQL text
+  * to BigQuery (`functions/load_query/main.py:57`); here each category
+  * is exercised natively through the DataFrame API so Catalyst plans it
+  * (broadcast vs shuffle join selection, partial aggregation, top-k via
+  * TakeOrderedAndProject, predicate pushdown).
+  *
+  * Scale notes per query are in the comments: small dimensions are
+  * broadcast explicitly; fact-fact joins shuffle on their keys which is
+  * the correct 100 TB plan.
+  */
+object RelationalQueries {
+  import Q._
+
+  val specs: Seq[Spec] = Seq(
+
+    // ── joins ────────────────────────────────────────────────────────
+    // 3-way equi join: lineitem ⋈ orders shuffles on orderkey (both
+    // large at scale — correct); orders ⋈ customer broadcasts the
+    // customer dim. Aggregation is partial+final (map-side combine).
+    Spec("q_join_equi",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                    count(*) AS n_rows
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Broadcast join against the part dimension — no shuffle of the
+    // fact side at any scale (dim stays under the broadcast threshold).
+    Spec("q_join_broadcast",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+                    count(*) AS n_rows
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Left-semi join = EXISTS: orders having at least one big line.
+    Spec("q_join_semi",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Left-anti join = NOT EXISTS: customers with no open ('O') orders
+    // (plain "no orders" is vacuously empty on the dense testdata).
+    Spec("q_join_anti",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             ORDER BY c_custkey""")),
+
+    // Left outer join preserving order-less customers; count of
+    // non-null keys distinguishes them from 1-order customers.
+    Spec("q_join_left_outer",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                    round(coalesce(sum(o_totalprice), 0), 2) AS spend
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // Full outer join across two aggregated sides (suppliers and
+    // customers per nation) — exercises null-filling on both sides.
+    Spec("q_join_full_outer",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_sup"))
+        val cus = t(s, dir, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cus"))
+        sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+          .select(
+            coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+            coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+            coalesce(col("n_cus"), lit(0L)).as("n_cus"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH sup AS (SELECT s_nationkey, count(*) AS n_sup
+                          FROM supplier GROUP BY s_nationkey),
+                  cus AS (SELECT c_nationkey, count(*) AS n_cus
+                          FROM customer GROUP BY c_nationkey)
+             SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+                    coalesce(n_sup, 0) AS n_sup, coalesce(n_cus, 0) AS n_cus
+             FROM sup FULL OUTER JOIN cus ON s_nationkey = c_nationkey
+             ORDER BY nationkey""")),
+
+    // Cross join (both sides tiny by construction — a cross join is
+    // only ever sane when at least one side is bounded).
+    Spec("q_join_cross",
+      (s, dir) => t(s, dir, "region")
+        .crossJoin(t(s, dir, "orders").select(col("o_orderstatus")).distinct())
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus")),
+      Some("""SELECT r_name, o_orderstatus
+             FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+             ORDER BY r_name, o_orderstatus""")),
+
+    // ── aggregations ─────────────────────────────────────────────────
+    // TPC-H Q1 shape: the canonical partial+final hash aggregate.
+    Spec("q_agg_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                    round(sum(l_quantity), 2) AS sum_qty,
+                    round(sum(l_extendedprice), 2) AS sum_base_price,
+                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                    round(avg(l_quantity), 4) AS avg_qty,
+                    count(*) AS count_order
+             FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // Exact distinct aggregation (expand-based in Spark).
+    Spec("q_agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_sups"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                    count(DISTINCT l_suppkey) AS n_sups
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ROLLUP grouping sets. NULLS FIRST is forced on both sides —
+    // Spark's default null ordering (asc = nulls first) differs from
+    // DuckDB's (nulls last).
+    Spec("q_agg_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // CUBE grouping sets.
+    Spec("q_agg_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Min/max/stddev stats (stddev rounded to 2 — double accumulation
+    // order differs across engines).
+    Spec("q_agg_stats",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(stddev(col("l_extendedprice")), 2).as("sd_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, round(min(l_extendedprice), 2) AS min_price,
+                    round(max(l_extendedprice), 2) AS max_price,
+                    round(stddev_samp(l_extendedprice), 2) AS sd_price
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // HLL++ approximate distinct (SURVEY §2.9 X5). The estimate is
+    // engine-specific, so there is no value oracle — the driver records
+    // a rows-only check. Kept because dedup accounting at 100 TB runs
+    // on sketches, not exact distincts.
+    Spec("q_agg_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    // ── window functions ─────────────────────────────────────────────
+    // Ranking window: top-3 orders per market segment. row_number over
+    // a total order (price desc, key asc) keeps it deterministic.
+    Spec("q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("c_mktsegment"), col("rnk"))
+      },
+      Some("""SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+             FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                          row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                   FROM orders JOIN customer ON o_custkey = c_custkey) x
+             WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""")),
+
+    // Running-sum frame (rows unbounded preceding → current): per-
+    // customer cumulative spend. Sequential per-partition accumulation
+    // is order-identical across engines given the same total order.
+    Spec("q_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                      AS running_spend
+             FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // lag/lead analytics: days between consecutive orders per customer.
+    Spec("q_window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"),
+              col("prev_date").cast("date")).cast("long").as("days_since_prev"),
+            col("next_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                    CAST(datediff('day',
+                      CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+                    lead(o_orderkey, 1) OVER w AS next_key
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // dense_rank + ntile over a total order.
+    Spec("q_window_ntile",
+      (s, dir) => {
+        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter(col("drnk") <= 40)
+          .select(col("o_orderkey"), col("drnk"), col("quartile"))
+          .orderBy(col("drnk"))
+      },
+      Some("""SELECT o_orderkey, drnk, quartile
+             FROM (SELECT o_orderkey,
+                          dense_rank() OVER w AS drnk,
+                          ntile(4) OVER w AS quartile
+                   FROM orders
+                   WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)) x
+             WHERE drnk <= 40 ORDER BY drnk""")),
+
+    // ── sort / limit / top-k ─────────────────────────────────────────
+    // Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    // heap + driver merge), never a full sort at scale.
+    Spec("q_topk",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ── set operations ───────────────────────────────────────────────
+    Spec("q_union_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), lit("finished").as("bucket"))
+          .unionAll(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_orderkey"), lit("open").as("bucket")))
+          .orderBy(col("o_orderkey"), col("bucket"))
+      },
+      Some("""SELECT o_orderkey, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'
+             UNION ALL
+             SELECT o_orderkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+             ORDER BY o_orderkey, bucket""")),
+
+    Spec("q_intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             ORDER BY o_custkey""")),
+
+    Spec("q_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             ORDER BY o_custkey""")),
+
+    // ── scalar function batteries (SURVEY §2.7) ──────────────────────
+    Spec("q_scalar_string",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          length(col("c_name")).cast("long").as("len"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("cat"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                    CAST(length(c_name) AS BIGINT) AS len,
+                    substr(c_name, 1, 8) AS sub,
+                    concat_ws('-', c_mktsegment, c_custkey) AS cat,
+                    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+                    regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+                    trim('  x  ') AS trimmed
+             FROM customer ORDER BY c_custkey""")),
+
+    Spec("q_scalar_date",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                    CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+                    CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+                    CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+                    CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+                    date_trunc('month', o_orderdate) AS month_start,
+                    CAST(o_orderdate AS DATE) + 30 AS plus30,
+                    last_day(CAST(o_orderdate AS DATE)) AS eom
+             FROM orders ORDER BY o_orderkey""")),
+
+    Spec("q_scalar_math",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_extendedprice") * lit(-1)), 2).as("abs_price"),
+          floor(col("l_quantity")).cast("long").as("fl"),
+          ceil(col("l_discount") * 100).cast("long").as("disc_pct"),
+          round(sqrt(col("l_extendedprice")), 4).as("root"),
+          pmod(col("l_orderkey"), lit(7)).as("k_mod"),
+          round(ln(col("l_extendedprice") + 1), 4).as("log_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                    round(abs(l_extendedprice * -1), 2) AS abs_price,
+                    CAST(floor(l_quantity) AS BIGINT) AS fl,
+                    CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+                    round(sqrt(l_extendedprice), 4) AS root,
+                    l_orderkey % 7 AS k_mod,
+                    round(ln(l_extendedprice + 1), 4) AS log_price
+             FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // JSON extraction over the events.props column.
+    Spec("q_scalar_json",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events ORDER BY event_id""")),
+
+    Spec("q_scalar_conditional",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") > 150, "high")
+            .when(col("value") > 50, "mid")
+            .otherwise("low").as("band"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ok")).as("et"),
+          greatest(col("value"), col("user_id").cast("double")).as("hi"),
+          least(col("value"), col("user_id").cast("double")).as("lo"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                    CASE WHEN value > 150 THEN 'high'
+                         WHEN value > 50 THEN 'mid' ELSE 'low' END AS band,
+                    coalesce(nullif(event_type, 'error'), 'ok') AS et,
+                    greatest(value, CAST(user_id AS DOUBLE)) AS hi,
+                    least(value, CAST(user_id AS DOUBLE)) AS lo
+             FROM events ORDER BY event_id""")),
+
+    // Array scalar battery over tokenized text (sorted post-distinct on
+    // both sides — engines keep different dedup orders).
+    Spec("q_scalar_array",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          array_sort(array_distinct(split(col("text"), " "))).as("vocab"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"),
+          slice(split(col("text"), " "), 1, 3).as("head3"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+                    list_contains(string_split(text, ' '), 'spark') AS has_spark,
+                    list_slice(string_split(text, ' '), 1, 3) AS head3
+             FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+  )
+}

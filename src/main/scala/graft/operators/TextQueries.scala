@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators (SURVEY §2.9 X4) over `documents`:
+  * language-ID (vocabulary-hit heuristic), quality scoring, token
+  * counting (whitespace + regex), and document fingerprinting (md5 +
+  * winnowing rolling min-hash). All row-local — map-only at any scale,
+  * no shuffle except the explicit corpus aggregate.
+  */
+object TextQueries {
+  import Q._
+
+  // Heuristic "language" vocabularies over the synthetic corpus vocab —
+  // the mechanism (per-language token-hit scoring, deterministic argmax)
+  // is the real n-gram language-ID shape; swap the lists for character
+  // n-gram tables on a natural-language corpus.
+  private val SqlWords    = Seq("join", "filter", "agg", "query", "table", "scan")
+  private val StreamWords = Seq("stream", "batch", "window", "spark", "value")
+  private val DataWords   = Seq("data", "row", "column", "vector", "key")
+  private val StopWords   = Seq("the", "a", "of", "and")
+
+  private def listSql(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+
+  val specs: Seq[Spec] = Seq(
+
+    // Language ID: score = distinct-vocabulary hits per language,
+    // argmax with a fixed tie order.
+    Spec("q_text_langid",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        def hits(ws: Seq[String]) =
+          size(array_intersect(toks, array(ws.map(lit): _*))).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            hits(SqlWords).as("s_sql"),
+            hits(StreamWords).as("s_stream"),
+            hits(DataWords).as("s_data"))
+          .withColumn("lang_pred",
+            when(col("s_sql") >= col("s_stream") && col("s_sql") >= col("s_data"), "sqlish")
+              .when(col("s_stream") >= col("s_data"), "streamish")
+              .otherwise("dataish"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+               SELECT doc_id,
+                 CAST(len(list_intersect(string_split(text,' '), ${listSql(SqlWords)})) AS BIGINT) AS s_sql,
+                 CAST(len(list_intersect(string_split(text,' '), ${listSql(StreamWords)})) AS BIGINT) AS s_stream,
+                 CAST(len(list_intersect(string_split(text,' '), ${listSql(DataWords)})) AS BIGINT) AS s_data
+               FROM documents)
+             SELECT doc_id, s_sql, s_stream, s_data,
+                    CASE WHEN s_sql >= s_stream AND s_sql >= s_data THEN 'sqlish'
+                         WHEN s_stream >= s_data THEN 'streamish'
+                         ELSE 'dataish' END AS lang_pred
+             FROM scored ORDER BY doc_id""")),
+
+    // Quality scoring: length/stopword/character-class heuristics
+    // composed into a bounded score.
+    Spec("q_text_quality",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTokens = size(toks).cast("long")
+        val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+        val stopHits = size(filter(toks, t => t.isInCollection(StopWords))).cast("long")
+        // floor(x·10⁴)/10⁴ instead of round(x,4): both engines compute
+        // bit-identical doubles, but their ROUND implementations differ
+        // on FP-induced half boundaries (Spark rounds the exact decimal
+        // of the double, DuckDB rounds x·10⁴) — floor of the same
+        // double is deterministic everywhere.
+        def floor4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            nTokens.as("n_tokens"),
+            floor4(noSpace.cast("double") / nTokens).as("avg_token_len"),
+            floor4(stopHits.cast("double") / nTokens).as("stop_ratio"))
+          .withColumn("quality",
+            floor4(least(lit(1.0), col("n_tokens") / 64.0) * 0.6 +
+              least(lit(1.0), col("stop_ratio") * 4) * 0.4))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH x AS (
+               SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS no_space,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(${listSql(StopWords)}, t))) AS BIGINT) AS stop_hits
+               FROM documents),
+             y AS (
+               SELECT doc_id, n_tokens,
+                      floor(CAST(no_space AS DOUBLE) / n_tokens * 10000) / 10000 AS avg_token_len,
+                      floor(CAST(stop_hits AS DOUBLE) / n_tokens * 10000) / 10000 AS stop_ratio
+               FROM x)
+             SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+                    floor((least(CAST(1.0 AS DOUBLE), n_tokens / CAST(64.0 AS DOUBLE)) * 0.6 +
+                           least(CAST(1.0 AS DOUBLE), stop_ratio * 4) * 0.4) * 10000) / 10000 AS quality
+             FROM y ORDER BY doc_id""")),
+
+    // Token counting: whitespace split vs regex tokenizer vs distinct.
+    Spec("q_text_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexTokens(col("text"))).cast("long").as("re_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("distinct_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+                    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+             FROM documents ORDER BY doc_id""")),
+
+    // Corpus-level rollup: the one deliberate shuffle in this module.
+    Spec("q_text_corpus_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                    round(avg(n_chars), 4) AS avg_chars
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
+    // character 8-grams (engine-replayable — md5 + substr only).
+    Spec("q_text_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          rollingMinFingerprint(col("text"), 8).as("winnow_fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS fp,
+                    list_min(list_transform(
+                      generate_series(1, greatest(length(text) - 7, 1)),
+                      i -> md5(substr(text, i, 8)))) AS winnow_fp
+             FROM documents ORDER BY doc_id"""))
+  )
+}
