@@ -93,10 +93,15 @@ object CsvIngest {
     */
   def read(spark: SparkSession, path: String, schema: StructType,
            opts: Options = Options()): DataFrame = {
+    // whole lines through the csv reader with a NUL separator — unlike
+    // the text source, csv honors the `encoding` option (ISO-8859-1)
     val raw = spark.read
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("sep", "\u0000")
+      .option("quote", "")
       .option("encoding", opts.encoding)
-      .option("lineSep", "\n")
-      .text(path)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
     val lines =
       if (opts.skipHeaders) dropFirstLinePerFile(spark, raw)
       else raw

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.sources.{CsvIngest, FilePick, SchemaIO}
+import graft.workflow.EtlError._
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+/** S1–S4, S10: file pick, extension gate, strict CSV read (quote-less,
+  * `;`, escapechar, gzip, header skip), archive. */
+class CsvIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): Path = Files.createTempDirectory("csvingest")
+
+  private val schema = StructType(Seq(
+    StructField("NAME", StringType), StructField("N", LongType),
+    StructField("X", DoubleType)))
+
+  private def write(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name),
+      lines.mkString("", "\n", "\n").getBytes("ISO-8859-1"))
+
+  test("pickLatest: lexicographic max; none → CsvNotFound; bad ext → CsvInvalid") {
+    val dir = tmpDir()
+    write(dir, "cars_202107.csv", Seq("h"))
+    write(dir, "cars_202109.csv", Seq("h"))
+    write(dir, "cars_202108.csv", Seq("h"))
+    assert(FilePick.mostRecentCsv(spark, dir.toString, "cars_").getName
+      == "cars_202109.csv")
+    intercept[CsvNotFound](FilePick.mostRecentCsv(spark, dir.toString, "nope_"))
+    write(dir, "cars_202110.txt", Seq("h"))
+    intercept[CsvInvalid](FilePick.mostRecentCsv(spark, dir.toString, "cars_"))
+  }
+
+  test("strict read: header skip, arity filter, escaped delimiter, coercion") {
+    val dir = tmpDir()
+    write(dir, "d.csv", Seq(
+      "NAME;N;X",            // header (skipped)
+      "plain;1;1.5",
+      "esc\\;aped;2;2.5",    // escaped ; inside NAME
+      "short;3",             // wrong arity → dropped
+      "bad;two;x"))          // coercion failures → NULLs
+    val out = CsvIngest.read(spark, dir.resolve("d.csv").toString, schema)
+      .orderBy("NAME").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).toSeq == Seq("bad", "esc;aped", "plain"))
+    assert(out(1).getLong(1) == 2L && out(2).getDouble(2) == 1.5)
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+  }
+
+  test("gzip by extension") {
+    val dir = tmpDir()
+    val gz = new GZIPOutputStream(Files.newOutputStream(dir.resolve("g.csv.gz")))
+    gz.write("NAME;N;X\ngz;9;9.5\n".getBytes("ISO-8859-1")); gz.close()
+    val out = CsvIngest.read(spark, dir.resolve("g.csv.gz").toString, schema).collect()
+    assert(out.length == 1 && out(0).getString(0) == "gz" && out(0).getLong(1) == 9L)
+  }
+
+  test("archive moves consumed files under ARCHIVED/ (main.py:182-190)") {
+    val dir = tmpDir()
+    write(dir, "cars_1.csv", Seq("a"))
+    write(dir, "cars_2.csv", Seq("b"))
+    write(dir, "other.csv", Seq("c"))
+    FilePick.archive(spark, dir.toString, "cars_")
+    assert(!Files.exists(dir.resolve("cars_1.csv")))
+    assert(Files.exists(dir.resolve("ARCHIVED/cars_1.csv")))
+    assert(Files.exists(dir.resolve("ARCHIVED/cars_2.csv")))
+    assert(Files.exists(dir.resolve("other.csv"))) // non-matching untouched
+  }
+
+  test("ISO-8859-1 bytes survive the read") {
+    val dir = tmpDir()
+    write(dir, "e.csv", Seq("NAME;N;X", "café;1;1.0")) // é in latin-1
+    val out = CsvIngest.read(spark, dir.resolve("e.csv").toString, schema).collect()
+    assert(out(0).getString(0) == "café")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** X3 plumbing: schema, per-partition decode batching, feature/frames
+  * output shapes (the codec itself is a documented stub). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media() = Multimodal.asMediaTable(
+    Seq((1L, "hello world payload"), (2L, "a much longer payload with more bytes in it"))
+      .toDF("id", "text"), "id", "text")
+
+  test("asMediaTable: binary payload + typed metadata struct") {
+    val rows = media().collect().sortBy(_.id)
+    assert(rows.length == 2)
+    assert(rows(0).payload sameElements "hello world payload".getBytes)
+    assert(rows(0).meta.nBytes == 19)
+    assert(Set("image", "audio", "video").contains(rows(0).meta.mediaType))
+    assert(rows(0).meta.width >= 1 && rows(0).meta.height >= 1)
+    // deterministic: same payload → same fake decode
+    assert(media().collect().sortBy(_.id).head.meta == rows(0).meta)
+  }
+
+  test("extractFeatures: fixed-dim long-form features") {
+    val f = Multimodal.extractFeatures(media(), dim = 8).collect()
+    assert(f.length == 16)
+    assert(f.map(_.featureId).distinct.sorted.toSeq == (0 until 8))
+    assert(f.forall(_.value >= 0.0))
+  }
+
+  test("sampleFrames: positional slices, stride/frameLen honored") {
+    val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
+      maxFrames = 3).orderBy("id").collect()
+    val first = frames(0).getSeq[Array[Byte]](1)
+    assert(first.length == 3)
+    assert(new String(first.head) == "hell")
+    assert(new String(first(1)) == "rld ") // bytes 8..12
+  }
+}
