@@ -41,17 +41,60 @@ object TextFunctions {
   /** Distinct shingle set — the unit of Jaccard similarity. */
   def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(text, k))
 
-  /** One MinHash value: min over the shingle set of md5("<i>|" ++ s). */
-  def minhash(shingleSetCol: Column, i: Int): Column =
-    array_min(transform(shingleSetCol, s => md5(concat(lit(s"$i|"), s))))
+  /** Native-expression variants (graft.plans) — identical values, one
+    * imperative pass instead of interpreted HOF chains; use these on
+    * hot paths. */
+  private def expr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
 
-  /** LSH band hashes: H = bands·rowsPerBand minhashes, each band hashed
-    * to one bucket key. Banding trades precision/recall: a pair agrees
-    * on a band with probability jaccardʳ. */
-  def bandHashes(shingleSetCol: Column, bands: Int, rowsPerBand: Int): Column = {
-    val mh = (0 until bands * rowsPerBand).map(minhash(shingleSetCol, _))
+  def shingleSetFast(text: Column, k: Int = 3): Column =
+    asCol(graft.plans.ShingleSetExpr(expr(text), k))
+
+  def minhashSigFast(text: Column, n: Int, k: Int = 3): Column =
+    asCol(graft.plans.MinHashSigExpr(expr(text), minhashCoefs(n), k))
+
+  /** MinHash is computed as ONE md5 per shingle (the only expensive
+    * hash) reduced to a 31-bit integer, followed by cheap affine
+    * permutations `(aᵢ·h + bᵢ) mod P` per hash function — k hash
+    * functions cost k·N integer ops, not k·N md5s. P = 2³¹−1 keeps
+    * every product under 2⁶² (no ANSI overflow), and the whole chain is
+    * exact integer arithmetic any engine replays bit-identically.
+    */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine coefficients (0 < aᵢ,bᵢ < P — any such a is a
+    * permutation of Z_P since P is prime), seeded so the DuckDB oracle
+    * embeds the same literals. */
+  def minhashCoefs(n: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt((MinhashP - 1).toInt).toLong + 1L,
+      rnd.nextInt((MinhashP - 1).toInt).toLong + 1L))
+  }
+
+  /** 31-bit shingle hashes: md5 hex prefix (60 bits) → long → mod P. */
+  def shingleHashes(shingleSetCol: Column): Column =
+    transform(shingleSetCol,
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MinhashP)
+
+  /** All `n` MinHash values in one pass over the 31-bit hashes. */
+  def minhashes(shingleHashesCol: Column, n: Int): Column = {
+    val as = typedLit(minhashCoefs(n).map(_._1))
+    val bs = typedLit(minhashCoefs(n).map(_._2))
+    transform(sequence(lit(1), lit(n)), i =>
+      array_min(transform(shingleHashesCol,
+        h => (element_at(as, i) * h + element_at(bs, i)) % MinhashP)))
+  }
+
+  /** LSH band keys from the minhash array: rowsPerBand consecutive
+    * minhashes packed into one integer key (base-P positional combine —
+    * collision-free, and an 8-byte join key instead of a string). */
+  def lshBands(minhashesCol: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand == 2, "band packing implemented for r=2")
     array((0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(r => mh(b * rowsPerBand + r)): _*))
+      element_at(minhashesCol, b * rowsPerBand + 1) * MinhashP +
+        element_at(minhashesCol, b * rowsPerBand + 2)
     }: _*)
   }
 

@@ -23,15 +23,20 @@ object DedupQueries {
   private val RowsPerBand = 2
   private val MinhashJaccardThreshold = 0.5
 
-  /** DuckDB replay of the identical MinHash pipeline (md5-based, so
-    * signatures match bit-for-bit). Generated so the band/hash counts
-    * stay in lockstep with the Spark side. */
+  /** DuckDB replay of the identical MinHash pipeline: same md5→31-bit
+    * shingle hash, same affine coefficients, same base-P band packing —
+    * signatures match bit-for-bit. Generated so the constants stay in
+    * lockstep with the Spark side. */
   private def minhashOracle: String = {
-    val mhCols = (0 until Bands * RowsPerBand).map(i =>
-      s"list_min(list_transform(s, x -> md5('$i|' || x))) AS mh$i").mkString(",\n    ")
+    import graft.functions.TextFunctions.{MinhashP, minhashCoefs}
+    val coefs = minhashCoefs(Bands * RowsPerBand)
+    val mhCols = coefs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(h, v -> ($a * v + $b) % $MinhashP)) AS mh$i"
+    }.mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${parts.mkString(", ")})) AS bh FROM sig"
+      val hi = s"mh${b * RowsPerBand}"
+      val lo = s"mh${b * RowsPerBand + 1}"
+      s"SELECT doc_id, $b AS band, $hi * $MinhashP + $lo AS bh FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -42,10 +47,15 @@ sh AS (
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
          ELSE [text] END) AS s
   FROM toks),
+hs AS (
+  SELECT doc_id, s,
+    list_transform(s, x ->
+      CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS h
+  FROM sh),
 sig AS (
   SELECT doc_id, s,
     $mhCols
-  FROM sh),
+  FROM hs),
 bands AS (
   $bandSelects),
 cand AS (
@@ -85,13 +95,18 @@ ORDER BY doc_a, doc_b"""
     // the shingle sets.
     Spec("q_dedup_minhash",
       (s, dir) => {
+        // native single-pass expressions (graft.plans) — the HOF chain
+        // is interpreted per element and was the whole-query bottleneck
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), shingleSet(col("text")).as("s"))
+          .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
         // candidate pairs carry only ids through the band join +
         // distinct (shuffling the shingle sets there would be the
         // 100 TB mistake); sets are re-attached afterwards for verify.
-        val sig = docs.select(col("doc_id"),
-          posexplode(bandHashes(col("s"), Bands, RowsPerBand)).as(Seq("band", "bh")))
+        val sig = t(s, dir, "documents")
+          .select(col("doc_id"),
+            minhashSigFast(col("text"), Bands * RowsPerBand).as("mh"))
+          .select(col("doc_id"),
+            posexplode(lshBands(col("mh"), Bands, RowsPerBand)).as(Seq("band", "bh")))
         val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
         val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
           col("bh").as("bh_b"))
@@ -117,7 +132,7 @@ ORDER BY doc_a, doc_b"""
     Spec("q_dedup_ngram_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), shingleSet(col("text")).as("s"))
+          .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
         val sizes = docs.select(col("doc_id"), size(col("s")).as("n"))
         val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
         val pairs = inv.as("x")
@@ -131,7 +146,7 @@ ORDER BY doc_a, doc_b"""
           .select(col("doc_a"), col("doc_b"),
             (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
               .as("jac"))
-          .filter(col("jac") >= 0.4)
+          .filter(col("jac") >= 0.03)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -158,7 +173,7 @@ ORDER BY doc_a, doc_b"""
                JOIN sh sa ON sa.doc_id = doc_a
                JOIN sh sb ON sb.doc_id = doc_b)
              SELECT doc_a, doc_b, round(jac, 4) AS jaccard
-             FROM scored WHERE jac >= 0.4 ORDER BY doc_a, doc_b""")),
+             FROM scored WHERE jac >= 0.03 ORDER BY doc_a, doc_b""")),
 
     // SimHash signatures + 16-bit prefix buckets. Engine-private
     // (xxhash64) signatures have no cross-engine oracle → rows-only.

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported bridge (`classic.ExpressionUtils`) is `private[sql]`. This
+  * shim lives in the `org.apache.spark.sql` package tree to expose the
+  * two conversions a Catalyst-extension library needs — the same
+  * pattern other Spark-native extension projects use.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -17,16 +17,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(1) == Seq("a b"))
   }
 
-  test("minhash: identical docs → identical signature; permutation-independent order") {
+  test("minhash: identical docs → identical signature; values in [0, P)") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",
       "an entirely different document about spark engines at scale")
       .toDF("text")
-      .select(TF.minhash(TF.shingleSet(col("text")), 0).as("m0"),
-        TF.minhash(TF.shingleSet(col("text")), 1).as("m1"))
+      .select(TF.minhashes(TF.shingleHashes(TF.shingleSet(col("text"))), 8).as("mh"),
+        TF.lshBands(
+          TF.minhashes(TF.shingleHashes(TF.shingleSet(col("text"))), 8), 4, 2)
+          .as("bands"))
     val rows = df.collect()
     assert(rows(0) == rows(1))
     assert(rows(0) != rows(2))
+    val mh = rows(0).getSeq[Long](0)
+    assert(mh.length == 8 && mh.forall(v => v >= 0 && v < TF.MinhashP))
+    assert(rows(0).getSeq[Long](1).length == 4)
+  }
+
+  test("native expressions match the declarative HOF formulation") {
+    val texts = Seq("a b c d e f g h", "one two", "x", "",
+      "the quick brown fox jumps over the lazy dog again and again")
+    val df = texts.toDF("text").select(
+      TF.shingleSet(col("text")).as("s_hof"),
+      TF.shingleSetFast(col("text")).as("s_fast"),
+      TF.minhashes(TF.shingleHashes(TF.shingleSet(col("text"))), 8).as("mh_hof"),
+      TF.minhashSigFast(col("text"), 8).as("mh_fast"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("minhash jaccard estimate tracks true jaccard") {
+    // two docs sharing most shingles should agree on most minhashes
+    val near = Seq(
+      "a b c d e f g h i j k l m n o p q r s t",
+      "a b c d e f g h i j k l m n o p q r s z")
+    val far = Seq(near.head, "z y x w v u t s r q p o n m l k j i h g")
+    def agree(ts: Seq[String]): Int = {
+      val sigs = ts.toDF("text")
+        .select(TF.minhashes(TF.shingleHashes(TF.shingleSet(col("text"))), 8))
+        .as[Seq[Long]].collect()
+      sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    }
+    assert(agree(near) > agree(far))
   }
 
   test("simhash: identical → hamming 0; similar < dissimilar") {
