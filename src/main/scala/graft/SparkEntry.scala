@@ -17,6 +17,7 @@ object SparkEntry {
   private lazy val allSpecs: Seq[Q.Spec] =
     EtlQueries.specs ++
       RelationalQueries.specs ++
+      AdvancedQueries.specs ++
       DedupQueries.specs ++
       SimilarityQueries.specs ++
       TextQueries.specs ++

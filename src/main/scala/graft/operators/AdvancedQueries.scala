@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Operators beyond the reference's delegated-SQL surface that a
+  * large-scale event/training-data pipeline needs (SURVEY §2.9 spirit):
+  * as-of join, sessionization, pivot, explode (UDTF analog), exact
+  * percentiles, ordered collect, range join.
+  *
+  * Timestamps: events.ts is nanosecond parquet, read as a nanos-since-
+  * epoch long (`nanosAsLong`); DuckDB reads the same column at µs
+  * precision, so every cross-engine comparison happens in µs
+  * (`ts div 1000` ↔ `epoch_us(ts)`).
+  *
+  * Scale notes: the as-of join is the union + last-non-null
+  * carry-forward formulation — ONE shuffle on the key, a linear
+  * per-partition scan, no per-row range probe and no candidate
+  * explosion; sessionization is the classic gap-flag + running-sum pair
+  * of windows over the same (user, ts) order — both windows share one
+  * shuffle.
+  */
+object AdvancedQueries {
+  import Q._
+
+  private val tsUs = expr("ts div 1000")
+
+  val specs: Seq[Spec] = Seq(
+
+    // As-of join: each click paired with the user's most recent
+    // prior-or-equal signup.
+    Spec("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "signup"))
+          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+            col("event_type"))
+        // signup sorts before click at equal ts → >= (inclusive) asof
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), when(col("event_type") === "signup", 0).otherwise(1))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("signup_ts_us",
+            last(when(col("event_type") === "signup", col("ts_us")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("signup_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+               SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'click'),
+             sign AS (
+               SELECT user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'signup')
+             SELECT c.event_id, c.user_id, c.ts_us, s.ts_us AS signup_ts_us
+             FROM clicks c ASOF LEFT JOIN sign s
+               ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+             ORDER BY c.event_id""")),
+
+    // Sessionization: a new session starts after a >30 min gap; the
+    // session id is the running count of gap flags.
+    Spec("q_sessionize",
+      (s, dir) => {
+        val wOrder = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+          .withColumn("gap",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(wOrder)
+              > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("gap")).over(wRun))
+          .select(col("event_id"), col("user_id"), col("session_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+               SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+             g AS (
+               SELECT event_id, user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us, 1) OVER w > 30 * 60 * 1000000
+                           THEN 1 ELSE 0 END AS gap
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+             SELECT event_id, user_id,
+                    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS session_id
+             FROM g ORDER BY event_id""")),
+
+    // Pivot (wide aggregation): per-user event-type counts. The value
+    // list is fixed so the output schema is static (the only sane form
+    // at scale — a dynamic pivot needs a driver-side distinct first).
+    Spec("q_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .count()
+        p.select(col("user_id") +: types.map(tp =>
+            coalesce(col(tp), lit(0L)).as(tp)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+                    count(*) FILTER (WHERE event_type = 'click') AS click,
+                    count(*) FILTER (WHERE event_type = 'error') AS error,
+                    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                    count(*) FILTER (WHERE event_type = 'view') AS view
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Generator / UDTF analog: positional token explode.
+    Spec("q_explode_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("token"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    string_split(text, ' ')[i] AS token
+             FROM documents,
+                  UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+             WHERE doc_id < 20 ORDER BY doc_id, pos""")),
+
+    // Exact percentiles (sort-based, interpolated) — the exact
+    // counterpart of the HLL/approx sketch family.
+    Spec("q_agg_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                    round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Ordered collect + string agg (collect_set order is engine-
+    // private, so both sides sort before joining).
+    Spec("q_agg_collect",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+                    array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                      AS priorities
+             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Range (theta) join against a tiny bands table — broadcast
+    // nested-loop with a 4-row build side, the only sane theta-join
+    // shape at scale.
+    Spec("q_range_join",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val bands = Seq(
+          ("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+          ("large", 150000.0, 300000.0), ("huge", 300000.0, 1e9))
+          .toDF("band", "lo", "hi")
+        t(s, dir, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("band"))
+      },
+      Some("""WITH bands(band, lo, hi) AS (
+               VALUES ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                      ('large', 150000.0, 300000.0), ('huge', 300000.0, 1e9))
+             SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             FROM orders JOIN bands
+               ON o_totalprice >= lo AND o_totalprice < hi
+             GROUP BY band ORDER BY band"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.TextFunctions.minhashCoefs
+
+/** Session extension registering the native expressions as SQL
+  * functions, so `spark.sql("SELECT minhash_sig(text) ...")` works
+  * alongside the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or on an existing session:
+  * GraftExtensions.register(spark)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans", name, usage)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("shingle_set",
+      info("shingle_set", "shingle_set(text[, k]) - distinct word k-shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => ShingleSetExpr(c)
+        case Seq(c, k) => ShingleSetExpr(c,
+          k.eval().asInstanceOf[Number].intValue())
+      }),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(text[, n]) - MinHash signature (n hashes)"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => MinHashSigExpr(c, minhashCoefs(8))
+        case Seq(c, n) => MinHashSigExpr(c,
+          minhashCoefs(n.eval().asInstanceOf[Number].intValue()))
+      }))
+
+  /** Install into an already-built session (extensions normally apply
+    * only at builder time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, name, i, builder)
+    }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.plans.GraftExtensions
+
+/** SQL-facing registration of the native expressions. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash_sig / shingle_set callable from SQL, equal to Column API") {
+    GraftExtensions.register(spark)
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT shingle_set(text) AS s, minhash_sig(text, 8) AS mh FROM ext_docs")
+      .collect().head
+    val viaCol = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(TF.shingleSetFast(col("text")).as("s"),
+        TF.minhashSigFast(col("text"), 8).as("mh"))
+      .collect().head
+    assert(viaSql.getSeq[String](0) == viaCol.getSeq[String](0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+  }
+
+  test("builder-time extension injects the same functions") {
+    // new session object sharing the context, with extensions applied
+    // via the documented withExtensions path
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftExtensions.register(s2) // getOrCreate may return the shared session
+    assert(s2.sql("SELECT size(minhash_sig('a b c d')) AS n")
+      .collect().head.getInt(0) == 8)
+  }
+}
