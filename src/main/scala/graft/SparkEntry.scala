@@ -20,6 +20,7 @@ object SparkEntry {
       AdvancedQueries.specs ++
       DedupQueries.specs ++
       SimilarityQueries.specs ++
+      ExtraSimilarityQueries.specs ++
       TextQueries.specs ++
       MultimodalQueries.specs
 

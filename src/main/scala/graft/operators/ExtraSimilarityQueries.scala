@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** IVF-style ANN + TF-IDF (COVERAGE §2.9 X2/X4 extras).
+  *
+  * IVF here uses a deterministic coarse codebook (a fixed set of corpus
+  * vectors as centroids) rather than trained k-means — the partition /
+  * probe mechanics are identical: assign every vector to its nearest
+  * centroid (map-only pass against a broadcast codebook), then search
+  * only the probed cell. At 100 TB the cell assignment is the
+  * shuffle key that turns full-corpus scans into ~1/C cell scans.
+  */
+object ExtraSimilarityQueries {
+  import Q._
+
+  private val NCentroids = 8
+  private val K = 5
+
+  val specs: Seq[Spec] = Seq(
+
+    Spec("q_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        def assign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   vCol: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("__d"), col("cent_id"))
+          // ‖a−b‖² via the dot expansion — the exact same three-dot formula
+          // the DuckDB oracle computes, so assignment ties break
+          // identically (sqrt omitted: monotonic)
+          df.crossJoin(broadcast(cents))
+            .withColumn("__d",
+              dot(col(vCol), col(vCol)) - lit(2) * dot(col(vCol), col("cv"))
+                + dot(col("cv"), col("cv")))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__d", "__rn", "cv")
+        }
+        val corpus = assign(
+          e.filter(col("vec_id") >= 20)
+            .select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
+        val queries = assign(
+          e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id", "qv")
+          .withColumnRenamed("cent_id", "q_cent")
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        queries.join(corpus, col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("ev")).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             corpus AS (
+               SELECT vec_id, v, cent_id FROM (
+                 SELECT e.vec_id, e.v, c.cent_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_dot_product(e.v, e.v)
+                                   - 2 * list_dot_product(e.v, c.cv)
+                                   + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
+                 FROM e, cents c WHERE e.vec_id >= 20) x WHERE rn = 1),
+             queries AS (
+               SELECT query_id, v, q_cent FROM (
+                 SELECT e.vec_id AS query_id, e.v, c.cent_id AS q_cent,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_dot_product(e.v, e.v)
+                                   - 2 * list_dot_product(e.v, c.cv)
+                                   + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
+                 FROM e, cents c WHERE e.vec_id >= $NCentroids AND e.vec_id < 13) x
+               WHERE rn = 1),
+             scored AS (
+               SELECT q.query_id, c.vec_id,
+                      list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))) AS cos,
+                      row_number() OVER (PARTITION BY q.query_id ORDER BY
+                        list_dot_product(q.v, c.v)
+                          / (sqrt(list_dot_product(q.v, q.v))
+                             * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rank
+               FROM queries q JOIN corpus c ON q.q_cent = c.cent_id)
+             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                    round(cos, 4) AS cos_sim
+             FROM scored WHERE rank <= $K ORDER BY query_id, rank""")),
+
+    // TF-IDF: tokens exploded once; document frequency from the same
+    // exploded relation; top-3 most characteristic tokens per doc.
+    Spec("q_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = toks.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        tf.join(df_, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("token"), round(col("tfidf"), 4).as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf
+                    FROM toks GROUP BY doc_id, token),
+             df AS (SELECT token, count(*) AS df FROM
+                      (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             scored AS (
+               SELECT tf.doc_id, tf.token,
+                      tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+               FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+             ranked AS (
+               SELECT doc_id, token, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, token) AS rank
+               FROM scored)
+             SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                    round(tfidf, 4) AS tfidf
+             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+  )
+}
