@@ -19,6 +19,16 @@ object ExtraSimilarityQueries {
   private val NCentroids = 8
   private val K = 5
 
+  // same seeded hyperplanes as SimilarityQueries (seed 42) so the two
+  // modules' buckets agree
+  private def bucketSqlPublic(vexpr: String): String =
+    hyperplanes(8, 64).map(p =>
+      s"(CASE WHEN list_dot_product($vexpr, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  private val cosSqlPublic =
+    "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+
   val specs: Seq[Spec] = Seq(
 
     Spec("q_ann_ivf",
@@ -92,6 +102,69 @@ object ExtraSimilarityQueries {
              SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                     round(cos, 4) AS cos_sim
              FROM scored WHERE rank <= $K ORDER BY query_id, rank""")),
+
+    // Recall audit for the approximate path: per query, how many of the
+    // exact top-k the hyperplane-LSH bucket search recovered. The
+    // operational metric for tuning bits-vs-recall at scale.
+    Spec("q_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val planes = hyperplanes(8, 64)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            hyperplaneBucket(col("embedding"), planes).as("qb"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding").as("cv"),
+            hyperplaneBucket(col("embedding"), planes).as("cb"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val brute = c.crossJoin(broadcast(q.select(col("query_id"), col("qv"))))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("cv")).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id"))
+        val lsh = q.join(c, col("qb") === col("cb"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("cv")).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= K)
+          .select(col("query_id").as("query_id_l"), col("vec_id").as("vec_id_l"))
+        brute.join(lsh,
+            col("query_id") === col("query_id_l") &&
+              col("vec_id") === col("vec_id_l"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_l")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      ${bucketSqlPublic("CAST(embedding AS DOUBLE[])")} AS bucket
+               FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v, bucket FROM e WHERE vec_id < 20),
+             c AS (SELECT vec_id, v, bucket FROM e WHERE vec_id >= 20),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, c.vec_id,
+                        row_number() OVER (PARTITION BY q.query_id ORDER BY
+                          $cosSqlPublic DESC, c.vec_id) AS rank
+                 FROM q, c) x WHERE rank <= $K),
+             lsh AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, c.vec_id,
+                        row_number() OVER (PARTITION BY q.query_id ORDER BY
+                          $cosSqlPublic DESC, c.vec_id) AS rank
+                 FROM q JOIN c ON q.bucket = c.bucket) x WHERE rank <= $K)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(l.vec_id) AS n_recovered,
+                    round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 4) AS recall
+             FROM brute b LEFT JOIN lsh l
+               ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id""")),
 
     // TF-IDF: tokens exploded once; document frequency from the same
     // exploded relation; top-3 most characteristic tokens per doc.

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns for the 100 TB deployment (SURVEY §7 risks; builder
+  * brief: "co-locate joins via bucketing, salting for skew").
+  *
+  * These are the utilities a production job composes around the
+  * operator battery; each has a spec proving the plan shape (no
+  * exchange on bucketed joins) or value equivalence (salted == plain).
+  */
+object ScaleOps {
+
+  /** Persist both sides of a recurring join bucketed + sorted on the
+    * join key: every subsequent equi-join on that key is shuffle-free
+    * (bucket-local sort-merge). The write cost is paid once; at 100 TB
+    * the repeated-join shuffle it removes is the dominant cost.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1
+    * aggregates on (key, salt) — spreading one hot key over `salts`
+    * reducers — phase 2 merges the partials. Works for any
+    * algebraic aggregate; sum/count provided.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+        sum(col("__n")).as("count"))
+  }
+
+  /** Salted join against a skewed key: replicate the (small) right side
+    * `salts` times, salt the left side randomly-but-deterministically,
+    * join on (key, salt). Turns one hot reducer into `salts` even ones.
+    * (AQE's skew-join handles sort-merge skew automatically; this is
+    * the explicit form for when the optimizer can't see the skew.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

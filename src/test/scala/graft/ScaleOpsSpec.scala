@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
+
+/** Plan-shape and equivalence proofs for the 100 TB scale patterns. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any shuffle exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    ScaleOps.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    ScaleOps.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // and it is still correct
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 8)
+      .orderBy("l_returnflag").collect()
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0))
+      assert(math.abs(s.getDouble(1) - p.getDouble(1)) < 1e-6)
+      assert(s.getLong(2) == p.getLong(2))
+    }
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val salted = ScaleOps.saltedJoin(li, p, "l_partkey", salts = 8)
+    val plain = li.join(p, Seq("l_partkey"))
+    assert(salted.count() == plain.count())
+    // spot-check a grouped aggregate over the salted result
+    val a = salted.groupBy("p_brand").count().orderBy("p_brand").collect()
+    val b = plain.groupBy("p_brand").count().orderBy("p_brand").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
