@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,14 +70,29 @@ object MinHash {
   }
 }
 
-/** `shingle_set(text)` → array<string>: distinct word k-shingles. */
+/** `shingle_set(text)` → array<string>: distinct word k-shingles.
+  *
+  * doGenCode emits a call to the compiled compute method — the row stays
+  * inside the surrounding whole-stage-codegen span (a CodegenFallback
+  * here would split the span and force interpreted evaluation of every
+  * enclosing expression).
+  */
 case class ShingleSetExpr(child: Expression, k: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
+
+  def compute(text: UTF8String): GenericArrayData =
     new GenericArrayData(
-      MinHash.shingleSet(input.asInstanceOf[UTF8String], k)
-        .asInstanceOf[Array[Any]])
+      MinHash.shingleSet(text, k).asInstanceOf[Array[Any]])
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSetExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): ShingleSetExpr =
     copy(child = c)
 }
@@ -85,14 +100,14 @@ case class ShingleSetExpr(child: Expression, k: Int = 3)
 /** `minhash_sig(text)` → array<long>: the full MinHash signature in one
   * pass — shingle, hash, and all `coefs.length` affine mins fused. */
 case class MinHashSigExpr(child: Expression, coefs: Seq[(Long, Long)], k: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private lazy val as: Array[Long] = coefs.map(_._1).toArray
   private lazy val bs: Array[Long] = coefs.map(_._2).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val shingles = MinHash.shingleSet(input.asInstanceOf[UTF8String], k)
+  def compute(text: UTF8String): GenericArrayData = {
+    val shingles = MinHash.shingleSet(text, k)
     val n = as.length
     val mins = Array.fill(n)(Long.MaxValue)
     var s = 0
@@ -107,6 +122,14 @@ case class MinHashSigExpr(child: Expression, coefs: Seq[(Long, Long)], k: Int = 
       s += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSigExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =

@@ -29,6 +29,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned table writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("partdemo").toString
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_year") && !plan.contains("PartitionFilters: []"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() == o.filter(col("o_year") === 1997).count())
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 8)
