@@ -95,6 +95,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: byte-stride downsampling standing in for image
+    * resampling (real impl would go through the codec). Keeps the
+    * map-only, payload-in/payload-out shape a resize stage has. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val out = new Array[Byte]((row.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = row.payload(i * factor); i += 1 }
+        row.copy(payload = out,
+          meta = row.meta.copy(nBytes = out.length,
+            width = math.max(1, row.meta.width / factor),
+            height = math.max(1, row.meta.height / factor)))
+      }
+    }
+  }
+
   /** Deterministic frame sampling: every `stride` bytes, a `frameLen`
     * slice — the positional-access pattern of video frame extraction. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 64,

@@ -39,6 +39,32 @@ object MultimodalQueries {
                     upper(hex(substr(text, 1, 8))) AS head_hex
              FROM documents ORDER BY doc_id""")),
 
+    // Resize analog: stride-4 byte downsample of the payload (the
+    // map-only payload-in/payload-out shape of an image resize; the
+    // codec itself is the documented stub in Multimodal.MediaCodec).
+    Spec("q_mm_resize",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("", transform(
+            sequence(lit(1L), expr("(octet_length(text) + 3) div 4")),
+            i => col("text").substr(lit(1L) + (i - 1) * 4, lit(1L))))
+            .as("resized"))
+        .select(col("doc_id"), col("resized"),
+          octet_length(col("resized")).cast("long").as("n_bytes"),
+          md5(col("resized")).as("content_hash"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+               SELECT doc_id,
+                      list_aggregate(list_transform(
+                        generate_series(1, (strlen(text) + 3) // 4),
+                        i -> substr(text, 1 + (i - 1) * 4, 1)),
+                        'string_agg', '') AS resized
+               FROM documents)
+             SELECT doc_id, resized,
+                    CAST(strlen(resized) AS BIGINT) AS n_bytes,
+                    md5(resized) AS content_hash
+             FROM r ORDER BY doc_id""")),
+
     // Frame sampling: every 64th 16-byte window of the payload —
     // the batch shape of video frame extraction, with the codec
     // replaced by a positional slice.

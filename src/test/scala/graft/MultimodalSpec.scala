@@ -31,6 +31,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.forall(_.value >= 0.0))
   }
 
+  test("resize: byte-stride downsample, metadata scaled") {
+    val r = Multimodal.resize(media(), factor = 4).collect().sortBy(_.id)
+    assert(new String(r(0).payload) == "horpo") // bytes 0,4,8,12,16
+    assert(r(0).meta.nBytes == 5)  // ceil(19/4)
+    assert(r(0).meta.width >= 1 && r(0).meta.height >= 1)
+  }
+
   test("sampleFrames: positional slices, stride/frameLen honored") {
     val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
       maxFrames = 3).orderBy("id").collect()
