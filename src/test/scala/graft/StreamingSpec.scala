@@ -13,6 +13,34 @@ class StreamingSpec extends AnyFunSuite {
   private val schema = StructType(Seq(
     StructField("NAME", StringType), StructField("N", LongType)))
 
+  test("watermarked event-time window aggregation matches batch") {
+    import org.apache.spark.sql.functions._
+    // stage the events table as a streaming file source
+    val dir = Files.createTempDirectory("evstream")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.mode("overwrite").parquet(dir.resolve("in").toString)
+    val evSchema = batch.schema
+
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+    val q = windowed(spark.readStream.schema(evSchema)
+        .parquet(dir.resolve("in").toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windows")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ev_windows")
+      .orderBy("window", "event_type").collect()
+    val expected = windowed(batch).orderBy("window", "event_type").collect()
+    assert(streamed.length == expected.length && streamed.nonEmpty)
+    streamed.zip(expected).foreach { case (s, e) => assert(s == e) }
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
