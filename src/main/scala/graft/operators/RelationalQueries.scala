@@ -227,7 +227,7 @@ object RelationalQueries {
         t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")),
             col("o_custkey") === col("c_custkey"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"),
             col("o_totalprice"))
@@ -288,8 +288,8 @@ object RelationalQueries {
       (s, dir) => {
         val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, dir, "orders")
-          .withColumn("drnk", dense_rank().over(w))
-          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
           .filter(col("drnk") <= 40)
           .select(col("o_orderkey"), col("drnk"), col("quartile"))
           .orderBy(col("drnk"))

@@ -52,6 +52,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             fail += 1
             continue
+        # dtype parity: the driver's hash may distinguish int32/int64 etc.
+        raw_got = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        raw_want = con.sql(sql).df()
+        dt_diff = [(c, str(raw_got[c].dtype), str(raw_want[c].dtype))
+                   for c in raw_got.columns
+                   if str(raw_got[c].dtype) != str(raw_want[c].dtype)]
+        if dt_diff:
+            print(f"WARN {name}: dtype mismatch {dt_diff}")
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             fail += 1
