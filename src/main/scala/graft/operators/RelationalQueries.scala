@@ -192,6 +192,47 @@ object RelationalQueries {
              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // Explicit GROUPING SETS with grouping() disambiguation of the
+    // aggregate nulls (rollup/cube are the derived forms above).
+    Spec("q_agg_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                        count(*) AS n
+                 FROM gs_orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 ORDER BY o_orderstatus NULLS FIRST,
+                          o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                    CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                    CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                    count(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY o_orderstatus NULLS FIRST,
+                      o_orderpriority NULLS FIRST""")),
+
+    // Struct (nested) column construction + field access — SURVEY §1.2:
+    // nested types come free with Spark SQL even though the reference
+    // never uses them.
+    Spec("q_scalar_struct",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+            .as("info"))
+        .select(col("c_custkey"), col("info"),
+          col("info.name").as("flat_name"),
+          round(col("info.bal") * 2, 2).as("doubled"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                    struct_pack(name := c_name, bal := c_acctbal) AS info,
+                    c_name AS flat_name,
+                    round(c_acctbal * 2, 2) AS doubled
+             FROM customer ORDER BY c_custkey""")),
+
     // Min/max/stddev stats (stddev rounded to 2 — double accumulation
     // order differs across engines).
     Spec("q_agg_stats",
