@@ -381,6 +381,32 @@ object RelationalQueries {
              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              ORDER BY o_custkey""")),
 
+    Spec("q_intersect_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+          .intersectAll(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             INTERSECT ALL
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             ORDER BY o_custkey""")),
+
+    Spec("q_except_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(col("o_custkey"))
+          .exceptAll(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders
+             EXCEPT ALL
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             ORDER BY o_custkey""")),
+
     Spec("q_except",
       (s, dir) => {
         val o = t(s, dir, "orders")

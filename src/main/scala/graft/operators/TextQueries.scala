@@ -124,6 +124,27 @@ object TextQueries {
                     round(avg(n_chars), 4) AS avg_chars
              FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // MapType token-count column (SURVEY §1.2): token → count as a real
+    // map column, keys sorted so the two engines' map orders agree.
+    Spec("q_text_token_map",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val keys = array_sort(array_distinct(toks))
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            map_from_arrays(keys,
+              transform(keys, k => size(filter(toks, t => t === k)).cast("long")))
+              .as("token_counts"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                    map(list_sort(list_distinct(string_split(text, ' '))),
+                        list_transform(list_sort(list_distinct(string_split(text, ' '))),
+                          k -> CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t = k)) AS BIGINT))) AS token_counts
+             FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
     // character 8-grams (engine-replayable — md5 + substr only).
     Spec("q_text_fingerprint",
