@@ -354,6 +354,23 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    // Per-key top-k through the NATIVE TopKPerKeyExec operator
+    // (graft.plans): bounded heap per key, no per-group sort — the
+    // oracle replays the equivalent window-function semantics.
+    Spec("q_topk_per_key",
+      (s, dir) => ScaleOps.topKPerKey(
+          t(s, dir, "orders"), Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+             FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                          row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   FROM orders) x
+             WHERE rn <= 3
+             ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")),
+
     // ── set operations ───────────────────────────────────────────────
     Spec("q_union_all",
       (s, dir) => {

@@ -25,6 +25,39 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Per-key top-k through the native [[graft.plans.TopKPerKeyExec]]
+    * operator: one shuffle on the keys, a bounded heap per key —
+    * O(n log k), versus the full per-key sort the window-function
+    * encoding pays. Rows come back unordered across keys (add a global
+    * orderBy when determinism matters downstream).
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    // Column → resolved Expression: route through a real sort/select so
+    // the analyzer does the conversion (raw bridge conversion yields
+    // lazy column nodes that never resolve inside a custom plan)
+    val (sortOrders, child) = ColumnBridge.analyzedPlan(df.sort(order: _*)) match {
+      case Sort(so, _, c, _) => (so, c)
+      case other => sys.error(s"unexpected plan shape: $other")
+    }
+    val keyExprs = ColumnBridge.analyzedPlan(df.select(keys: _*)) match {
+      case Project(list, _) => list.map {
+        case Alias(e, _) => e
+        case e => e
+      }
+      case other => sys.error(s"unexpected plan shape: $other")
+    }
+    ColumnBridge.ofRows(spark,
+      graft.plans.TopKPerKeyPlan(keyExprs, sortOrders, k, child))
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `salts`
     * reducers — phase 2 merges the partials. Works for any

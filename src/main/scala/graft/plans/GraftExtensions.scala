@@ -16,10 +16,12 @@ import graft.functions.TextFunctions.minhashCoefs
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
