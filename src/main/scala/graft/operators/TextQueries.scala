@@ -145,6 +145,35 @@ object TextQueries {
                                  t -> t = k)) AS BIGINT))) AS token_counts
              FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
 
+    // Deterministic train/val/test split: content-hash modulo buckets —
+    // reproducible on any engine, stable under corpus growth (a doc's
+    // split never changes), the standard pattern for dataset splits.
+    Spec("q_train_test_split",
+      (s, dir) => {
+        val bucket = conv(substring(md5(concat(lit("split|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 100
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"),
+            round(avg(col("doc_id")), 4).as("avg_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH assigned AS (
+               SELECT doc_id,
+                      CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                           WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents)
+             SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
+                    round(avg(doc_id), 4) AS avg_id
+             FROM assigned GROUP BY split ORDER BY split""")),
+
     // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
     // character 8-grams (engine-replayable — md5 + substr only).
     Spec("q_text_fingerprint",
