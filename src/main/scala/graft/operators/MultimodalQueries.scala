@@ -67,17 +67,20 @@ object MultimodalQueries {
 
     // Frame sampling: every 64th 16-byte window of the payload —
     // the batch shape of video frame extraction, with the codec
-    // replaced by a positional slice.
+    // replaced by a positional slice. Frames are built as a real
+    // ArrayType column, then '|'-joined for the output: the driver's
+    // pandas gate cannot hash array-typed cells.
     Spec("q_mm_frame_sample",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           transform(sequence(lit(0), lit(3)),
             i => upper(hex(col("text").substr(i * 64 + 1, lit(16)).cast("binary"))))
-            .as("frames"))
+            .as("frames_arr"))
+        .select(col("doc_id"), array_join(col("frames_arr"), "|").as("frames"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-                    list_transform(generate_series(0, 3),
-                      i -> upper(hex(substr(text, i * 64 + 1, 16)))) AS frames
+                    array_to_string(list_transform(generate_series(0, 3),
+                      i -> upper(hex(substr(text, i * 64 + 1, 16)))), '|') AS frames
              FROM documents ORDER BY doc_id"""))
   )
 }

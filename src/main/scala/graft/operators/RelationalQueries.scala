@@ -218,20 +218,30 @@ object RelationalQueries {
     // Struct (nested) column construction + field access — SURVEY §1.2:
     // nested types come free with Spark SQL even though the reference
     // never uses them.
+    // The struct is built and field-accessed as a real StructType column;
+    // the output serializes it as 'name|bal' (bal via a decimal(12,2)
+    // cast, which renders identically on both engines) because the
+    // driver's pandas gate cannot hash struct-typed cells.
     Spec("q_scalar_struct",
       (s, dir) => t(s, dir, "customer")
         .select(col("c_custkey"),
           struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
             .as("info"))
-        .select(col("c_custkey"), col("info"),
+        .select(col("c_custkey"),
+          concat_ws("|", col("info.name"),
+            col("info.bal").cast("decimal(12,2)").cast("string")).as("info"),
           col("info.name").as("flat_name"),
           round(col("info.bal") * 2, 2).as("doubled"))
         .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey,
-                    struct_pack(name := c_name, bal := c_acctbal) AS info,
-                    c_name AS flat_name,
-                    round(c_acctbal * 2, 2) AS doubled
-             FROM customer ORDER BY c_custkey""")),
+      Some("""WITH x AS (SELECT c_custkey,
+                               struct_pack(name := c_name, bal := c_acctbal) AS s
+                        FROM customer)
+             SELECT c_custkey,
+                    concat(struct_extract(s, 'name'), '|',
+                           CAST(CAST(struct_extract(s, 'bal') AS DECIMAL(12,2)) AS VARCHAR)) AS info,
+                    struct_extract(s, 'name') AS flat_name,
+                    round(struct_extract(s, 'bal') * 2, 2) AS doubled
+             FROM x ORDER BY c_custkey""")),
 
     // Min/max/stddev stats (stddev rounded to 2 — double accumulation
     // order differs across engines).
@@ -527,21 +537,28 @@ object RelationalQueries {
              FROM events ORDER BY event_id""")),
 
     // Array scalar battery over tokenized text (sorted post-distinct on
-    // both sides — engines keep different dedup orders).
+    // both sides — engines keep different dedup orders). The arrays are
+    // built as real ArrayType columns, then serialized with a '|' join
+    // for the output: the driver's pandas-based gate canonicalizes with
+    // sort_values, which cannot hash array-typed cells.
     Spec("q_scalar_array",
       (s, dir) => t(s, dir, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          array_sort(array_distinct(split(col("text"), " "))).as("vocab"),
+          array_sort(array_distinct(split(col("text"), " "))).as("vocab_arr"),
           array_contains(split(col("text"), " "), "spark").as("has_spark"),
-          slice(split(col("text"), " "), 1, 3).as("head3"))
+          slice(split(col("text"), " "), 1, 3).as("head3_arr"))
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("vocab_arr"), "|").as("vocab"),
+          col("has_spark"),
+          array_join(col("head3_arr"), "|").as("head3"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                    list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+                    array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
                     list_contains(string_split(text, ' '), 'spark') AS has_spark,
-                    list_slice(string_split(text, ' '), 1, 3) AS head3
+                    array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS head3
              FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
   )
 }

@@ -125,7 +125,10 @@ object TextQueries {
              FROM documents GROUP BY lang ORDER BY lang""")),
 
     // MapType token-count column (SURVEY §1.2): token → count as a real
-    // map column, keys sorted so the two engines' map orders agree.
+    // map column, keys sorted so the two engines' map orders agree. The
+    // map is built AND re-read through map_entries (proving MapType
+    // round-trip), then serialized as 'k:v,...' — the driver's pandas
+    // gate cannot hash map-typed cells.
     Spec("q_text_token_map",
       (s, dir) => {
         val toks = split(col("text"), " ")
@@ -135,14 +138,22 @@ object TextQueries {
           .select(col("doc_id"),
             map_from_arrays(keys,
               transform(keys, k => size(filter(toks, t => t === k)).cast("long")))
-              .as("token_counts"))
+              .as("tc_map"))
+          .select(col("doc_id"),
+            array_join(transform(map_entries(col("tc_map")),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value").cast("string"))), ",").as("token_counts"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-                    map(list_sort(list_distinct(string_split(text, ' '))),
-                        list_transform(list_sort(list_distinct(string_split(text, ' '))),
-                          k -> CAST(len(list_filter(string_split(text, ' '),
-                                 t -> t = k)) AS BIGINT))) AS token_counts
+                    array_to_string(
+                      list_transform(
+                        map_entries(map(list_sort(list_distinct(string_split(text, ' '))),
+                          list_transform(list_sort(list_distinct(string_split(text, ' '))),
+                            k -> CAST(len(list_filter(string_split(text, ' '),
+                                   t -> t = k)) AS BIGINT)))),
+                        e -> e.key || ':' || CAST(e.value AS VARCHAR)),
+                      ',') AS token_counts
              FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
 
     // Deterministic train/val/test split: content-hash modulo buckets —
