@@ -98,28 +98,39 @@ object TextFunctions {
     }: _*)
   }
 
-  /** 64-bit SimHash over token xxhash64s, no UDF: per token, bit b
-    * contributes ±1; the signature takes the sign of each bit-sum.
-    * (xxhash64 is fine here — SimHash has no cross-engine oracle.) */
+  /** 60-bit md5-derived SimHash, declarative reference implementation:
+    * per token, bit b of the token's 60-bit md5 prefix contributes ±1;
+    * the signature takes the sign of each bit-sum. md5 (not xxhash64)
+    * so the DuckDB oracle replays signatures bit-identically — the same
+    * replay pattern as MinHash. Hot paths use [[simhashFast]] (identical
+    * values, one imperative pass). */
   def simhash(text: Column): Column = {
+    // one md5 per token (hoisted into the outer transform), then cheap
+    // bit probes per vote
+    val tokenHashes = transform(tokens(text),
+      tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
     val bitVotes = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, tok) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
+      tokenHashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(59)),
           // shiftright with a Column shift amount needs the SQL-level
           // function (the Scala helper only takes a literal Int)
-          b => call_function("shiftright", xxhash64(tok), b)
-            .bitwiseAND(1) * 2 - 1),
+          b => call_function("shiftright", h, b).bitwiseAND(1) * 2 - 1),
         (a, v) => a + v))
     // assemble bits with shift+or (acc*2+bit would ANSI-overflow on
-    // the sign bit)
+    // the top bit)
     aggregate(
-      zip_with(bitVotes, sequence(lit(63), lit(0), lit(-1)),
+      zip_with(bitVotes, sequence(lit(0), lit(59)),
         (v, pos) => when(v > 0, call_function("shiftleft", lit(1L), pos))
           .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** Native-expression SimHash (graft.plans.SimHashSigExpr) — identical
+    * values to [[simhash]], one imperative pass per document. */
+  def simhashFast(text: Column): Column =
+    asCol(graft.plans.SimHashSigExpr(expr(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -22,6 +22,25 @@ object DedupQueries {
   private val Bands = 4
   private val RowsPerBand = 2
   private val MinhashJaccardThreshold = 0.5
+  private val SimhashHammingMax = 12
+
+  /** DuckDB replay of the md5-derived 60-bit SimHash signature — same
+    * per-token hash, votes, and bit assembly as
+    * [[graft.plans.SimHashSigExpr]]. */
+  private def simhashSigCte: String =
+    s"""WITH th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+    tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+  FROM documents),
+v AS (
+  SELECT doc_id, list_transform(generate_series(0, 59),
+    b -> list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1))) AS votes
+  FROM th),
+sig AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59),
+    b -> CASE WHEN votes[b + 1] > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+  FROM v)"""
 
   /** DuckDB replay of the identical MinHash pipeline: same md5→31-bit
     * shingle hash, same affine coefficients, same base-P band packing —
@@ -175,14 +194,47 @@ ORDER BY doc_a, doc_b"""
              SELECT doc_a, doc_b, round(jac, 4) AS jaccard
              FROM scored WHERE jac >= 0.03 ORDER BY doc_a, doc_b""")),
 
-    // SimHash signatures + 16-bit prefix buckets. Engine-private
-    // (xxhash64) signatures have no cross-engine oracle → rows-only.
+    // SimHash signatures + 16-bit prefix buckets. The 60-bit signature
+    // is derived from one md5 per token (graft.plans.SimHashSigExpr),
+    // so the DuckDB oracle replays it bit-identically — the same
+    // md5-replay pattern as the MinHash oracle above.
     Spec("q_dedup_simhash",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), simhash(col("text")).as("sig"))
-        .withColumn("bucket", call_function("shiftright", col("sig"), lit(48)))
+        .select(col("doc_id"), simhashFast(col("text")).as("sig"))
+        .withColumn("bucket", call_function("shiftright", col("sig"), lit(44)))
         .orderBy(col("doc_id")),
-      None),
+      Some(s"""$simhashSigCte
+             SELECT doc_id, sig, sig >> 44 AS bucket
+             FROM sig ORDER BY doc_id""")),
+
+    // SimHash Hamming near-dup pairs: candidate generation is an
+    // equi-join on the 16-bit signature prefix (the LSH bucket — at
+    // scale a plain shuffle join, never all-pairs), then exact Hamming
+    // verification on the full 60-bit signatures. Prefix bucketing
+    // trades recall for the bucketed join shape, the standard SimHash
+    // dedup deployment.
+    Spec("q_dedup_simhash_pairs",
+      (s, dir) => {
+        val sigs = t(s, dir, "documents")
+          .select(col("doc_id"), simhashFast(col("text")).as("sig"))
+          .withColumn("bucket", call_function("shiftright", col("sig"), lit(44)))
+        val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("bucket"))
+        val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("bucket").as("bucket_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+          .filter(col("hamming") <= SimhashHammingMax)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$simhashSigCte,
+             b AS (SELECT doc_id, sig, sig >> 44 AS bucket FROM sig)
+             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+             FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+             WHERE bit_count(xor(x.sig, y.sig)) <= $SimhashHammingMax
+             ORDER BY doc_a, doc_b""")),
 
     // Embedding-cosine near-duplicates, exact on a bounded subset
     // (oracle for the math; the scalable path is q_ann_lsh's bucketed

@@ -75,6 +75,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
   }
 
+  test("native SimHashSigExpr matches the declarative md5 simhash") {
+    val texts = Seq(
+      "spark streaming batch window join filter agg",
+      "a b  c", // double space → empty token, both paths must keep it
+      "single",
+      "totally unrelated words about cooking pasta tonight")
+    val rows = texts.toDF("text")
+      .select(TF.simhash(col("text")).as("slow"),
+        TF.simhashFast(col("text")).as("fast"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // 60-bit contract: the top nibble is always clear
+    rows.foreach(r => assert((r.getLong(1) >>> 60) == 0L))
+  }
+
   test("rolling fingerprint is shift-robust where md5-of-text is not") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789"
     val df = Seq(base, "XX" + base, base.reverse).toDF("text")
