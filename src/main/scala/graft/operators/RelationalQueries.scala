@@ -364,7 +364,7 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
-    // Per-key top-k through the NATIVE TopKPerKeyExec operator
+    // Per-key top-k through the NATIVE TopKPerKey operator
     // (graft.plans): bounded heap per key, no per-group sort — the
     // oracle replays the equivalent window-function semantics.
     Spec("q_topk_per_key",

@@ -25,14 +25,18 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Per-key top-k through the native [[graft.plans.TopKPerKeyExec]]
-    * operator: one shuffle on the keys, a bounded heap per key —
-    * O(n log k), versus the full per-key sort the window-function
+  /** Per-key top-k through the native TopKPerKey operator
+    * (graft.plans): a map-side partial pass with bounded per-key heaps
+    * (capped at `maxKeysInMemory` keys, overflow passes through) prunes
+    * the shuffle to ≤ k rows per key per mapper, then the final pass
+    * streams the first k of each key group off a spillable sort of the
+    * pruned data — versus the full per-key sort the window-function
     * encoding pays. Rows come back unordered across keys (add a global
     * orderBy when determinism matters downstream).
     */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
-                 k: Int): DataFrame = {
+                 k: Int,
+                 maxKeysInMemory: Int = graft.plans.TopKPerKey.DefaultMaxKeysInMemory): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
@@ -55,7 +59,7 @@ object ScaleOps {
       case other => sys.error(s"unexpected plan shape: $other")
     }
     ColumnBridge.ofRows(spark,
-      graft.plans.TopKPerKeyPlan(keyExprs, sortOrders, k, child))
+      graft.plans.TopKPerKeyPlan(keyExprs, sortOrders, k, child, maxKeysInMemory))
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1

@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.ScaleOps
+import graft.plans.{TopKPerKeyFinalExec, TopKPerKeyPartialExec}
 
 /** Native per-key top-k operator: equal to the window encoding, planned
-  * without a sort. */
+  * as partial (map-side pruning) + final (streaming group scan). */
 class TopKPerKeySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -19,10 +20,10 @@ class TopKPerKeySpec extends AnyFunSuite {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
-  private def viaNative(k: Int) = {
+  private def viaNative(k: Int, maxKeys: Int = graft.plans.TopKPerKey.DefaultMaxKeysInMemory) = {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     ScaleOps.topKPerKey(o, Seq(col("o_custkey")),
-      Seq(col("o_totalprice").desc, col("o_orderkey")), k)
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k, maxKeys)
   }
 
   test("matches the window-function encoding exactly") {
@@ -34,10 +35,62 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
-  test("plan contains the native exec and no sort below it") {
+  test("plan is partial below the exchange, final above it") {
     val plan = viaNative(3).queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan)
-    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    // partial runs BEFORE the shuffle: the Exchange must sit between
+    // final and partial in the tree printout
+    val iFinal = plan.indexOf("TopKPerKeyFinal")
+    val iExchange = plan.indexOf("Exchange", iFinal)
+    val iPartial = plan.indexOf("TopKPerKeyPartial", iFinal)
+    assert(iExchange >= 0 && iPartial > iExchange,
+      s"expected Final > Exchange > Partial order in:\n$plan")
+  }
+
+  test("partial pass prunes the shuffle to at most k rows per key per mapper") {
+    // AQE wraps stages in AdaptiveSparkPlanExec, hiding the exec from
+    // collectFirst — disable it here to read the partial's metric
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (rows, exec) =
+      try {
+        val df = viaNative(3)
+        val r = df.collect()
+        (r, df.queryExecution.executedPlan.collectFirst {
+          case p: TopKPerKeyPartialExec => p
+        }.get)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val inputRows = spark.read.parquet(s"$sf/orders.parquet").count()
+    val partialOut = exec.metrics("numOutputRows").value
+    assert(partialOut < inputRows,
+      s"partial shipped $partialOut of $inputRows input rows — no pruning")
+    // sf0.001 orders fit in few partitions; kept set must be within
+    // k × #keys × #mappers
+    val nKeys = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    val nMappers = spark.read.parquet(s"$sf/orders.parquet").rdd.getNumPartitions
+    assert(partialOut <= 3L * nKeys * nMappers)
+    assert(rows.nonEmpty)
+  }
+
+  test("bounded key map: tiny cap still yields exact results (pass-through)") {
+    // cap of 2 keys against ~hundreds of customers forces the overflow
+    // path on almost every mapper
+    val expected = viaWindow(3).orderBy("o_custkey", "o_orderkey").collect()
+    val got = viaNative(3, maxKeys = 2).orderBy("o_custkey", "o_orderkey").collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("high-cardinality grouping key stays exact and bounded") {
+    // every row its own key (o_orderkey): top-1 per key == all rows;
+    // the capped partial map cannot hold them all → pass-through must
+    // carry the remainder correctly
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val n = o.count()
+    val got = ScaleOps.topKPerKey(o, Seq(col("o_orderkey")),
+      Seq(col("o_totalprice").desc), 1, maxKeysInMemory = 16).count()
+    assert(got == n)
   }
 
   test("downstream operations compose (filter + aggregate over top-k)") {
