@@ -110,24 +110,32 @@ object CsvIngest {
     Repair.repair(Repair.splitLine(kept, "value", opts.sep, schema), schema)
   }
 
-  /** Header skip per file without collecting: tag rows with their
-    * file + position and drop position 0. Uses the input_file metadata
-    * + a monotonic id within the narrow scan — cheap, no shuffle.
+  /** Header skip per file WITHOUT a shuffle: a header line is exactly
+    * the first row of a file chunk whose `_metadata.file_block_start`
+    * is 0 (splits after the first start mid-file; Hadoop line-boundary
+    * semantics make their first row a real record). Within a task the
+    * scan delivers each file's rows as one consecutive run — even when
+    * `maxPartitionBytes` packs several small files into one partition —
+    * so "row starts a new file run AND its chunk offset is 0" finds
+    * every header and nothing else, in one narrow per-partition pass.
+    * (The previous Window.partitionBy(file) variant clustered EVERY row
+    * of a file onto one reducer — the skew bottleneck at 100 TB.)
     */
   private def dropFirstLinePerFile(spark: SparkSession, raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // _metadata.file_path + row_number is exact but shuffles; for the
-    // common single-file-per-load case (the reference loads exactly one
-    // blob per run, main.py:41) a per-file min(monotonic id) filter is
-    // equivalent and stays narrow. We keep the exact variant: one small
-    // shuffle on file_path, negligible next to the load itself.
-    val withFile = raw
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", monotonically_increasing_id())
-    val w = Window.partitionBy(col("__file")).orderBy(col("__pos"))
-    withFile.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select("value")
+    import spark.implicits._
+    raw
+      .select(col("value"), col("_metadata.file_path").as("__file"),
+        col("_metadata.file_block_start").as("__start"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        var prevFile: String = null
+        it.flatMap { case (v, f, start) =>
+          val newFileRun = f != prevFile
+          prevFile = f
+          if (newFileRun && start == 0L) None else Some(v)
+        }
+      }
+      .toDF("value")
   }
 }
 

@@ -70,6 +70,19 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(Files.exists(dir.resolve("other.csv"))) // non-matching untouched
   }
 
+  test("header skip is narrow (no Exchange) and handles multi-file scans") {
+    val dir = tmpDir()
+    write(dir, "m1.csv", Seq("NAME;N;X", "a;1;1.0"))
+    write(dir, "m2.csv", Seq("NAME;N;X", "b;2;2.0", "c;3;3.0"))
+    val df = CsvIngest.read(spark, dir.toString + "/m*.csv", schema)
+    // both headers dropped, all data rows kept
+    assert(df.orderBy("NAME").collect().map(_.getString(0)).toSeq
+      == Seq("a", "b", "c"))
+    // the skip must not cluster each file onto one reducer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("ISO-8859-1 bytes survive the read") {
     val dir = tmpDir()
     write(dir, "e.csv", Seq("NAME;N;X", "café;1;1.0")) // é in latin-1
