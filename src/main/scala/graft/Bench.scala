@@ -30,7 +30,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink fully materializes every projected column and keeps
+        // top-level sorts (count() would let Catalyst prune projections
+        // and eliminate the ORDER BY — under-measuring scalar batteries
+        // and sorts)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
