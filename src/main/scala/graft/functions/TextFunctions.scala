@@ -141,11 +141,18 @@ object TextFunctions {
 
   /** Winnowing-style rolling fingerprint: minimum md5 over all
     * character k-grams — robust to document reordering at the edges,
-    * replayable in any engine with md5 + substr. */
+    * replayable in any engine with md5 + substr. Declarative reference
+    * form; hot paths use [[rollingMinFingerprintFast]]. */
   def rollingMinFingerprint(text: Column, k: Int = 8): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)))))
+
+  /** Native-expression rolling fingerprint
+    * (graft.plans.RollingMinFingerprintExpr) — identical values, one
+    * imperative pass, no per-gram array allocation. */
+  def rollingMinFingerprintFast(text: Column, k: Int = 8): Column =
+    asCol(graft.plans.RollingMinFingerprintExpr(expr(text), k))
 
   /** Count of tokens (with multiplicity) that appear in `vocab`. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =

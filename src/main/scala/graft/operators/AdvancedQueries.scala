@@ -125,13 +125,17 @@ object AdvancedQueries {
              WHERE doc_id < 20 ORDER BY doc_id, pos""")),
 
     // Exact percentiles (sort-based, interpolated) — the exact
-    // counterpart of the HLL/approx sketch family.
+    // counterpart of the HLL/approx sketch family. Both quantiles come
+    // from ONE percentile(…, array(…)) aggregate: a single per-group
+    // value buffer instead of two (separate calls each accumulate their
+    // own counts-map over every row).
     Spec("q_agg_percentile",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
                     round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -186,12 +186,14 @@ object TextQueries {
              FROM assigned GROUP BY split ORDER BY split""")),
 
     // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
-    // character 8-grams (engine-replayable — md5 + substr only).
+    // character 8-grams (engine-replayable — md5 + substr only). The
+    // rolling min runs through the native expression; the declarative
+    // HOF form is the parity-tested reference.
     Spec("q_text_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           fingerprint(col("text")).as("fp"),
-          rollingMinFingerprint(col("text"), 8).as("winnow_fp"))
+          rollingMinFingerprintFast(col("text"), 8).as("winnow_fp"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, md5(text) AS fp,
                     list_min(list_transform(

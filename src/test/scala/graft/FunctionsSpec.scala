@@ -101,6 +101,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getString(1) != rows(2).getString(1))
   }
 
+  test("native RollingMinFingerprintExpr matches the declarative form") {
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "short", // < k chars → whole-text gram
+      "", // empty → md5 of empty string
+      "café déjà vu über naïve" // multi-byte chars: substr is per-char
+    )
+    val rows = texts.toDF("text")
+      .select(TF.rollingMinFingerprint(col("text")).as("slow"),
+        TF.rollingMinFingerprintFast(col("text")).as("fast"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("vector dot/cosine/l2 on known values") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)),
       (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
