@@ -45,8 +45,9 @@ sig AS (
   /** DuckDB replay of the identical MinHash pipeline: same md5→31-bit
     * shingle hash, same affine coefficients, same base-P band packing —
     * signatures match bit-for-bit. Generated so the constants stay in
-    * lockstep with the Spark side. */
-  private def minhashOracle: String = {
+    * lockstep with the Spark side. `withPrefix` lets the clusters query
+    * prepend WITH RECURSIVE. */
+  private def minhashScoredCte(withPrefix: String): String = {
     import graft.functions.TextFunctions.{MinhashP, minhashCoefs}
     val coefs = minhashCoefs(Bands * RowsPerBand)
     val mhCols = coefs.zipWithIndex.map { case ((a, b), i) =>
@@ -57,7 +58,7 @@ sig AS (
       val lo = s"mh${b * RowsPerBand + 1}"
       s"SELECT doc_id, $b AS band, $hi * $MinhashP + $lo AS bh FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""$withPrefix toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id, list_distinct(
@@ -87,10 +88,74 @@ scored AS (
       / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
   FROM cand
   JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b)
+  JOIN sh sb ON sb.doc_id = doc_b)"""
+  }
+
+  private def minhashOracle: String =
+    s"""${minhashScoredCte("WITH")}
 SELECT doc_a, doc_b, round(jac, 4) AS jaccard
 FROM scored WHERE jac >= $MinhashJaccardThreshold
 ORDER BY doc_a, doc_b"""
+
+  /** Connected components over the near-dup pairs in DuckDB: a
+    * recursive walk over the symmetric edge set; each node's cluster is
+    * the minimum id it can reach — identical to the Spark side's
+    * min-label propagation fixpoint. */
+  private def clustersOracle: String =
+    s"""${minhashScoredCte("WITH RECURSIVE")},
+dup_pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE jac >= $MinhashJaccardThreshold),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs),
+walk(id, reach) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.reach FROM walk w JOIN edges e ON e.dst = w.id),
+cc AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id)
+SELECT c.doc_id, c.cluster_id, c.doc_id = c.cluster_id AS is_canonical,
+       n.n_members
+FROM cc c
+JOIN (SELECT cluster_id, count(*) AS n_members
+      FROM cc GROUP BY cluster_id) n USING (cluster_id)
+ORDER BY doc_id"""
+
+  /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard ≥
+    * threshold), shared by the pair and cluster queries. Candidate
+    * generation is a self-equi-join on (band, bandHash) — at scale a
+    * plain shuffle join on a key whose cardinality grows with the
+    * corpus, so no quadratic blowup; candidates then verified with
+    * exact Jaccard on the shingle sets. Only ids travel through the
+    * band join + distinct (shuffling the shingle sets there would be
+    * the 100 TB mistake); sets are re-attached afterwards for verify.
+    * Uses the native single-pass expressions (graft.plans) — the HOF
+    * chain is interpreted per element and was the whole-query
+    * bottleneck. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        minhashSigFast(col("text"), Bands * RowsPerBand).as("mh"))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("mh"), Bands, RowsPerBand)).as(Seq("band", "bh")))
+    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("bh").as("bh_b"))
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= MinhashJaccardThreshold)
   }
 
   val specs: Seq[Spec] = Seq(
@@ -113,37 +178,60 @@ ORDER BY doc_a, doc_b"""
     // quadratic blowup; candidates then verified with exact Jaccard on
     // the shingle sets.
     Spec("q_dedup_minhash",
-      (s, dir) => {
-        // native single-pass expressions (graft.plans) — the HOF chain
-        // is interpreted per element and was the whole-query bottleneck
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
-        // candidate pairs carry only ids through the band join +
-        // distinct (shuffling the shingle sets there would be the
-        // 100 TB mistake); sets are re-attached afterwards for verify.
-        val sig = t(s, dir, "documents")
-          .select(col("doc_id"),
-            minhashSigFast(col("text"), Bands * RowsPerBand).as("mh"))
-          .select(col("doc_id"),
-            posexplode(lshBands(col("mh"), Bands, RowsPerBand)).as(Seq("band", "bh")))
-        val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-          col("bh").as("bh_b"))
-        val cand = a.join(b, col("band") === col("band_b") &&
-            col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        val jac = inter.cast("double") /
-          (size(col("sa")) + size(col("sb")) - inter)
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-          .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), jac.as("jac"))
-          .filter(col("jac") >= MinhashJaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) => minhashPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(minhashOracle)),
+
+    // Duplicate-cluster resolution on top of the MinHash pairs: the
+    // step that turns a pair detector into a usable dedup pipeline —
+    // one canonical (minimum-id) document per near-dup cluster.
+    // Connected components by iterative min-label propagation: each
+    // round every node takes the minimum label among itself and its
+    // neighbors; fixpoint in O(cluster diameter) rounds (near-dup
+    // clusters are shallow). Each iteration is one shuffle join + one
+    // aggregation; localCheckpoint truncates the growing plan lineage
+    // (at cluster scale this — not the data — is what kills iterative
+    // Spark jobs).
+    Spec("q_dedup_clusters",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        // symmetric edge set, materialized once — every iteration
+        // reuses it rather than recomputing signatures
+        val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .localCheckpoint()
+        var labels = edges.select(col("doc_a").as("id")).distinct()
+          .select(col("id"), col("id").as("label"))
+          .localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          val nb = edges.join(
+              labels.select(col("id").as("nid"), col("label").as("nlabel")),
+              col("doc_b") === col("nid"))
+            .groupBy(col("doc_a")).agg(min(col("nlabel")).as("nb_min"))
+          val next = labels.join(nb, col("id") === col("doc_a"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nb_min"), col("label")))
+                .as("label"),
+              (col("label") > coalesce(col("nb_min"), col("label")))
+                .cast("long").as("chg"))
+            .localCheckpoint()
+          changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+          labels = next.select("id", "label")
+          rounds += 1
+        }
+        val sizes = labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+          .join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"),
+            col("n_members"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracle)),
 
     // Direct n-gram Jaccard via an inverted shingle index on a bounded
     // subset: explode distinct shingles, self-join on the shingle, count
