@@ -110,6 +110,57 @@ object CsvIngest {
     Repair.repair(Repair.splitLine(kept, "value", opts.sep, schema), schema)
   }
 
+  /** S9 fidelity path (`functions/load_csv/main.py:90,134-137`): write
+    * the repaired rows back as a `FIXED_<name>` CSV artifact next to
+    * the destination — same wire format as the read side (`;`,
+    * QUOTE_NONE analog, escapechar `\`, ISO-8859-1, no header), nulls
+    * as empty cells, timestamps normalized to `yyyy-MM-dd HH:mm:ss`
+    * (the reference's strftime at `main.py:125`). The reference
+    * produces ONE blob per run (it loads exactly one file), so the
+    * single-file coalesce is the artifact contract, not a scale
+    * pattern — the distributed load path stays lazy and partitioned.
+    * Returns the artifact path.
+    */
+  def writeFixed(spark: SparkSession, csvPath: String, schema: StructType,
+                 opts: Options = Options(), outDir: String): Path = {
+    val srcName = new Path(csvPath).getName
+    val fixedName = "FIXED_" + srcName.replace(".gz", "")
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(out, s".__fixed_tmp_$fixedName")
+    // QUOTE_NONE + escapechar is inexpressible by the csv WRITER
+    // (univocity quotes instead of escaping), so serialize each line
+    // manually: escape backslash then the separator, nulls -> empty
+    // cells (coalesce BEFORE concat_ws, which would skip nulls) - and
+    // ship whole lines through a NUL-separated single-column csv write,
+    // the same trick as the read side (text write is UTF-8-only).
+    val cells = schema.fields.map { f =>
+      val base = f.dataType match {
+        case TimestampType => date_format(col(f.name), "yyyy-MM-dd HH:mm:ss")
+        case _ => col(f.name).cast("string")
+      }
+      coalesce(
+        replace(replace(base, lit("\\"), lit("\\\\")),
+          lit(opts.sep), lit("\\" + opts.sep)),
+        lit(""))
+    }
+    read(spark, csvPath, schema, opts)
+      .select(concat_ws(opts.sep, cells: _*).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("sep", "\u0000")
+      .option("quote", "")
+      .option("encoding", opts.encoding)
+      .option("header", "false")
+      .csv(tmp.toString)
+    val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+    val dest = new Path(out, fixedName)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+    dest
+  }
+
   /** Header skip per file WITHOUT a shuffle: a header line is exactly
     * the first row of a file chunk whose `_metadata.file_block_start`
     * is 0 (splits after the first start mid-file; Hadoop line-boundary

@@ -44,7 +44,10 @@ final case class LoadCsvConfig(
     schemaDir: String,
     sep: String = ";",
     archiveFiles: Boolean = true,
-    skipHeaders: Boolean = true)
+    skipHeaders: Boolean = true,
+    // S9: also emit the repaired FIXED_<name> CSV artifact
+    // (`functions/load_csv/main.py:90,134-137`)
+    writeFixed: Boolean = false)
 
 final case class LoadQueryConfig(
     queryDir: String,
@@ -82,6 +85,9 @@ object Etl {
       CsvIngest.Options(sep = cfg.sep, skipHeaders = cfg.skipHeaders))
     try TableSink.save(repaired, destination, append = false)
     catch { case scala.util.control.NonFatal(_) => throw LoadJobError() }
+    if (cfg.writeFixed) // before archive — the source must still exist
+      CsvIngest.writeFixed(spark, pick.toString, schema,
+        CsvIngest.Options(sep = cfg.sep, skipHeaders = cfg.skipHeaders), cfg.dir)
     if (cfg.archiveFiles) FilePick.archive(spark, cfg.dir, cfg.prefix)
     "Success"
   }

@@ -83,6 +83,36 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("writeFixed emits the repaired FIXED_ artifact (S9) and round-trips") {
+    val dir = tmpDir()
+    write(dir, "cars_f.csv", Seq(
+      "NAME;N;X",
+      "plain;1;1.5",
+      "esc\\;aped;2;2.5",   // escaped ; must survive re-serialization
+      "short;3",            // dropped
+      "bad;two;x"))         // repaired to NULLs → empty cells
+    val dest = CsvIngest.writeFixed(spark, dir.resolve("cars_f.csv").toString,
+      schema, outDir = dir.toString)
+    assert(dest.getName == "FIXED_cars_f.csv")
+    val lines = new String(
+      Files.readAllBytes(dir.resolve("FIXED_cars_f.csv")), "ISO-8859-1")
+      .split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.sorted == Seq("bad;;", "esc\\;aped;2;2.5", "plain;1;1.5"))
+    // round-trip: reading the artifact back yields the same repaired rows
+    val back = CsvIngest.read(spark,
+      dir.resolve("FIXED_cars_f.csv").toString, schema,
+      CsvIngest.Options(skipHeaders = false)).orderBy("NAME").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getString(0)).toSeq == Seq("bad", "esc;aped", "plain"))
+    assert(back(0).isNullAt(1) && back(1).getLong(1) == 2L)
+    // .gz source names the artifact without the .gz suffix (main.py:90)
+    val gz = new GZIPOutputStream(Files.newOutputStream(dir.resolve("g.csv.gz")))
+    gz.write("NAME;N;X\ngz;9;9.5\n".getBytes("ISO-8859-1")); gz.close()
+    val dest2 = CsvIngest.writeFixed(spark, dir.resolve("g.csv.gz").toString,
+      schema, outDir = dir.toString)
+    assert(dest2.getName == "FIXED_g.csv")
+  }
+
   test("ISO-8859-1 bytes survive the read") {
     val dir = tmpDir()
     write(dir, "e.csv", Seq("NAME;N;X", "café;1;1.0")) // é in latin-1
