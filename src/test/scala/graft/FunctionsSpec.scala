@@ -101,6 +101,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getString(1) != rows(2).getString(1))
   }
 
+  test("HLL approx distinct is within 5% of exact (quantitative guard " +
+      "for the one remaining rows-only query)") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(approx_count_distinct(col("l_partkey")))
+      .as[Long].head()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
+    // and per-group (the q_agg_approx_distinct shape)
+    val joined = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()
+    joined.foreach { r =>
+      val e = r.getLong(1).toDouble
+      assert(math.abs(r.getLong(2) - e) / e < 0.05, r.toString)
+    }
+  }
+
   test("native RollingMinFingerprintExpr matches the declarative form") {
     val texts = Seq(
       "abcdefghijklmnopqrstuvwxyz0123456789",

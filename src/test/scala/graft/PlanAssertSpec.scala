@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard for the most expensive queries: locks in
+  * the broadcast / pushdown / no-cartesian expectations so a plan
+  * regression fails CI instead of only showing up in the round bench.
+  * String-level assertions on the executed plan — coarse on purpose
+  * (resilient to Spark version formatting churn, still catches a
+  * broadcast silently becoming a shuffle or a bucketed join collapsing
+  * to all-pairs).
+  */
+class PlanAssertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_join_equi broadcasts the customer dim, never nested-loops") {
+    val p = plan("q_join_equi")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_flagship_filter pushes its predicates into the parquet scan") {
+    val p = SparkEntry.queries("q_flagship_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+      !p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").trim.isEmpty,
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q_dedup_minhash band join is an equi join (no all-pairs fallback)") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ann_lsh and q_ann_ivf stay bucketed: scoring joins are equi joins") {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_tfidf broadcasts the scalar corpus count, no cartesian blowup") {
+    val p = plan("q_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_topk uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
