@@ -41,6 +41,70 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(expected).foreach { case (s, e) => assert(s == e) }
   }
 
+  test("flatMapGroupsWithState sessionization matches a batch fold") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.{ClosedSession, Ev}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+
+    val gapMin = 30
+    val dir = Files.createTempDirectory("sessstream")
+    val in = dir.resolve("in").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.mode("overwrite").parquet(in)
+    // sentinel far beyond every real event: advancing the watermark
+    // past lastEvent + gap closes every real session via its timer
+    val maxTs = batch.agg(max(col("ts"))).as[Long].head()
+    batch.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", lit(maxTs + 10L * 24 * 3600 * 1000000000L))
+      .write.mode("append").parquet(in)
+
+    val q = StatefulSessions.sessionize(
+        StatefulSessions.toEvents(
+          spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)),
+        gapMin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sessions").as[ClosedSession].collect()
+      .filter(_.user_id >= 0)
+      .map(c => (c.user_id, c.session_start_us, c.session_end_us,
+        c.n_events, math.round(c.total_value * 100)))
+      .toSet
+
+    // batch oracle: the same fold, host-side
+    val gapUs = gapMin * 60L * 1000000L
+    val evs = batch.select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .as[Ev].collect()
+    val expected = evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.ts_us, e.value))
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+      var start, last, n = 0L
+      var tot = 0.0
+      var open = false
+      sorted.foreach { e =>
+        if (!open) { start = e.ts_us; last = e.ts_us; n = 1; tot = e.value; open = true }
+        else if (e.ts_us - last <= gapUs) { last = e.ts_us; n += 1; tot += e.value }
+        else {
+          out += ((uid, start, last, n, math.round(tot * 100)))
+          start = e.ts_us; last = e.ts_us; n = 1; tot = e.value
+        }
+      }
+      if (open) out += ((uid, start, last, n, math.round(tot * 100)))
+      out.result()
+    }.toSet
+
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
