@@ -22,7 +22,8 @@ object SparkEntry {
       SimilarityQueries.specs ++
       ExtraSimilarityQueries.specs ++
       TextQueries.specs ++
-      MultimodalQueries.specs
+      MultimodalQueries.specs ++
+      VectorQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL
