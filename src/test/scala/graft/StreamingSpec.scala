@@ -105,6 +105,43 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("dropDuplicatesWithinWatermark dedups a re-played document stream") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+
+    val dir = Files.createTempDirectory("dedupstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // deterministic event time: one doc per second, offset past epoch
+      // 0 (a row whose event time equals the initial watermark would be
+      // discarded as late)
+      .withColumn("ets", timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    // batch 1: all docs; batch 2: first 100 replayed (same content,
+    // same event time → inside the 10-minute state window)
+    docs.write.mode("overwrite").parquet(in)
+    docs.filter(col("doc_id") < 100).write.mode("append").parquet(in)
+
+    val q = StreamingDedup.dedupeByContent(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        "ets", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    import spark.implicits._
+    val emittedIds = spark.table("deduped")
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    // every replayed duplicate suppressed, every distinct doc kept once
+    assert(spark.table("deduped").count() == emittedIds.size,
+      "a document was emitted twice")
+    assert(emittedIds == allIds,
+      s"missing=${(allIds -- emittedIds).take(5)} extra=${(emittedIds -- allIds).take(5)}")
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
