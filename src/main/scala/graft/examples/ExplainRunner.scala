@@ -28,8 +28,9 @@ object ExplainRunner {
     val df = fn(spark, sfDir)
     if (doExplain) df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain-runner] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // noop sink: full materialization, same methodology as Bench
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[explain-runner] $name in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

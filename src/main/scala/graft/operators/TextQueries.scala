@@ -185,6 +185,88 @@ object TextQueries {
                     round(avg(doc_id), 4) AS avg_id
              FROM assigned GROUP BY split ORDER BY split""")),
 
+    // PII-style redaction: regex masking of email-, phone-, and
+    // id-shaped spans — the pre-training scrub pass. Row-local,
+    // map-only; counts carried so the scrub is auditable.
+    Spec("q_text_redact",
+      (s, dir) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val num9 = "[0-9]{9,}"
+        val redacted = regexp_replace(
+          regexp_replace(lower(col("text")), email, "<EMAIL>"),
+          num9, "<NUM>")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            redacted.as("redacted"),
+            size(regexp_extract_all(lower(col("text")), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(lower(col("text")), lit(num9), lit(0)))
+              .cast("long").as("n_longnums"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                    regexp_replace(
+                      regexp_replace(lower(text), '[a-z0-9.]+@[a-z0-9.]+',
+                                     '<EMAIL>', 'g'),
+                      '[0-9]{9,}', '<NUM>', 'g') AS redacted,
+                    CAST(len(regexp_extract_all(lower(text),
+                      '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+                    CAST(len(regexp_extract_all(lower(text),
+                      '[0-9]{9,}')) AS BIGINT) AS n_longnums
+             FROM documents ORDER BY doc_id""")),
+
+    // Sequence packing: assign documents to ~512-token training chunks
+    // by cumulative token count (greedy in doc_id order — the
+    // deterministic variant of LM sample packing). One window pass;
+    // at scale the window partitions by a shard key so no single task
+    // sees the corpus (here: lang as the shard).
+    Spec("q_pack_sequences",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("pack_id", ((col("cum_tokens") - 1L) / 512L).cast("long"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    (CAST(sum(len(string_split(text, ' ')))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) - 1) // 512 AS pack_id
+             FROM documents ORDER BY doc_id""")),
+
+    // Corpus bigram counts (LM-data staple): explode token bigrams,
+    // count, keep the head of the distribution. Shuffles once on the
+    // bigram; top-k via count-then-threshold keeps the oracle total.
+    Spec("q_ngram_counts",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val bigrams = transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+        t(s, dir, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+          .orderBy(col("n").desc, col("bigram"))
+      },
+      Some("""WITH b AS (
+               SELECT unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                string_split(text, ' ')[i + 1]))) AS bigram
+               FROM documents)
+             SELECT bigram, count(*) AS n FROM b
+             GROUP BY bigram HAVING count(*) >= 20
+             ORDER BY n DESC, bigram""")),
+
     // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
     // character 8-grams (engine-replayable — md5 + substr only). The
     // rolling min runs through the native expression; the declarative
