@@ -334,24 +334,33 @@ object RelationalQueries {
              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              ORDER BY o_custkey, o_orderkey""")),
 
-    // dense_rank + ntile over a total order.
+    // dense_rank + ntile, partitioned by order year: an unpartitioned
+    // window is a single-task sort at scale — partitioning by a
+    // bounded-cardinality time bucket keeps the semantics (per-period
+    // quartiles, the form reporting actually wants) and the
+    // parallelism.
     Spec("q_window_ntile",
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val yr = year(col("o_orderdate")).cast("long")
+        val w = Window.partitionBy(col("o_year"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, dir, "orders")
+          .withColumn("o_year", yr)
           .withColumn("drnk", dense_rank().over(w).cast("long"))
           .withColumn("quartile", ntile(4).over(w).cast("long"))
-          .filter(col("drnk") <= 40)
-          .select(col("o_orderkey"), col("drnk"), col("quartile"))
-          .orderBy(col("drnk"))
+          .filter(col("drnk") <= 10)
+          .select(col("o_year"), col("o_orderkey"), col("drnk"), col("quartile"))
+          .orderBy(col("o_year"), col("drnk"))
       },
-      Some("""SELECT o_orderkey, drnk, quartile
-             FROM (SELECT o_orderkey,
+      Some("""SELECT o_year, o_orderkey, drnk, quartile
+             FROM (SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+                          o_orderkey,
                           dense_rank() OVER w AS drnk,
                           ntile(4) OVER w AS quartile
                    FROM orders
-                   WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)) x
-             WHERE drnk <= 40 ORDER BY drnk""")),
+                   WINDOW w AS (PARTITION BY extract(year FROM o_orderdate)
+                                ORDER BY o_totalprice DESC, o_orderkey)) x
+             WHERE drnk <= 10 ORDER BY o_year, drnk""")),
 
     // ── sort / limit / top-k ─────────────────────────────────────────
     // Global top-k: Spark plans TakeOrderedAndProject (per-partition
