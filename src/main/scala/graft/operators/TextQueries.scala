@@ -156,6 +156,61 @@ object TextQueries {
                       ',') AS token_counts
              FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
 
+    // Stratified deterministic sampling: keep ~30% per language by md5
+    // hash threshold — reproducible on any engine (unlike seeded RNG
+    // sampling, which is engine-private), stable under corpus growth,
+    // and map-only. The class-balancing counterpart follows.
+    Spec("q_stratified_sample",
+      (s, dir) => {
+        val bucket = conv(substring(md5(concat(lit("strat|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 100
+        t(s, dir, "documents")
+          .filter(bucket < 30)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id
+             FROM documents
+             WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 30
+             GROUP BY lang ORDER BY lang""")),
+
+    // Class balancing: downsample every language to the minority-class
+    // count, picking rows by deterministic hash order (not doc order —
+    // that would bias toward old documents). Per-class row_number over
+    // a hash sort + a broadcast scalar threshold; the standard shape
+    // for balancing a training corpus.
+    Spec("q_balance_classes",
+      (s, dir) => {
+        val hashOrd = md5(concat(lit("bal|"), col("doc_id").cast("string")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(hashOrd, col("doc_id"))
+        val ranked = t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val minClass = t(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("target"))
+        ranked.join(broadcast(minClass), col("rn") <= col("target"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("n_chars")), 4).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH ranked AS (
+               SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rn
+               FROM documents),
+             target AS (
+               SELECT min(n) AS target FROM (
+                 SELECT count(*) AS n FROM documents GROUP BY lang))
+             SELECT lang, count(*) AS n_kept,
+                    round(avg(n_chars), 4) AS avg_chars
+             FROM ranked, target WHERE rn <= target
+             GROUP BY lang ORDER BY lang""")),
+
     // Deterministic train/val/test split: content-hash modulo buckets —
     // reproducible on any engine, stable under corpus growth (a doc's
     // split never changes), the standard pattern for dataset splits.
