@@ -52,6 +52,11 @@ object TextFunctions {
   def shingleSetFast(text: Column, k: Int = 3): Column =
     asCol(graft.plans.ShingleSetExpr(expr(text), k))
 
+  /** Consecutive token pairs, native one-pass (empty array for <2
+    * tokens — see [[graft.plans.BigramsExpr]]). */
+  def bigramsFast(text: Column): Column =
+    asCol(graft.plans.BigramsExpr(expr(text)))
+
   def minhashSigFast(text: Column, n: Int, k: Int = 3): Column =
     asCol(graft.plans.MinHashSigExpr(expr(text), minhashCoefs(n), k))
 

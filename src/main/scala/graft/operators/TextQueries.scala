@@ -300,18 +300,15 @@ object TextQueries {
     // Corpus bigram counts (LM-data staple): explode token bigrams,
     // count, keep the head of the distribution. Shuffles once on the
     // bigram; top-k via count-then-threshold keeps the oracle total.
+    // Bigram construction is the native one-pass expression — the HOF
+    // chain was the slowest line of the r2 bench.
     Spec("q_ngram_counts",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val bigrams = transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-        t(s, dir, "documents")
-          .select(explode(bigrams).as("bigram"))
+      (s, dir) => t(s, dir, "documents")
+          .select(explode(bigramsFast(col("text"))).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") >= 20)
-          .orderBy(col("n").desc, col("bigram"))
-      },
+          .orderBy(col("n").desc, col("bigram")),
       Some("""WITH b AS (
                SELECT unnest(list_transform(
                  generate_series(1, len(string_split(text, ' ')) - 1),

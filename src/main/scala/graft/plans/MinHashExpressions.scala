@@ -97,6 +97,43 @@ case class ShingleSetExpr(child: Expression, k: Int = 3)
     copy(child = c)
 }
 
+/** `bigrams(text)` → array<string>: consecutive token pairs
+  * (multiplicities kept) in one pass. The declarative form
+  * (`transform(sequence(1, n-1), i -> concat_ws(' ', t[i], t[i+1]))`)
+  * is interpreted per element AND silently breaks on 1-token documents
+  * (Spark's `sequence(1, 0)` DESCENDS to [1, 0]); this returns the
+  * empty array there, matching DuckDB's `generate_series(1, 0)`. */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 2)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramsExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramsExpr =
+    copy(child = c)
+}
+
 /** `minhash_sig(text)` → array<long>: the full MinHash signature in one
   * pass — shingle, hash, and all `coefs.length` affine mins fused. */
 case class MinHashSigExpr(child: Expression, coefs: Seq[(Long, Long)], k: Int = 3)

@@ -120,6 +120,16 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native BigramsExpr: consecutive pairs, empty for short docs") {
+    val rows = Seq("a b c d", "one two", "single", "")
+      .toDF("text").select(TF.bigramsFast(col("text")))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b", "b c", "c d"))
+    assert(rows(1) == Seq("one two"))
+    assert(rows(2).isEmpty) // declarative sequence(1,0) would descend
+    assert(rows(3).isEmpty || rows(3) == Seq()) // "" splits to one token
+  }
+
   test("native RollingMinFingerprintExpr matches the declarative form") {
     val texts = Seq(
       "abcdefghijklmnopqrstuvwxyz0123456789",
