@@ -21,4 +21,16 @@ object Q {
   /** Load one star-schema table from the per-SF dir (TESTDATA.md). */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Spread a narrow source across the cluster before CPU-heavy per-row
+    * work. A parquet scan cannot split below one row group, so a
+    * single-row-group file serializes everything downstream onto one
+    * task no matter how expensive the map is; an explicit round-robin
+    * repartition costs one tiny shuffle of the raw rows and buys full
+    * parallelism for the hash/regex work that follows. At real scale
+    * (many files/row groups) the same call is a cheap no-op-ish
+    * rebalance rather than a correctness risk — it changes partitioning
+    * only, never values. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }

@@ -32,7 +32,7 @@ object TextQueries {
         val toks = split(col("text"), " ")
         def hits(ws: Seq[String]) =
           size(array_intersect(toks, array(ws.map(lit): _*))).cast("long")
-        t(s, dir, "documents")
+        spread(s, t(s, dir, "documents"))
           .select(col("doc_id"),
             hits(SqlWords).as("s_sql"),
             hits(StreamWords).as("s_stream"),
@@ -303,7 +303,7 @@ object TextQueries {
     // Bigram construction is the native one-pass expression — the HOF
     // chain was the slowest line of the r2 bench.
     Spec("q_ngram_counts",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => spread(s, t(s, dir, "documents"))
           .select(explode(bigramsFast(col("text"))).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
@@ -324,7 +324,7 @@ object TextQueries {
     // rolling min runs through the native expression; the declarative
     // HOF form is the parity-tested reference.
     Spec("q_text_fingerprint",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => spread(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           fingerprint(col("text")).as("fp"),
           rollingMinFingerprintFast(col("text"), 8).as("winnow_fp"))

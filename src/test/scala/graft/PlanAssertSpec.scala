@@ -54,4 +54,21 @@ class PlanAssertSpec extends AnyFunSuite {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_vector_quantize broadcasts the per-dim stats, never the facts") {
+    val p = plan("q_vector_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_balance_classes broadcasts the scalar target") {
+    val p = plan("q_balance_classes")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_simhash_pairs bucket join is an equi join") {
+    val p = plan("q_dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
