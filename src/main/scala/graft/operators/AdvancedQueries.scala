@@ -180,6 +180,49 @@ object AdvancedQueries {
              SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
              FROM orders JOIN bands
                ON o_totalprice >= lo AND o_totalprice < hi
-             GROUP BY band ORDER BY band"""))
+             GROUP BY band ORDER BY band""")),
+
+    // Binned interval join — the scale path for interval/overlap joins
+    // when NEITHER side is broadcastable (q_range_join's nested loop
+    // needs a tiny build side). Attribution shape: every click joined
+    // to the same user's signups within a 1-day window. Intervals
+    // explode to the 6-hour bins they cover (≤5 each), points map to
+    // one bin, and the join becomes a plain shuffle EQUI join on
+    // (user, bin) + exact window verify — no theta join, no blowup. A
+    // point's bin occurs once in each covering interval's bin list, so
+    // no dedup is needed.
+    Spec("q_interval_join_binned",
+      (s, dir) => {
+        val BinUs = 6L * 3600 * 1000000   // 6-hour bins
+        val WindowUs = 24L * 3600 * 1000000 // 1-day attribution window
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), tsUs.as("ts_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
+          .withColumn("bin", explode(sequence(
+            (col("s_ts") / BinUs).cast("long"),
+            ((col("s_ts") + WindowUs) / BinUs).cast("long"))))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .withColumn("bin", (col("ts_us") / BinUs).cast("long"))
+        clicks.join(signups,
+            col("user_id") === col("s_user") && clicks("bin") === signups("bin") &&
+              col("s_ts") <= col("ts_us") && col("ts_us") < col("s_ts") + WindowUs)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_signups"), min(col("s_ts")).as("first_signup"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+               SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'click'),
+             sign AS (
+               SELECT user_id, epoch_us(ts) AS s_ts
+               FROM events WHERE event_type = 'signup')
+             SELECT c.event_id, count(*) AS n_signups, min(s.s_ts) AS first_signup
+             FROM clicks c JOIN sign s
+               ON c.user_id = s.user_id
+              AND s.s_ts <= c.ts_us
+              AND c.ts_us < s.s_ts + CAST(24 AS BIGINT)*3600*1000000
+             GROUP BY c.event_id ORDER BY c.event_id""")),
   )
 }
