@@ -71,4 +71,19 @@ class PlanAssertSpec extends AnyFunSuite {
     val p = plan("q_dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_interval_join_binned plans an equi join, not a nested loop") {
+    val p = plan("q_interval_join_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q.spread preserves values while widening parallelism") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val spreadDf = graft.operators.Q.spread(spark, df)
+    assert(spreadDf.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(spreadDf.count() == df.count())
+    assert(spreadDf.agg(org.apache.spark.sql.functions.sum("doc_id")).head ==
+      df.agg(org.apache.spark.sql.functions.sum("doc_id")).head)
+  }
 }
