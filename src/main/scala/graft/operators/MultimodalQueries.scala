@@ -65,6 +65,31 @@ object MultimodalQueries {
                     md5(resized) AS content_hash
              FROM r ORDER BY doc_id""")),
 
+    // Feature extraction through the REAL mapPartitions pipeline
+    // (Multimodal.asMediaTable → extractFeatures): payload bytes folded
+    // into an 8-dim vector per doc, emitted long-form — this is the
+    // gate check for the batched per-partition decode shape itself,
+    // not a SQL re-derivation. Oracle replays the same ascending-order
+    // byte fold (corpus is pure ASCII, so ord(char) == byte).
+    Spec("q_mm_features",
+      (s, dir) => Multimodal.extractFeatures(
+          Multimodal.asMediaTable(
+            t(s, dir, "documents").filter(col("doc_id") < 50),
+            "doc_id", "text"))
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("featureId").cast("long").as("feature_id"),
+          (floor(col("value") * 10000) / 10000).as("v"))
+        .orderBy(col("doc_id"), col("feature_id")),
+      Some("""SELECT doc_id, CAST(k AS BIGINT) AS feature_id,
+                    floor(list_sum(list_transform(
+                      list_filter(generate_series(1, length(text)),
+                                  p -> (p - 1) % 8 = k),
+                      p -> ord(substr(text, p, 1)) / 255.0)) * 10000) / 10000
+                      AS v
+             FROM documents, UNNEST(generate_series(0, 7)) AS t(k)
+             WHERE doc_id < 50 ORDER BY doc_id, feature_id""")),
+
     // Frame sampling: every 64th 16-byte window of the payload —
     // the batch shape of video frame extraction, with the codec
     // replaced by a positional slice. Frames are built as a real
