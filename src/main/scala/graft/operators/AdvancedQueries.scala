@@ -27,6 +27,55 @@ object AdvancedQueries {
 
   val specs: Seq[Spec] = Seq(
 
+    // Event-time tumbling-window aggregation in BATCH via the same
+    // window() operator Structured Streaming uses (StreamingSpec proves
+    // stream==batch for this shape); bucket start exported as epoch µs
+    // so the cell is scalar and engine-neutral. window() is a plain
+    // projection + hash aggregate — partial+final, one shuffle.
+    Spec("q_time_window_agg",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("ets", timestamp_micros(tsUs))
+        .groupBy(window(col("ets"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("bucket_us"), col("event_type")),
+      Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+                    event_type, count(*) AS n, round(sum(value), 2) AS total
+             FROM events
+             GROUP BY bucket_us, event_type
+             ORDER BY bucket_us, event_type""")),
+
+    // Upsert / MERGE overlay (SCD-style dim refresh): updates win over
+    // the base by anti-join + union — the engine-agnostic MERGE
+    // formulation (one shuffle on the key; at scale the base side
+    // should be the bucketed table so the anti-join is shuffle-free).
+    // Updates are derived deterministically so the oracle replays them.
+    Spec("q_upsert_snapshot",
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+        val updates = base.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("RESEGMENTED"))
+        val snapshot = base.join(updates.select(col("c_custkey").as("u_key")),
+            col("c_custkey") === col("u_key"), "left_anti")
+          .unionByName(updates)
+        snapshot.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH updates AS (
+               SELECT c_custkey, c_name, c_nationkey, 'RESEGMENTED' AS c_mktsegment,
+                      c_acctbal
+               FROM customer WHERE c_custkey % 10 = 0),
+             snapshot AS (
+               SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+               WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+               UNION ALL
+               SELECT c_custkey, c_mktsegment, c_acctbal FROM updates)
+             SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             FROM snapshot GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // As-of join: each click paired with the user's most recent
     // prior-or-equal signup.
     Spec("q_asof_join",
