@@ -130,6 +130,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(3).isEmpty || rows(3) == Seq()) // "" splits to one token
   }
 
+  test("randomized parity: native simhash/fingerprint/bigrams match " +
+      "their declarative forms on arbitrary ASCII docs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc XY12.@-  " // repeated spaces → empty tokens
+    val docs = Seq.fill(40)(
+      (0 until (1 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .filter(_.nonEmpty)
+    val rows = docs.toDF("text")
+      .select(
+        TF.simhash(col("text")).as("sh_slow"),
+        TF.simhashFast(col("text")).as("sh_fast"),
+        TF.rollingMinFingerprint(col("text")).as("fp_slow"),
+        TF.rollingMinFingerprintFast(col("text")).as("fp_fast"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash diverged: $r")
+      assert(r.getString(2) == r.getString(3), s"fingerprint diverged: $r")
+    }
+    // bigrams vs an independent host-side model
+    val got = docs.toDF("text").select(TF.bigramsFast(col("text")))
+      .as[Seq[String]].collect()
+    docs.zip(got).foreach { case (d, bs) =>
+      val toks = d.split(" ", -1)
+      val want = if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(bs == want, s"bigrams diverged for ${d.take(30)}")
+    }
+  }
+
   test("native RollingMinFingerprintExpr matches the declarative form") {
     val texts = Seq(
       "abcdefghijklmnopqrstuvwxyz0123456789",
