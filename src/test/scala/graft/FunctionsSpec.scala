@@ -130,6 +130,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(3).isEmpty || rows(3) == Seq()) // "" splits to one token
   }
 
+  test("approx_percentile tracks exact percentile within 1% of the " +
+      "value range (sketch-family guard alongside HLL)") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val row = li.select(
+      expr("percentile(l_extendedprice, array(0.5D, 0.9D))"),
+      expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)"),
+      max(col("l_extendedprice")) - min(col("l_extendedprice"))).head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    val range = row.getDouble(2)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) / range < 0.01, s"exact=$e approx=$a range=$range")
+    }
+  }
+
   test("randomized parity: native simhash/fingerprint/bigrams match " +
       "their declarative forms on arbitrary ASCII docs") {
     val rnd = new scala.util.Random(42)
