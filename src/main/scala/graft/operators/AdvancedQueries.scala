@@ -76,6 +76,38 @@ object AdvancedQueries {
              SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
              FROM snapshot GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Equi-width histogram: integer bucket arithmetic (exact on both
+    // engines), one hash aggregate — the profiling primitive for any
+    // numeric column at scale.
+    Spec("q_histogram",
+      (s, dir) => t(s, dir, "events")
+        .select(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+                    count(*) AS n
+             FROM events GROUP BY bucket ORDER BY bucket""")),
+
+    // Correlation / covariance aggregates per group. floor-at-1e-4
+    // rather than round: the engines accumulate in different orders
+    // and round-at-half is unstable on FP dust.
+    Spec("q_agg_corr",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (floor(corr(col("l_quantity"), col("l_extendedprice")) * 10000) / 10000)
+            .as("qty_price_corr"),
+          (floor(covar_samp(col("l_quantity"), col("l_discount")) * 10000) / 10000)
+            .as("qty_disc_cov"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                    floor(corr(l_quantity, l_extendedprice) * 10000) / 10000
+                      AS qty_price_corr,
+                    floor(covar_samp(l_quantity, l_discount) * 10000) / 10000
+                      AS qty_disc_cov
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // As-of join: each click paired with the user's most recent
     // prior-or-equal signup.
     Spec("q_asof_join",
