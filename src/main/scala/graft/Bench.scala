@@ -27,23 +27,58 @@ object Bench {
     // stable execution order (Map iteration order is hash-dependent);
     // min of two passes per query — this box is shared and single runs
     // vary ~2x, which would poison the cross-round 2x comparison
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // noop sink fully materializes every projected column and keeps
-        // top-level sorts (count() would let Catalyst prune projections
-        // and eliminate the ORDER BY — under-measuring scalar batteries
-        // and sorts)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // a failing query is an ERROR, not 0 s — swallowing it would
+        // record ~0 and "improve" the total
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          // noop sink fully materializes every projected column and keeps
+          // top-level sorts (count() would let Catalyst prune projections
+          // and eliminate the ORDER BY — under-measuring scalar batteries
+          // and sorts)
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        }
+        val r = (once(), once()) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Right(a), Left(_))  => Right(a)
+          case (Left(_), Right(b))  => Right(b)
+          case (Left(a), Left(_))   => Left(a)
+        }
+        name -> r
       }
-      name -> math.min(once(), once())
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errs.size},"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // full artifact on disk — the driver's stdout capture has truncated
+    // the head of the battery before (BENCH_r02 kept 63/80 queries);
+    // the file is the canonical record
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e") }
+    println(json)
     spark.stop()
   }
 }

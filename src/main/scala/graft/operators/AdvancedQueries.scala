@@ -266,12 +266,10 @@ object AdvancedQueries {
     // Binned interval join — the scale path for interval/overlap joins
     // when NEITHER side is broadcastable (q_range_join's nested loop
     // needs a tiny build side). Attribution shape: every click joined
-    // to the same user's signups within a 1-day window. Intervals
-    // explode to the 6-hour bins they cover (≤5 each), points map to
-    // one bin, and the join becomes a plain shuffle EQUI join on
-    // (user, bin) + exact window verify — no theta join, no blowup. A
-    // point's bin occurs once in each covering interval's bin list, so
-    // no dedup is needed.
+    // to the same user's signups within a 1-day window, through the
+    // reusable ScaleOps.binnedIntervalJoin operator (6-hour bins → each
+    // interval covers ≤ 5 bins; plain shuffle equi join on (user, bin)
+    // + exact window re-verify).
     Spec("q_interval_join_binned",
       (s, dir) => {
         val BinUs = 6L * 3600 * 1000000   // 6-hour bins
@@ -280,15 +278,11 @@ object AdvancedQueries {
           col("event_type"), tsUs.as("ts_us"))
         val signups = ev.filter(col("event_type") === "signup")
           .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
-          .withColumn("bin", explode(sequence(
-            (col("s_ts") / BinUs).cast("long"),
-            ((col("s_ts") + WindowUs) / BinUs).cast("long"))))
+          .withColumn("s_end", col("s_ts") + WindowUs)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts_us"))
-          .withColumn("bin", (col("ts_us") / BinUs).cast("long"))
-        clicks.join(signups,
-            col("user_id") === col("s_user") && clicks("bin") === signups("bin") &&
-              col("s_ts") <= col("ts_us") && col("ts_us") < col("s_ts") + WindowUs)
+        ScaleOps.binnedIntervalJoin(clicks, signups,
+            Seq("user_id"), Seq("s_user"), "ts_us", "s_ts", "s_end", BinUs)
           .groupBy(col("event_id"))
           .agg(count(lit(1)).as("n_signups"), min(col("s_ts")).as("first_signup"))
           .orderBy(col("event_id"))

@@ -122,6 +122,63 @@ JOIN (SELECT cluster_id, count(*) AS n_members
       FROM cc GROUP BY cluster_id) n USING (cluster_id)
 ORDER BY doc_id"""
 
+  /** Connected components over undirected pairs (doc_a, doc_b) by
+    * iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; fixpoint in
+    * O(cluster diameter) rounds (near-dup clusters are shallow). Each
+    * iteration is one shuffle join + one aggregation; localCheckpoint
+    * truncates the growing plan lineage (at cluster scale this — not
+    * the data — is what kills iterative Spark jobs).
+    *
+    * Fails loudly if `maxRounds` is reached before the fixpoint —
+    * returning partially-propagated labels would be silently-wrong
+    * cluster ids (a component of diameter > maxRounds would keep two
+    * labels). Diameter > 25 is implausible for near-dup clusters, so
+    * hitting the cap means something is broken, not slow.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+                          maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {
+    // symmetric edge set, materialized once — every iteration reuses
+    // it rather than recomputing signatures
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nb = edges.join(
+          labels.select(col("id").as("nid"), col("label").as("nlabel")),
+          col("doc_b") === col("nid"))
+        .groupBy(col("doc_a")).agg(min(col("nlabel")).as("nb_min"))
+      val next = labels.join(nb, col("id") === col("doc_a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nb_min"), col("label")))
+            .as("label"),
+          (col("label") > coalesce(col("nb_min"), col("label")))
+            .cast("long").as("chg"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = next.select("id", "label")
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the round cap; raise maxRounds")
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard ≥
     * threshold), shared by the pair and cluster queries. Candidate
     * generation is a self-equi-join on (band, bandHash) — at scale a
@@ -194,43 +251,8 @@ ORDER BY doc_id"""
     // (at cluster scale this — not the data — is what kills iterative
     // Spark jobs).
     Spec("q_dedup_clusters",
-      (s, dir) => {
-        val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        // symmetric edge set, materialized once — every iteration
-        // reuses it rather than recomputing signatures
-        val edges = pairs.union(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .localCheckpoint()
-        var labels = edges.select(col("doc_a").as("id")).distinct()
-          .select(col("id"), col("id").as("label"))
-          .localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 25) {
-          val nb = edges.join(
-              labels.select(col("id").as("nid"), col("label").as("nlabel")),
-              col("doc_b") === col("nid"))
-            .groupBy(col("doc_a")).agg(min(col("nlabel")).as("nb_min"))
-          val next = labels.join(nb, col("id") === col("doc_a"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nb_min"), col("label")))
-                .as("label"),
-              (col("label") > coalesce(col("nb_min"), col("label")))
-                .cast("long").as("chg"))
-            .localCheckpoint()
-          changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-          labels = next.select("id", "label")
-          rounds += 1
-        }
-        val sizes = labels.groupBy(col("label").as("cluster_id"))
-          .agg(count(lit(1)).as("n_members"))
-        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-          .join(sizes, "cluster_id")
-          .select(col("doc_id"), col("cluster_id"),
-            (col("doc_id") === col("cluster_id")).as("is_canonical"),
-            col("n_members"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => connectedComponents(
+        minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))),
       Some(clustersOracle)),
 
     // Direct n-gram Jaccard via an inverted shingle index on a bounded

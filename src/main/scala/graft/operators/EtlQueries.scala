@@ -13,6 +13,20 @@ import org.apache.spark.sql.types._
 object EtlQueries {
   import Q._
 
+  /** Engine-neutral ANSI SQL run verbatim by BOTH Spark (through the
+    * SqlSource file path) and the DuckDB oracle. */
+  private val SqlFileE2eText =
+    """SELECT n_name, o_orderpriority,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus = 'F'
+      |GROUP BY n_name, o_orderpriority
+      |ORDER BY n_name, o_orderpriority""".stripMargin
+
   val specs: Seq[Spec] = Seq(
 
     // F5/F6 — the flagship projection+conjunctive filter shape
@@ -28,6 +42,25 @@ object EtlQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
              FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 45
              ORDER BY l_orderkey, l_linenumber""")),
+
+    // S6+S8 E2E — the reference's delegated-SQL centerpiece
+    // (`functions/load_query/main.py:47-57`) as a gate row: a
+    // multi-join `.sql` FILE is materialized, fetched through the S6
+    // SqlSource (extension gate + existence check), handed to the
+    // engine's full SQL front-end, and oracle-checked. The text is ANSI
+    // shared verbatim with DuckDB — the oracle IS the same file
+    // content, so the whole parse→plan→execute path is what's under
+    // test, not a re-derivation.
+    Spec("q_sql_file_e2e",
+      (s, dir) => {
+        val qdir = java.nio.file.Files.createTempDirectory("graft_sqlsrc")
+        java.nio.file.Files.write(qdir.resolve("agg.sql"),
+          SqlFileE2eText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Seq("orders", "customer", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(graft.sources.SqlSource.readQuery(s, qdir.toString, "agg.sql"))
+      },
+      Some(SqlFileE2eText)),
 
     // S3/F1 — quote-less `;`-CSV arity filter (`main.py:101-103`):
     // rebuild a raw line from nation, corrupt every 5th row with an

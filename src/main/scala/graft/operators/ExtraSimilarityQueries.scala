@@ -59,16 +59,12 @@ object ExtraSimilarityQueries {
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
           "query_id", "qv")
           .withColumnRenamed("cent_id", "q_cent")
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        queries.join(corpus, col("q_cent") === col("cent_id"))
-          .select(col("query_id"), col("vec_id"),
-            cosine(col("qv"), col("ev")).as("cos"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
+        // final top-k through the native TopKPerKey (shuffle pruned to
+        // ≤ k rows per query per mapper; see SimilarityQueries.topKRanked)
+        SimilarityQueries.topKRanked(
+          queries.join(corpus, col("q_cent") === col("cent_id"))
+            .select(col("query_id"), col("vec_id"),
+              cosine(col("qv"), col("ev")).as("cos")), K)
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
@@ -180,12 +176,15 @@ object ExtraSimilarityQueries {
         val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token"))
-        tf.join(df_, "token")
+        val scored = tf.join(df_, "token")
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             col("tf") * log(col("n_docs").cast("double") / col("df")))
+        // top-3 per doc via the native TopKPerKey: the window that
+        // remains ranks ≤ 3 rows per doc, not every token
+        ScaleOps.topKPerKey(scored, Seq(col("doc_id")),
+            Seq(col("tfidf").desc, col("token")), 3)
           .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank").cast("long").as("rank"),
             col("token"), round(col("tfidf"), 4).as("tfidf"))
           .orderBy(col("doc_id"), col("rank"))

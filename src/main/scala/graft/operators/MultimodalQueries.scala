@@ -70,7 +70,11 @@ object MultimodalQueries {
     // into an 8-dim vector per doc, emitted long-form — this is the
     // gate check for the batched per-partition decode shape itself,
     // not a SQL re-derivation. Oracle replays the same ascending-order
-    // byte fold (corpus is pure ASCII, so ord(char) == byte).
+    // byte fold (corpus is pure ASCII, so ord(char) == byte —
+    // MultimodalSpec asserts the fixture constraint). coalesce guards
+    // the short-doc case: a doc with < 8 chars has no positions for the
+    // tail feature ids, where DuckDB's list_sum of an empty list is
+    // NULL but the byte fold is 0.0.
     Spec("q_mm_features",
       (s, dir) => Multimodal.extractFeatures(
           Multimodal.asMediaTable(
@@ -82,10 +86,10 @@ object MultimodalQueries {
           (floor(col("value") * 10000) / 10000).as("v"))
         .orderBy(col("doc_id"), col("feature_id")),
       Some("""SELECT doc_id, CAST(k AS BIGINT) AS feature_id,
-                    floor(list_sum(list_transform(
+                    floor(coalesce(list_sum(list_transform(
                       list_filter(generate_series(1, length(text)),
                                   p -> (p - 1) % 8 = k),
-                      p -> ord(substr(text, p, 1)) / 255.0)) * 10000) / 10000
+                      p -> ord(substr(text, p, 1)) / 255.0)), 0) * 10000) / 10000
                       AS v
              FROM documents, UNNEST(generate_series(0, 7)) AS t(k)
              WHERE doc_id < 50 ORDER BY doc_id, feature_id""")),

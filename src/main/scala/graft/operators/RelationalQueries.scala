@@ -257,16 +257,25 @@ object RelationalQueries {
                     round(stddev_samp(l_extendedprice), 2) AS sd_price
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // HLL++ approximate distinct (SURVEY §2.9 X5). The estimate is
-    // engine-specific, so there is no value oracle — the driver records
-    // a rows-only check. Kept because dedup accounting at 100 TB runs
-    // on sketches, not exact distincts.
+    // HLL++ approximate distinct (SURVEY §2.9 X5). The raw estimate is
+    // engine-private, so the query emits the exact count plus a
+    // Spark-side bounded-error check (|approx − exact| / exact ≤ 5 %,
+    // well above HLL++'s default ~2.3 % relative sd) — which the DuckDB
+    // oracle replays as exact + TRUE. The sketch still runs on the
+    // Spark side (dedup accounting at 100 TB runs on sketches, not
+    // exact distincts); the gate now verifies it stays in bounds.
     Spec("q_agg_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                    TRUE AS approx_ok
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ── window functions ─────────────────────────────────────────────
     // Ranking window: top-3 orders per market segment. row_number over

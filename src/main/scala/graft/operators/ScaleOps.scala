@@ -62,6 +62,40 @@ object ScaleOps {
       graft.plans.TopKPerKeyPlan(keyExprs, sortOrders, k, child, maxKeysInMemory))
   }
 
+  /** Equi-join scale path for point-in-interval (overlap) joins when
+    * NEITHER side is broadcastable — a broadcast nested loop needs a
+    * tiny build side, and a shuffle theta join has no key to shuffle
+    * on. Intervals explode to the fixed-width bins they cover
+    * (⌈len/binWidth⌉+1 rows each), points map to exactly one bin, and
+    * the join becomes a plain shuffle EQUI join on (keys…, bin) with
+    * the exact half-open predicate `lo ≤ ts < hi` re-verified — no
+    * theta join, no blowup. A point's bin occurs once in each covering
+    * interval's bin list, so no post-join dedup is needed. Choose
+    * binWidth near the typical interval length: wider bins replicate
+    * intervals less but pack more false candidates per bin.
+    *
+    * `pointKeys`/`intervalKeys` are positional equi-key pairs; `ts`
+    * names the point column, `lo`/`hi` the interval bounds (longs).
+    * Output = all point columns + all interval columns (names must not
+    * collide).
+    */
+  def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
+                         pointKeys: Seq[String], intervalKeys: Seq[String],
+                         ts: String, lo: String, hi: String,
+                         binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(pointKeys.length == intervalKeys.length,
+      "pointKeys and intervalKeys must pair up")
+    val bi = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$lo div $binWidth"), expr(s"$hi div $binWidth"))))
+    val bp = points.withColumn("__bin", expr(s"$ts div $binWidth"))
+    val keyCond = pointKeys.zip(intervalKeys)
+      .map { case (a, b) => bp(a) === bi(b) }
+      .foldLeft(bp("__bin") === bi("__bin"))(_ && _)
+    bp.join(bi, keyCond && bi(lo) <= bp(ts) && bp(ts) < bi(hi))
+      .drop(bp("__bin")).drop(bi("__bin"))
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `salts`
     * reducers — phase 2 merges the partials. Works for any

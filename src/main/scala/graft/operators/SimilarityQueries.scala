@@ -36,6 +36,25 @@ object SimilarityQueries {
   private val cosSql =
     "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
 
+  /** Per-query top-k over (query_id, vec_id, cos) through the native
+    * TopKPerKey operator: the map-side partial pass prunes to ≤ k rows
+    * per query per mapper BEFORE the shuffle, where the plain
+    * row_number window sorts every query's full candidate list. The
+    * residual row_number here ranks only the ≤ k surviving rows per
+    * query — same total order (cos desc, vec_id), so ranks and
+    * hash-matches are unchanged. */
+  private[operators] def topKRanked(scored: org.apache.spark.sql.DataFrame,
+                                    k: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    ScaleOps.topKPerKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Brute-force exact top-k neighbors for a fixed query set.
@@ -46,16 +65,9 @@ object SimilarityQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         val c = e.filter(col("vec_id") >= 5)
           .select(col("vec_id"), col("embedding").as("cv"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        c.crossJoin(broadcast(q))
+        topKRanked(c.crossJoin(broadcast(q))
           .select(col("query_id"), col("vec_id"),
-            cosine(col("qv"), col("cv")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
+            cosine(col("qv"), col("cv")).as("cos")), K)
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
@@ -83,16 +95,9 @@ object SimilarityQueries {
         val c = e.filter(col("vec_id") >= 20)
           .select(col("vec_id"), col("embedding").as("cv"),
             col("bucket").as("bucket_c"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        q.join(c, col("bucket") === col("bucket_c"))
+        topKRanked(q.join(c, col("bucket") === col("bucket_c"))
           .select(col("query_id"), col("vec_id"),
-            cosine(col("qv"), col("cv")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy(col("query_id"), col("rank"))
+            cosine(col("qv"), col("cv")).as("cos")), K)
       },
       Some(s"""WITH e AS (
                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -23,6 +23,53 @@ object TextQueries {
 
   private def listSql(ws: Seq[String]) = ws.mkString("['", "', '", "']")
 
+  /** Docs per prefix-sum shard in q_pack_sequences. At sf0.01 (500
+    * docs) this still yields multiple shards per language so the gate
+    * exercises the hierarchical path; at 100 TB the knob bounds every
+    * task to shardWidth docs regardless of corpus size. */
+  val PackShardWidth = 64L
+
+  /** Two-pass distributed prefix sum for sequence packing.
+    *
+    * Pass 1 computes the running token count within (lang, shard) where
+    * shard = doc_id div shardWidth — ordered shards, so concatenating
+    * shard orders reproduces the global (lang, doc_id) order. Pass 2
+    * aggregates one total per shard (corpus/shardWidth rows — tiny) and
+    * turns it into per-shard starting offsets with a window over that
+    * aggregate, broadcast back onto the rows. offset + within-shard
+    * running sum is EXACTLY the global cumulative sum, so pack
+    * boundaries are identical to a single global window — but no task
+    * ever holds more than shardWidth rows, where the r2 form gave each
+    * of the ~5 lang values one task scanning corpus/|langs| rows.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame,
+                    shardWidth: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $shardWidth").as("shard"))
+    val wIn = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // strictly-preceding shards only: this shard's offset excludes its
+    // own total
+    val wShards = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tot"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_tot")).over(wShards), lit(0L)))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"),
+        col("offset"))
+    base.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets),
+        col("lang") === col("o_lang") && col("shard") === col("o_shard"))
+      .withColumn("cum_tokens", col("offset") + col("cum_in"))
+      .withColumn("pack_id", expr("(cum_tokens - 1) div 512"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
@@ -176,40 +223,44 @@ object TextQueries {
              WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 30
              GROUP BY lang ORDER BY lang""")),
 
-    // Class balancing: downsample every language to the minority-class
-    // count, picking rows by deterministic hash order (not doc order —
-    // that would bias toward old documents). Per-class row_number over
-    // a hash sort + a broadcast scalar threshold; the standard shape
-    // for balancing a training corpus.
+    // Class balancing: downsample every language toward the
+    // minority-class count by a deterministic hash threshold — keep a
+    // row iff its md5 bucket falls below target/n_class of the bucket
+    // space. All-integer predicate (bucket·n_class < target·B), so both
+    // engines decide identically; map-only after two broadcast joins
+    // (per-class counts + the scalar target). The r2 form ranked every
+    // class with a per-class row_number window — a single task per
+    // class scanning corpus/|langs| rows at scale; this shape has no
+    // window at all. Exact-k per class, when required, is
+    // ScaleOps.topKPerKey on the same hash order.
     Spec("q_balance_classes",
       (s, dir) => {
-        val hashOrd = md5(concat(lit("bal|"), col("doc_id").cast("string")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(hashOrd, col("doc_id"))
-        val ranked = t(s, dir, "documents")
-          .withColumn("rn", row_number().over(w).cast("long"))
-        val minClass = t(s, dir, "documents")
-          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
-          .agg(min(col("n")).as("target"))
-        ranked.join(broadcast(minClass), col("rn") <= col("target"))
+        val B = 1000000L
+        val bucket = conv(substring(md5(concat(lit("bal|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % B
+        val counts = t(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_class"))
+        val target = counts.agg(min(col("n_class")).as("target"))
+        t(s, dir, "documents")
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(target))
+          .filter(bucket * col("n_class") < col("target") * B)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"),
             round(avg(col("n_chars")), 4).as("avg_chars"))
           .orderBy(col("lang"))
       },
-      Some("""WITH ranked AS (
-               SELECT lang, n_chars,
-                      row_number() OVER (PARTITION BY lang
-                        ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id)
-                        AS rn
-               FROM documents),
-             target AS (
-               SELECT min(n) AS target FROM (
-                 SELECT count(*) AS n FROM documents GROUP BY lang))
-             SELECT lang, count(*) AS n_kept,
-                    round(avg(n_chars), 4) AS avg_chars
-             FROM ranked, target WHERE rn <= target
-             GROUP BY lang ORDER BY lang""")),
+      Some("""WITH counts AS (
+               SELECT lang, count(*) AS n_class FROM documents GROUP BY lang),
+             target AS (SELECT min(n_class) AS target FROM counts)
+             SELECT d.lang, count(*) AS n_kept,
+                    round(avg(d.n_chars), 4) AS avg_chars
+             FROM documents d, counts c, target t
+             WHERE d.lang = c.lang
+               AND (CAST(('0x' || substr(md5('bal|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) * c.n_class
+                   < t.target * 1000000
+             GROUP BY d.lang ORDER BY d.lang""")),
 
     // Deterministic train/val/test split: content-hash modulo buckets —
     // reproducible on any engine, stable under corpus growth (a doc's
@@ -271,24 +322,13 @@ object TextQueries {
              FROM documents ORDER BY doc_id""")),
 
     // Sequence packing: assign documents to ~512-token training chunks
-    // by cumulative token count (greedy in doc_id order — the
-    // deterministic variant of LM sample packing). One window pass;
-    // at scale the window partitions by a shard key so no single task
-    // sees the corpus (here: lang as the shard).
+    // by cumulative token count in (lang, doc_id) order — the
+    // deterministic variant of LM sample packing. Computed by the
+    // two-pass distributed prefix sum (packSequences below) so no task
+    // ever scans more than one doc_id shard; the result is the exact
+    // global cumulative sum, so the single-window oracle replays it.
     Spec("q_pack_sequences",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .withColumn("pack_id", ((col("cum_tokens") - 1L) / 512L).cast("long"))
-          .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => packSequences(t(s, dir, "documents"), PackShardWidth),
       Some("""SELECT doc_id, lang,
                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                     (CAST(sum(len(string_split(text, ' ')))

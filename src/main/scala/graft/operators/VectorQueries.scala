@@ -42,6 +42,9 @@ object VectorQueries {
     // floor((v-min)/(max-min)*254)-127 ∈ [-127,127]. min/max are exact
     // float selections (no accumulation), so the arithmetic is
     // bit-identical across engines — exact oracle, no rounding fudge.
+    // A constant dimension (d_max = d_min) would be 0/0 = NaN, which
+    // the engines cast differently (Spark NULL, DuckDB error) — both
+    // sides pin it to q = -127 explicitly.
     Spec("q_vector_quantize",
       (s, dir) => {
         val long = t(s, dir, "embeddings")
@@ -53,8 +56,10 @@ object VectorQueries {
         long.filter(col("vec_id") < 20)
           .join(broadcast(stats), col("dim") === col("s_dim"))
           .select(col("vec_id"), col("dim"),
-            (floor((col("v") - col("d_min")) / (col("d_max") - col("d_min"))
-              * 254) - 127).cast("long").as("q"))
+            when(col("d_max") === col("d_min"), lit(-127L))
+              .otherwise((floor((col("v") - col("d_min")) /
+                (col("d_max") - col("d_min")) * 254) - 127).cast("long"))
+              .as("q"))
           .orderBy(col("vec_id"), col("dim"))
       },
       Some("""WITH long AS (
@@ -66,8 +71,9 @@ object VectorQueries {
                SELECT dim, min(v) AS d_min, max(v) AS d_max
                FROM long GROUP BY dim)
              SELECT vec_id, dim,
-                    CAST(floor((v - d_min) / (d_max - d_min) * 254) - 127
-                      AS BIGINT) AS q
+                    CASE WHEN d_max = d_min THEN CAST(-127 AS BIGINT)
+                         ELSE CAST(floor((v - d_min) / (d_max - d_min) * 254)
+                                   - 127 AS BIGINT) END AS q
              FROM long JOIN stats USING (dim)
              WHERE vec_id < 20 ORDER BY vec_id, dim"""))
   )

@@ -46,6 +46,12 @@ case class TopKPerKeyPlan(
     child: LogicalPlan,
     maxKeysInMemory: Int = TopKPerKey.DefaultMaxKeysInMemory) extends UnaryNode {
   require(k > 0, "k must be positive")
+  // the final pass sorts on the grouping keys, so key types must be
+  // orderable (MapType etc. would fail deep in planning otherwise)
+  require(groupingKeys.forall(e =>
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(e.dataType)),
+    s"TopKPerKey grouping keys must be orderable types, got " +
+      groupingKeys.map(_.dataType.simpleString).mkString(", "))
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyPlan =
     copy(child = c)
@@ -54,6 +60,15 @@ case class TopKPerKeyPlan(
 object TopKPerKey {
   /** Partial-pass hash-map cap: ~128k keys × k rows held per task. */
   val DefaultMaxKeysInMemory: Int = 1 << 17
+
+  /** Grouping keys normalized for BYTE-equality comparison: the execs
+    * group by UnsafeRow equality while SortExec orders by VALUE, so
+    * -0.0/0.0 (and NaN bit patterns) would sort adjacent yet compare as
+    * two groups — the final pass would emit up to 2k rows for such a
+    * key. The optimizer's NormalizeFloatingNumbers rule does this for
+    * built-in aggregates/joins but not for custom nodes. */
+  private[plans] def normalizedKeys(keys: Seq[Expression]): Seq[Expression] =
+    keys.map(org.apache.spark.sql.graftbridge.ColumnBridge.normalizeFloats)
 }
 
 /** Map-side partial top-k: bounded per-key heaps, pass-through once the
@@ -79,7 +94,8 @@ case class TopKPerKeyPartialExec(
     val maxKeys = maxKeysInMemory
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val keyProj =
+        UnsafeProjection.create(TopKPerKey.normalizedKeys(keyExprs), childOutput)
       // total order for the ranking; max-heap keeps the current worst
       // of the kept set at the head for O(log k) eviction
       val ord: Ordering[InternalRow] =
@@ -148,7 +164,8 @@ case class TopKPerKeyFinalExec(
     val kk = k
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val keyProj =
+        UnsafeProjection.create(TopKPerKey.normalizedKeys(keyExprs), childOutput)
       var currentKey: UnsafeRow = null
       var seen = 0
       iter.filter { row =>

@@ -62,7 +62,14 @@ object StatefulSessions {
                 case null =>
                   cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)
                 case s if e.ts_us - s.lastUs <= gapUs =>
-                  cur = SessionState(s.startUs, e.ts_us, s.nEvents + 1, s.total + e.value)
+                  // bounds only WIDEN: an out-of-order event that the
+                  // watermark still admits (arriving in a later
+                  // micro-batch with ts < lastUs) must not drag lastUs
+                  // backwards — that would make the next in-gap event
+                  // appear beyond the gap and spuriously split the
+                  // session, and would corrupt session_end_us
+                  cur = SessionState(math.min(s.startUs, e.ts_us),
+                    math.max(s.lastUs, e.ts_us), s.nEvents + 1, s.total + e.value)
                 case s =>
                   closed += ClosedSession(uid, s.startUs, s.lastUs, s.nEvents, s.total)
                   cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)

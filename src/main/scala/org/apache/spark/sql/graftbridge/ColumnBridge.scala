@@ -28,6 +28,13 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Floating-point key normalization (−0.0 → 0.0, canonical NaN) for
+    * custom operators that compare keys by UnsafeRow bytes — the
+    * optimizer applies this rule to built-in aggregates/joins only
+    * (`NormalizeFloatingNumbers.normalize` is `private[sql]`). */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Register a Catalyst function builder into an existing session's
     * registry (`sessionState` is `private[sql]`). */
   def registerFunction(

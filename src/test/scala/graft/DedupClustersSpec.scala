@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupQueries
+
+/** Convergence contract of the min-label-propagation connected
+  * components: a component whose diameter exceeds the round cap must
+  * fail loudly — silently returning partially-propagated labels would
+  * be wrong cluster ids. */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pathGraph(edges: Int) = {
+    import spark.implicits._
+    (0L until edges.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+  }
+
+  test("a path deeper than the round cap throws instead of mislabeling") {
+    // min labels travel one hop per round: a 12-edge path needs 12
+    // rounds; cap at 5 must abort
+    val e = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(pathGraph(12), maxRounds = 5)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
+  test("the same path converges to one cluster with a sufficient cap") {
+    val rows = DedupQueries.connectedComponents(pathGraph(12), maxRounds = 20)
+      .collect()
+    assert(rows.length == 13)
+    assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+    assert(rows.count(_.getBoolean(2)) == 1) // exactly one canonical doc
+    assert(rows.forall(_.getLong(3) == 13L)) // n_members
+  }
+}

@@ -105,6 +105,54 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("out-of-order events admitted by the watermark only widen the open session") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.ClosedSession
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("latestream")
+    val in = dir.resolve("in").toString
+    val H = 3600L * 1000000000L // ns — events.ts carries nanos
+    val Min = 60L * 1000000000L
+    val t0 = 10L * H
+    def drop(rows: (Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(in)
+    // batch 1: 10:00 and 10:20 — one open session
+    drop((7L, t0, 1.0), (7L, t0 + 20 * Min, 1.0))
+    // batch 2: a LATE event (10:05 — before the session's last event,
+    // but above the watermark) plus 10:40. A merge that dragged lastUs
+    // back to 10:05 would see 10:40 as beyond the 30-min gap and
+    // spuriously split the session; the widen-only merge keeps last at
+    // 10:20 so 10:40 extends it.
+    drop((7L, t0 + 5 * Min, 1.0), (7L, t0 + 40 * Min, 1.0))
+    // batch 3: sentinel far in the future — advances the watermark past
+    // every real session end + gap, firing the close timers
+    drop((-1L, t0 + 1000L * H, 0.0))
+
+    val schema = spark.read.parquet(in).schema
+    val q = StatefulSessions.sessionize(
+        StatefulSessions.toEvents(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          watermarkDelay = "2 hours"),
+        gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("late_sessions").as[ClosedSession].collect()
+      .filter(_.user_id == 7L)
+    assert(got.length == 1,
+      s"late event split the session: ${got.toSeq}")
+    assert(got.head.session_start_us == t0 / 1000)
+    assert(got.head.session_end_us == (t0 + 40 * Min) / 1000)
+    assert(got.head.n_events == 4)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a re-played document stream") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingDedup
