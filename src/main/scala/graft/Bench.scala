@@ -27,8 +27,14 @@ object Bench {
     // stable execution order (Map iteration order is hash-dependent);
     // min of two passes per query — this box is shared and single runs
     // vary ~2x, which would poison the cross-round 2x comparison
+    // optional subset (comma-separated names) — e.g. the 10 hottest
+    // queries for a scale-up run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         // a failing query is an ERROR, not 0 s — swallowing it would
         // record ~0 and "improve" the total
         def once(): Either[String, Double] = {

@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replicate a testdata SF directory N× with disjoint key domains per
+  * copy — synthetic scale-up evidence for the bench (sf0.1 → "sf1.0")
+  * when the driver only generates up to sf0.1.
+  *
+  * Each copy shifts every key column by copyIdx × a per-domain offset,
+  * so intra-copy join relationships are preserved exactly (copy k of
+  * lineitem joins copy k of orders) while fact volume grows N×.
+  * Dimension tables (nation, region) are NOT replicated — more facts
+  * per dim value, which is what real scale-up looks like. Document
+  * text gets a per-copy suffix so near-dup structure replicates
+  * within a copy instead of creating N-way cross-copy clusters (which
+  * would quadratically inflate candidate pairs and measure the DATA,
+  * not the engine).
+  *
+  * Usage: runMain graft.examples.ScaleUp <srcDir> <destDir> [factor]
+  */
+object ScaleUp {
+  private val Off = 10000000L // disjoint per-copy key offset
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i.toLong * Off)).reduce(_ unionAll _)
+
+    def shiftCols(df: DataFrame, off: Long, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off))
+
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(copies(read("customer"))(shiftCols(_, _, "c_custkey")), "customer")
+    write(copies(read("supplier"))(shiftCols(_, _, "s_suppkey")), "supplier")
+    write(copies(read("part"))(shiftCols(_, _, "p_partkey")), "part")
+    write(copies(read("orders"))(shiftCols(_, _, "o_orderkey", "o_custkey")),
+      "orders")
+    write(copies(read("lineitem"))(
+      shiftCols(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(copies(read("events"))(shiftCols(_, _, "event_id", "user_id")),
+      "events")
+    write(copies(read("documents")) { (df, off) =>
+      val shifted = shiftCols(df, off, "doc_id")
+      if (off == 0L) shifted
+      else shifted.withColumn("text",
+        concat(col("text"), lit(s" copymark${off / Off}")))
+    }, "documents")
+    write(copies(read("embeddings"))(shiftCols(_, _, "vec_id")), "embeddings")
+
+    println(s"""{"scaled": "$src -> $dest", "factor": $factor}""")
+    spark.stop()
+  }
+}

@@ -38,6 +38,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(0).meta.width >= 1 && r(0).meta.height >= 1)
   }
 
+  test("documents fixture is pure ASCII (the q_mm_features oracle " +
+    "equates ord(char) with the payload byte)") {
+    import org.apache.spark.sql.functions._
+    val nonAscii = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      // UTF-8 byte length == char length iff every char is ASCII
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii docs contain non-ASCII text — the byte-fold oracle breaks")
+  }
+
   test("sampleFrames: positional slices, stride/frameLen honored") {
     val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
       maxFrames = 3).orderBy("id").collect()

@@ -77,6 +77,39 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("packSequences: hierarchical prefix sum equals the single-shard form, " +
+    "partition count scales with the shard knob") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sharded = graft.operators.TextQueries.packSequences(docs, 8L)
+    val single = graft.operators.TextQueries.packSequences(docs, 1L << 40)
+    assert(sharded.collect().toSeq == single.collect().toSeq)
+    // the heavy cumulative window partitions on (lang, shard) — shard
+    // in the partition spec means parallelism scales with corpus/width,
+    // not with the ~5-value lang domain
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("shard"), p)
+    val nShardGroups = docs
+      .select(col("lang"), expr("doc_id div 8").as("shard"))
+      .distinct().count()
+    val nLangs = docs.select(col("lang")).distinct().count()
+    assert(nShardGroups > nLangs,
+      s"shard knob added no parallelism: $nShardGroups groups vs $nLangs langs")
+  }
+
+  test("q_balance_classes plans no window at all") {
+    val p = plan("q_balance_classes")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ANN and TF-IDF top-k route through the native TopKPerKey operator") {
+    for (q <- Seq("q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKeyFinal"), s"$q:\n$p")
+      assert(p.contains("TopKPerKeyPartial"), s"$q:\n$p")
+    }
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)

@@ -42,6 +42,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pruned.count() == o.filter(col("o_year") === 1997).count())
   }
 
+  test("binned interval join equals the theta join on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
+      .toDF("p_id", "p_key", "ts")
+    val intervals = (1 to 120).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong, rnd.nextInt(20).toLong, lo, lo + 1 + rnd.nextInt(800))
+    }.toDF("i_id", "i_key", "lo", "hi")
+    val theta = points.join(intervals,
+        col("p_key") === col("i_key") &&
+          col("lo") <= col("ts") && col("ts") < col("hi"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(theta.nonEmpty)
+    // bin width below / near / far above the typical interval length
+    for (binWidth <- Seq(1L, 7L, 256L, 100000L)) {
+      val binned = ScaleOps.binnedIntervalJoin(points, intervals,
+          Seq("p_key"), Seq("i_key"), "ts", "lo", "hi", binWidth)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      assert(binned == theta, s"binWidth=$binWidth")
+    }
+    // and the join the bins buy is an equi join, never a nested loop
+    val p = ScaleOps.binnedIntervalJoin(points, intervals,
+        Seq("p_key"), Seq("i_key"), "ts", "lo", "hi", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 8)

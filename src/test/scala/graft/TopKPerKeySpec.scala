@@ -93,6 +93,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == n)
   }
 
+  test("float grouping keys: -0.0 and 0.0 form ONE group") {
+    // the execs compare keys by UnsafeRow bytes while the planner's
+    // sort orders by value — without normalization -0.0/0.0 sort
+    // adjacent but count as two groups, emitting up to 2k rows
+    import spark.implicits._
+    val df = Seq((-0.0, 1L), (0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("key", "v")
+    val got = ScaleOps.topKPerKey(df, Seq(col("key")), Seq(col("v")), 2)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L), got)
+  }
+
+  test("non-orderable grouping key types are rejected at construction") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> 1), 1L)).toDF("m", "v")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.topKPerKey(df, Seq(col("m")), Seq(col("v")), 1)
+    }
+    assert(e.getMessage.contains("orderable"), e.getMessage)
+  }
+
   test("downstream operations compose (filter + aggregate over top-k)") {
     val n = viaNative(3)
       .filter(col("o_orderstatus") =!= "X")
