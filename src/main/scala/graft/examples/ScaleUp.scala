@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * lineitem joins copy k of orders) while fact volume grows N×.
   * Dimension tables (nation, region) are NOT replicated — more facts
   * per dim value, which is what real scale-up looks like. Document
-  * text gets a per-copy suffix so near-dup structure replicates
-  * within a copy instead of creating N-way cross-copy clusters (which
-  * would quadratically inflate candidate pairs and measure the DATA,
-  * not the engine).
+  * text gets a per-copy marker on EVERY token so near-dup structure
+  * replicates within a copy instead of across copies — a suffix on
+  * the doc alone leaves cross-copy Jaccard ≈ 0.9, making every copy
+  * pair a true near-dup and quadratically inflating the REAL pair
+  * count (that measures the data, not the engine).
   *
   * Usage: runMain graft.examples.ScaleUp <srcDir> <destDir> [factor]
   */
@@ -60,7 +61,7 @@ object ScaleUp {
       val shifted = shiftCols(df, off, "doc_id")
       if (off == 0L) shifted
       else shifted.withColumn("text",
-        concat(col("text"), lit(s" copymark${off / Off}")))
+        regexp_replace(col("text"), "(\\S+)", "$1c" + (off / Off)))
     }, "documents")
     write(copies(read("embeddings"))(shiftCols(_, _, "vec_id")), "embeddings")
 
