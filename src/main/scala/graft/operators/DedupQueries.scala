@@ -122,6 +122,28 @@ JOIN (SELECT cluster_id, count(*) AS n_members
       FROM cc GROUP BY cluster_id) n USING (cluster_id)
 ORDER BY doc_id"""
 
+  /** DuckDB replay of the full dedup pipeline's keep set: recursive
+    * connected components over the verified near-dup pairs, then every
+    * document except non-canonical cluster members. */
+  private def corpusOracle: String =
+    s"""${minhashScoredCte("WITH RECURSIVE")},
+dup_pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE jac >= $MinhashJaccardThreshold),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs),
+walk(id, reach) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.reach FROM walk w JOIN edges e ON e.dst = w.id),
+cc AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id, md5(d.text) AS fp
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id"""
+
   /** Connected components over undirected pairs (doc_a, doc_b) by
     * iterative min-label propagation: each round every node takes the
     * minimum label among itself and its neighbors; fixpoint in
@@ -254,6 +276,64 @@ ORDER BY doc_id"""
       (s, dir) => connectedComponents(
         minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))),
       Some(clustersOracle)),
+
+    // The COMPOSED dedup pipeline — what a user actually runs: MinHash
+    // candidate pairs → exact-Jaccard verify → connected components →
+    // keep one canonical (minimum-id) document per cluster plus every
+    // non-duplicated document. Anti-join of the corpus against the
+    // non-canonical member set; at 100 TB the member set is tiny
+    // relative to the corpus (duplicates only), so the anti-join
+    // broadcasts.
+    Spec("q_dedup_corpus",
+      (s, dir) => {
+        val clusters = connectedComponents(
+          minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        val drop = clusters.filter(!col("is_canonical")).select(col("doc_id"))
+        t(s, dir, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(corpusOracle)),
+
+    // Benchmark-contamination check (the train/test leakage scan every
+    // LM data pipeline runs): does a corpus document share ≥ 3 distinct
+    // 3-token shingles with the benchmark set? The benchmark set is
+    // always small relative to the corpus, so its distinct shingles
+    // BROADCAST and the scan is one map-side join + aggregate — at
+    // 100 TB the corpus never shuffles. Here docs < 20 stand in as the
+    // benchmark.
+    Spec("q_contamination",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), shingleSetFast(col("text")).as("sh"))
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(explode(col("sh")).as("sh")).distinct()
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(col("sh")).as("sh"))
+          .join(broadcast(bench), "sh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+             sh AS (
+               SELECT doc_id, list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                      ELSE [text] END) AS s
+               FROM toks),
+             bench AS (
+               SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+             corpus AS (
+               SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+             SELECT c.doc_id, count(*) AS n_overlap
+             FROM corpus c JOIN bench b ON c.shingle = b.shingle
+             GROUP BY c.doc_id HAVING count(*) >= 3
+             ORDER BY doc_id""")),
 
     // Direct n-gram Jaccard via an inverted shingle index on a bounded
     // subset: explode distinct shingles, self-join on the shingle, count

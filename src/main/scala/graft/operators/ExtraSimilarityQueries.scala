@@ -112,19 +112,19 @@ object ExtraSimilarityQueries {
         val c = e.filter(col("vec_id") >= 20)
           .select(col("vec_id"), col("embedding").as("cv"),
             hyperplaneBucket(col("embedding"), planes).as("cb"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        val brute = c.crossJoin(broadcast(q.select(col("query_id"), col("qv"))))
-          .select(col("query_id"), col("vec_id"),
-            cosine(col("qv"), col("cv")).as("cos"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= K)
+        // both top-k legs through the native TopKPerKey — membership
+        // only, so no residual rank window is needed at all
+        val brute = ScaleOps.topKPerKey(
+            c.crossJoin(broadcast(q.select(col("query_id"), col("qv"))))
+              .select(col("query_id"), col("vec_id"),
+                cosine(col("qv"), col("cv")).as("cos")),
+            Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), K)
           .select(col("query_id"), col("vec_id"))
-        val lsh = q.join(c, col("qb") === col("cb"))
-          .select(col("query_id"), col("vec_id"),
-            cosine(col("qv"), col("cv")).as("cos"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= K)
+        val lsh = ScaleOps.topKPerKey(
+            q.join(c, col("qb") === col("cb"))
+              .select(col("query_id"), col("vec_id"),
+                cosine(col("qv"), col("cv")).as("cos")),
+            Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), K)
           .select(col("query_id").as("query_id_l"), col("vec_id").as("vec_id_l"))
         brute.join(lsh,
             col("query_id") === col("query_id_l") &&

@@ -42,23 +42,23 @@ object MultimodalQueries {
     // Resize analog: stride-4 byte downsample of the payload (the
     // map-only payload-in/payload-out shape of an image resize; the
     // codec itself is the documented stub in Multimodal.MediaCodec).
+    // One regex pass — keep char 1 of every ≤4-char window — instead of
+    // the r2 per-position substr HOF chain (interpreted per element;
+    // this was the one remaining HOF on a hot path).
     Spec("q_mm_resize",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat_ws("", transform(
-            sequence(lit(1L), expr("(octet_length(text) + 3) div 4")),
-            i => col("text").substr(lit(1L) + (i - 1) * 4, lit(1L))))
-            .as("resized"))
-        .select(col("doc_id"), col("resized"),
-          octet_length(col("resized")).cast("long").as("n_bytes"),
-          md5(col("resized")).as("content_hash"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        val resized = regexp_replace(col("text"),
+          lit("(?s)(.)(.{0,3})"), lit("$1"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), resized.as("resized"))
+          .select(col("doc_id"), col("resized"),
+            octet_length(col("resized")).cast("long").as("n_bytes"),
+            md5(col("resized")).as("content_hash"))
+          .orderBy(col("doc_id"))
+      },
       Some("""WITH r AS (
                SELECT doc_id,
-                      list_aggregate(list_transform(
-                        generate_series(1, (strlen(text) + 3) // 4),
-                        i -> substr(text, 1 + (i - 1) * 4, 1)),
-                        'string_agg', '') AS resized
+                      regexp_replace(text, '(.)(.{0,3})', '\1', 'gs') AS resized
                FROM documents)
              SELECT doc_id, resized,
                     CAST(strlen(resized) AS BIGINT) AS n_bytes,

@@ -359,6 +359,45 @@ object TextQueries {
              GROUP BY bigram HAVING count(*) >= 20
              ORDER BY n DESC, bigram""")),
 
+    // Repetition-ratio quality filter (the Gopher-style "fraction of
+    // duplicated n-grams" rule): 1 − distinct/total bigrams per doc,
+    // flagged above a threshold. Row-local, map-only at any scale;
+    // bigrams come from the native one-pass expression.
+    Spec("q_text_repetition",
+      (s, dir) => {
+        val bg = bigramsFast(col("text"))
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"),
+            size(bg).cast("long").as("n_bigrams"),
+            size(array_distinct(bg)).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            when(col("n_bigrams") === 0, lit(0.0))
+              .otherwise(floor((lit(1.0) -
+                col("n_distinct").cast("double") / col("n_bigrams")) * 10000)
+                / 10000))
+          .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+               SELECT doc_id,
+                      list_transform(
+                        generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                        i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1])) AS bg
+               FROM documents),
+             x AS (
+               SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+                      CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct
+               FROM b)
+             SELECT doc_id, n_bigrams, n_distinct,
+                    CASE WHEN n_bigrams = 0 THEN 0.0
+                         ELSE floor((1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams)
+                                    * 10000) / 10000 END AS rep_ratio,
+                    (CASE WHEN n_bigrams = 0 THEN 0.0
+                          ELSE floor((1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams)
+                                     * 10000) / 10000 END) > 0.2 AS is_repetitive
+             FROM x ORDER BY doc_id""")),
+
     // Fingerprinting: whole-doc md5 + winnowing rolling min-hash over
     // character 8-grams (engine-replayable — md5 + substr only). The
     // rolling min runs through the native expression; the declarative

@@ -110,6 +110,25 @@ class PlanAssertSpec extends AnyFunSuite {
     }
   }
 
+  test("q_contamination broadcasts the benchmark shingles — corpus side never shuffles for the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_corpus keep-set anti-join is a broadcast") {
+    val p = plan("q_dedup_corpus")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_recall routes both top-k legs through TopKPerKey") {
+    val p = plan("q_ann_recall")
+    assert(p.sliding("TopKPerKeyFinal".length).count(_ == "TopKPerKeyFinal") == 2, p)
+    // membership-only consumers: no residual rank window at all
+    assert(!p.contains("row_number"), p)
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)
