@@ -70,6 +70,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The PII-style scrub as a reusable map-only transform: redacted
+    * text + audit counts. No sort/aggregate/window — valid on a batch
+    * DataFrame and on a streaming one (append mode) alike. */
+  def redact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val num9 = "[0-9]{9,}"
+    val redacted = regexp_replace(
+      regexp_replace(lower(col("text")), email, "<EMAIL>"),
+      num9, "<NUM>")
+    docs.select(col("doc_id"),
+      redacted.as("redacted"),
+      size(regexp_extract_all(lower(col("text")), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(lower(col("text")), lit(num9), lit(0)))
+        .cast("long").as("n_longnums"))
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
@@ -293,23 +310,12 @@ object TextQueries {
 
     // PII-style redaction: regex masking of email-, phone-, and
     // id-shaped spans — the pre-training scrub pass. Row-local,
-    // map-only; counts carried so the scrub is auditable.
+    // map-only; counts carried so the scrub is auditable. The
+    // transform itself (redact below) is stateless, so it runs
+    // unchanged under Structured Streaming — StreamingSpec proves
+    // stream == batch on it.
     Spec("q_text_redact",
-      (s, dir) => {
-        val email = "[a-z0-9.]+@[a-z0-9.]+"
-        val num9 = "[0-9]{9,}"
-        val redacted = regexp_replace(
-          regexp_replace(lower(col("text")), email, "<EMAIL>"),
-          num9, "<NUM>")
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            redacted.as("redacted"),
-            size(regexp_extract_all(lower(col("text")), lit(email), lit(0)))
-              .cast("long").as("n_emails"),
-            size(regexp_extract_all(lower(col("text")), lit(num9), lit(0)))
-              .cast("long").as("n_longnums"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => redact(t(s, dir, "documents")).orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                     regexp_replace(
                       regexp_replace(lower(text), '[a-z0-9.]+@[a-z0-9.]+',

@@ -190,6 +190,28 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(allIds -- emittedIds).take(5)} extra=${(emittedIds -- allIds).take(5)}")
   }
 
+  test("the PII scrub transform runs unchanged as a structured stream") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("scrubstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(in)
+
+    val q = graft.operators.TextQueries.redact(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrubbed")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("scrubbed").orderBy("doc_id").collect()
+    val batch = graft.operators.TextQueries.redact(docs)
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
