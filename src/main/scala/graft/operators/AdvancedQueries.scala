@@ -110,20 +110,22 @@ object AdvancedQueries {
 
     // As-of join: each click paired with the user's most recent
     // prior-or-equal signup.
+    // As-of join through the reusable ScaleOps.asofJoin operator
+    // (union + last-non-null carry-forward — one shuffle, linear scan;
+    // randomized equivalence vs the direct max-≤ formulation in
+    // ScaleOpsSpec). Inclusive: a signup at the click's exact ts
+    // attaches.
     Spec("q_asof_join",
       (s, dir) => {
         val ev = t(s, dir, "events")
-          .filter(col("event_type").isin("click", "signup"))
-          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
-            col("event_type"))
-        // signup sorts before click at equal ts → >= (inclusive) asof
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), when(col("event_type") === "signup", 0).otherwise(1))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.withColumn("signup_ts_us",
-            last(when(col("event_type") === "signup", col("ts_us")),
-              ignoreNulls = true).over(w))
-          .filter(col("event_type") === "click")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), tsUs.as("s_ts"),
+            tsUs.as("signup_ts_us"))
+        ScaleOps.asofJoin(clicks, signups,
+            Seq("user_id"), Seq("s_user"), "ts_us", "s_ts",
+            Seq("signup_ts_us"))
           .select(col("event_id"), col("user_id"), col("ts_us"),
             col("signup_ts_us"))
           .orderBy(col("event_id"))
@@ -138,6 +140,75 @@ object AdvancedQueries {
              FROM clicks c ASOF LEFT JOIN sign s
                ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
              ORDER BY c.event_id""")),
+
+    // Time-series gap fill: regularize each user's event stream onto a
+    // dense 6-hour-bucket grid (missing buckets → zero rows) — the
+    // resample step before any rolling/ML feature computation. The grid
+    // is generated per user from its own [min, max] span (sequence +
+    // explode — no driver-side calendar), then left-joined back onto
+    // the sparse aggregate. Shuffle keys are (user, bucket): scales
+    // with users × span, never a cross join.
+    Spec("q_gap_fill",
+      (s, dir) => {
+        val BucketUs = 6L * 3600 * 1000000
+        val agg = t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), expr(s"(ts div 1000) div $BucketUs").as("bucket"),
+            col("value"))
+          .groupBy(col("user_id"), col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        val grid = agg.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+          .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+        grid.join(agg, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            (floor(coalesce(col("v"), lit(0.0)) * 100) / 100).as("total"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_us(ts) // CAST(21600000000 AS BIGINT) AS bucket, value
+               FROM events WHERE user_id < 50),
+             a AS (
+               SELECT user_id, bucket, count(*) AS n, sum(value) AS v
+               FROM e GROUP BY user_id, bucket),
+             s AS (
+               SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+               FROM a GROUP BY user_id),
+             g AS (
+               SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM s)
+             SELECT g.user_id, g.bucket,
+                    coalesce(a.n, 0) AS n_events,
+                    floor(coalesce(a.v, 0) * 100) / 100 AS total
+             FROM g LEFT JOIN a USING (user_id, bucket)
+             ORDER BY g.user_id, g.bucket""")),
+
+    // RANGE window frame (value-based, not row-based): per-user rolling
+    // 6-hour event total. RANGE includes ALL peers of the boundary
+    // values, so the result is deterministic even when one user has
+    // many events in the same hour — the property ROWS frames lack.
+    Spec("q_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rangeBetween(-6, 0)
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"),
+            expr("(ts div 1000) div 3600000000").as("hr"), col("value"))
+          .withColumn("rolling_6h",
+            floor(sum(col("value")).over(w) * 100) / 100)
+          .select(col("event_id"), col("user_id"), col("hr"), col("rolling_6h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+               SELECT event_id, user_id,
+                      epoch_us(ts) // 3600000000 AS hr, value
+               FROM events WHERE user_id < 50)
+             SELECT event_id, user_id, hr,
+                    floor(sum(value) OVER (PARTITION BY user_id ORDER BY hr
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) / 100
+                      AS rolling_6h
+             FROM e ORDER BY event_id""")),
 
     // Sessionization: a new session starts after a >30 min gap; the
     // session id is the running count of gap flags.

@@ -277,6 +277,27 @@ object RelationalQueries {
                     TRUE AS approx_ok
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Approximate median (the sketch the percentile runs on at 100 TB),
+    // gated the same way as the HLL row: the engine-private estimate is
+    // checked in-engine against the exact interpolated percentile
+    // (rank error ≤ 1/accuracy ⇒ generous 5 % value tolerance), and the
+    // oracle replays exact + TRUE.
+    Spec("q_agg_approx_quantile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"),
+          round(col("exact_med"), 2).as("exact_median"),
+          (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+            .as("approx_ok"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                    round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+                    TRUE AS approx_ok
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── window functions ─────────────────────────────────────────────
     // Ranking window: top-3 orders per market segment. row_number over
     // a total order (price desc, key asc) keeps it deterministic.

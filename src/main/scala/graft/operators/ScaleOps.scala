@@ -96,6 +96,51 @@ object ScaleOps {
       .drop(bp("__bin")).drop(bi("__bin"))
   }
 
+  /** As-of (time-travel) LEFT join: attach to every left row the
+    * newest right row with `rightTs` ≤ `leftTs` for the same key —
+    * without a range theta join. Both sides union into one relation,
+    * right rows sorting before left rows at equal timestamps
+    * (inclusive as-of), and each `payload` column is carried forward
+    * by a last-non-null window. ONE shuffle on the key and a linear
+    * scan per partition, versus the per-row range probe a theta join
+    * would pay; this is the standard Spark encoding for "price as of
+    * trade time" style joins at scale.
+    *
+    * Ties among right rows at the same (key, ts) resolve to any one of
+    * them — pass pre-deduplicated right sides when that matters.
+    * `payload` names right columns to attach; left columns pass
+    * through unchanged (names must not collide with payload).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    require(leftKeys.length == rightKeys.length,
+      "leftKeys and rightKeys must pair up")
+    import org.apache.spark.sql.expressions.Window
+    val keyNames = leftKeys.indices.map(i => s"__k$i")
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (leftKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        payload.map(p =>
+          lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
+    val r = right.select(
+      (rightKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__p_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p_$p").as(p)): _*)
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `salts`
     * reducers — phase 2 merges the partials. Works for any

@@ -72,6 +72,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("asofJoin equals the direct max-≤ formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(5000).toLong))
+      .toDF("l_id", "l_key", "l_ts")
+    val right = (1 to 150).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(5000).toLong))
+      .toDF("r_key", "r_ts").withColumn("p_ts", col("r_ts"))
+    val asof = ScaleOps.asofJoin(left, right,
+      Seq("l_key"), Seq("r_key"), "l_ts", "r_ts", Seq("p_ts"))
+    val got = asof.select("l_id", "p_ts")
+      .as[(Long, Option[Long])].collect().toMap
+    val brute = left.join(right,
+        col("l_key") === col("r_key") && col("r_ts") <= col("l_ts"), "left")
+      .groupBy(col("l_id")).agg(max(col("r_ts")).as("p_ts"))
+      .select("l_id", "p_ts").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 300 && got == brute)
+    // the whole point: one shuffle + linear scan, never a range probe
+    val p = asof.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 8)
