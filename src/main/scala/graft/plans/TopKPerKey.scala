@@ -10,10 +10,17 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Per-key top-k as a first-class operator (SURVEY §2.6 extension).
   *
-  * The declarative encoding — `row_number() OVER (PARTITION BY key
-  * ORDER BY ord) <= k` then filter — forces a FULL sort of every key
-  * group before discarding all but k rows. For "keep the best k
-  * documents per domain" over 100 TB that sort is the dominant cost.
+  * Spark 4 plans the declarative encoding — `row_number() OVER
+  * (PARTITION BY key ORDER BY ord) <= k` then filter — with
+  * partial/final `WindowGroupLimit`, which already prunes the shuffle;
+  * but each WindowGroupLimit still requires a FULL (key, ord) sort of
+  * its input partition (O(n log n) map-side) before walking group
+  * prefixes. This operator's partial pass keeps bounded per-key HEAPS
+  * instead — no map-side sort at all, O(n log k) — and only the
+  * already-pruned data is ever sorted (reduce side, spillable).
+  * Measured on 1.5 M orders / 100 k keys, k=3, local[32]: 0.93 s vs
+  * 1.18 s warm for the window encoding, with first-run (codegen-cold)
+  * gaps larger.
   *
   * Physical shape (mirrors partial/final hash aggregation):
   *

@@ -15,6 +15,42 @@ class RuntimeFilterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds lowered so test-scale skew triggers the same split
+      // the defaults perform on multi-GB hot partitions
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // one viral key holding 90% of the fact rows
+      val fact = (1L to 200000L).map(i =>
+        (if (i % 10 == 0) i % 1000 else 42L, i)).toDF("k", "v")
+      val dim = (0L until 1000L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a separate one
+      // and leave this AQE plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark/split the skew:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("selective dim predicate injects a bloom filter on the fact side") {
     val restore = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
