@@ -239,17 +239,18 @@ ORDER BY d.doc_id"""
 
   val specs: Seq[Spec] = Seq(
 
-    // Exact dedup: hash groupBy on content — ONE shuffle on the text
-    // (at 100 TB: group on md5(text) instead to shrink shuffle keys;
-    // here the fingerprint is carried alongside).
+    // Exact dedup: hash groupBy on the CONTENT DIGEST, not the text —
+    // the shuffle ships 16-byte md5 keys instead of whole documents
+    // (at 100 TB the difference between shuffling ~32 B/doc and
+    // shuffling the corpus).
     Spec("q_dedup_exact",
       (s, dir) => t(s, dir, "documents")
-        .groupBy(col("text"))
+        .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"), md5(col("text")).as("fp"))
+        .select(col("doc_id"), col("n_dups"), col("fp"))
         .orderBy(col("doc_id")),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS fp
-             FROM documents GROUP BY text ORDER BY doc_id""")),
+             FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
 
     // MinHash + LSH banding near-dup detection. Candidate generation is
     // a self-equi-join on (band, bandHash) — at scale a plain shuffle

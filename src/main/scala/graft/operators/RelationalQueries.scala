@@ -289,12 +289,15 @@ object RelationalQueries {
             .as("approx_med"),
           expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
         .select(col("l_returnflag"),
-          round(col("exact_med"), 2).as("exact_median"),
+          // floor, not round: the interpolated median lands on FP half
+          // boundaries where the engines' ROUNDs disagree
+          (floor(col("exact_med") * 100) / 100).as("exact_median"),
           (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
             .as("approx_ok"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-                    round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+                    floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100
+                      AS exact_median,
                     TRUE AS approx_ok
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

@@ -129,6 +129,29 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), p)
   }
 
+  test("document queries prune the parquet scan to the columns they read") {
+    // documents has 6 columns; a 2-column query must not scan them all
+    for (q <- Seq("q_text_token_count", "q_dedup_exact")) {
+      val p = plan(q)
+      val readSchema = p.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+      val cols = readSchema.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"$q scans more than it projects: $cols")
+    }
+  }
+
+  test("q_dedup_exact shuffles 16-byte digests, not document text") {
+    val p = plan("q_dedup_exact")
+    // the exchange key is the md5 grouping projection; the partial
+    // aggregate computed below it projects text away, so only digests
+    // and partial min/count cross the wire
+    assert(p.contains("Exchange hashpartitioning(_groupingexpression"), p)
+    val partialOut = p.linesIterator
+      .filter(_.contains("partial_min")).mkString
+    assert(partialOut.nonEmpty && !partialOut.contains("text#"),
+      s"text crosses the shuffle:\n$p")
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)
