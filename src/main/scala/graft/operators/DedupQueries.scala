@@ -336,6 +336,51 @@ ORDER BY d.doc_id"""
              GROUP BY c.doc_id HAVING count(*) >= 3
              ORDER BY doc_id""")),
 
+    // Leakage-aware train/val/test split: assignment is keyed on the
+    // near-dup CLUSTER id (canonical min doc_id; singletons are their
+    // own group), so two near-duplicate documents can never land in
+    // different splits — the contamination mode a naive per-doc hash
+    // split invites. Hash-threshold on the group id, replayable on any
+    // engine; the cluster map is tiny (duplicates only) and broadcasts.
+    Spec("q_split_by_cluster",
+      (s, dir) => {
+        val clusters = connectedComponents(
+            minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+          .select(col("doc_id"), col("cluster_id"))
+        val bucket = conv(substring(md5(concat(lit("csplit|"),
+          col("group_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 100
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+          .select(col("doc_id"), col("group_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${minhashScoredCte("WITH RECURSIVE")},
+dup_pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE jac >= $MinhashJaccardThreshold),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs),
+walk(id, reach) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.reach FROM walk w JOIN edges e ON e.dst = w.id),
+cc AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+grouped AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN cc USING (doc_id))
+SELECT doc_id, group_id,
+       CASE WHEN CAST(('0x' || substr(md5('csplit|' || CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5('csplit|' || CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped ORDER BY doc_id""")),
+
     // Direct n-gram Jaccard via an inverted shingle index on a bounded
     // subset: explode distinct shingles, self-join on the shingle, count
     // co-occurrences per pair. Never materializes non-overlapping pairs.

@@ -365,6 +365,44 @@ object TextQueries {
              GROUP BY bigram HAVING count(*) >= 20
              ORDER BY n DESC, bigram""")),
 
+    // Sliding-window chunking with overlap (RAG / context-window prep):
+    // every 48-token stride starts a chunk of up to 64 tokens (16-token
+    // overlap), so no boundary content is lost. chunk_idx derives from
+    // the stride (start div 48) — no ordinal explode needed. Map-only;
+    // at scale this is the pass that fans a corpus out to its
+    // embedding-input rows.
+    Spec("q_chunk_overlap",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val chunk = slice(col("toks"), (col("start") + 1).cast("int"), lit(64))
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), toks.as("toks"),
+            size(toks).cast("long").as("n"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), greatest(col("n") - 1, lit(0L)),
+              lit(48L))).as("start"))
+          .select(col("doc_id"),
+            expr("start div 48").as("chunk_idx"),
+            col("start"),
+            size(chunk).cast("long").as("n_chunk_tokens"),
+            md5(array_join(chunk, " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, string_split(text, ' ') AS t,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+             c AS (
+               SELECT doc_id, t, n,
+                      unnest(generate_series(0, greatest(n - 1, 0), 48)) AS start
+               FROM d)
+             SELECT doc_id, start // 48 AS chunk_idx, start,
+                    CAST(len(t[start + 1 : least(start + 64, n)]) AS BIGINT)
+                      AS n_chunk_tokens,
+                    md5(array_to_string(t[start + 1 : least(start + 64, n)], ' '))
+                      AS chunk_md5
+             FROM c ORDER BY doc_id, chunk_idx""")),
+
     // Repetition-ratio quality filter (the Gopher-style "fraction of
     // duplicated n-grams" rule): 1 − distinct/total bigrams per doc,
     // flagged above a threshold. Row-local, map-only at any scale;

@@ -24,6 +24,18 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("converge"), e.getMessage)
   }
 
+  test("split-by-cluster never lets a near-dup cluster straddle splits") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_split_by_cluster")(
+      spark, "/root/testdata/sf0.001")
+    val straddling = out.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling == 0)
+    // and it is a real split: all three partitions populated
+    assert(out.select(col("split")).distinct().count() == 3)
+  }
+
   test("the same path converges to one cluster with a sufficient cap") {
     val rows = DedupQueries.connectedComponents(pathGraph(12), maxRounds = 20)
       .collect()
