@@ -277,6 +277,36 @@ object RelationalQueries {
                     TRUE AS approx_ok
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the semantics MERGE pipelines need when the
+    // join key is itself nullable. Still a hash-partitionable equi
+    // join (NULLs hash to one bucket).
+    Spec("q_join_null_safe",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def keyed(m: Int, alias: String) = o
+          .select(when(col("o_orderkey") % m === 0, lit(null))
+            .otherwise(col("o_orderstatus")).as(s"k_$alias"))
+          .groupBy(col(s"k_$alias")).agg(count(lit(1)).as(s"n_$alias"))
+        keyed(7, "a").join(keyed(5, "b"), col("k_a") <=> col("k_b"))
+          .select(coalesce(col("k_a"), lit("NULL")).as("k"),
+            col("n_a"), col("n_b"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH a AS (
+               SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k_a,
+                      count(*) AS n_a
+               FROM orders GROUP BY 1),
+             b AS (
+               SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k_b,
+                      count(*) AS n_b
+               FROM orders GROUP BY 1)
+             SELECT coalesce(k_a, 'NULL') AS k, n_a, n_b
+             FROM a JOIN b ON k_a IS NOT DISTINCT FROM k_b
+             ORDER BY k""")),
+
     // Approximate median (the sketch the percentile runs on at 100 TB),
     // gated the same way as the HLL row: the engine-private estimate is
     // checked in-engine against the exact interpolated percentile

@@ -279,6 +279,30 @@ object TextQueries {
                    < t.target * 1000000
              GROUP BY d.lang ORDER BY d.lang""")),
 
+    // Exact-k deterministic sample per group — the complement of the
+    // hash-threshold balancer when exactly k rows per class are
+    // required: k smallest md5-order rows per lang through the native
+    // TopKPerKey (map-side pruned; no per-class window). The oracle
+    // replays it as the rank filter.
+    Spec("q_sample_k_per_group",
+      (s, dir) => {
+        val hashOrd = md5(concat(lit("samp|"), col("doc_id").cast("string")))
+        ScaleOps.topKPerKey(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("lang"), hashOrd.as("h")),
+            Seq(col("lang")), Seq(col("h"), col("doc_id")), 3)
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH ranked AS (
+               SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5('samp|' || CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rn
+               FROM documents)
+             SELECT lang, doc_id FROM ranked WHERE rn <= 3
+             ORDER BY lang, doc_id""")),
+
     // Deterministic train/val/test split: content-hash modulo buckets —
     // reproducible on any engine, stable under corpus growth (a doc's
     // split never changes), the standard pattern for dataset splits.
