@@ -141,6 +141,48 @@ object AdvancedQueries {
                ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
              ORDER BY c.event_id""")),
 
+    // CDC-style snapshot diff: classify every key of two table versions
+    // as added / removed / changed / unchanged via ONE full-outer join
+    // on the key — the change-detection primitive feeding incremental
+    // refreshes (the MERGE upsert's read side). Versions are derived
+    // deterministically from orders so both engines build identical
+    // inputs.
+    Spec("q_snapshot_diff",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val yesterday = o.filter(col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey").as("k_old"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("p_old"))
+        val today = o.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey").as("k_new"),
+            col("o_totalprice").as("p_new"))
+        today.join(yesterday, col("k_new") === col("k_old"), "full_outer")
+          .select(
+            when(col("k_old").isNull, "added")
+              .when(col("k_new").isNull, "removed")
+              .when(col("p_new") =!= col("p_old"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH yesterday AS (
+               SELECT o_orderkey AS k_old,
+                      CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                           ELSE o_totalprice END AS p_old
+               FROM orders WHERE o_orderkey % 10 <> 0),
+             today AS (
+               SELECT o_orderkey AS k_new, o_totalprice AS p_new
+               FROM orders WHERE o_orderkey % 11 <> 0),
+             j AS (
+               SELECT CASE WHEN k_old IS NULL THEN 'added'
+                           WHEN k_new IS NULL THEN 'removed'
+                           WHEN p_new <> p_old THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM today t FULL OUTER JOIN yesterday y ON t.k_new = y.k_old)
+             SELECT status, count(*) AS n FROM j
+             GROUP BY status ORDER BY status""")),
+
     // Time-series gap fill: regularize each user's event stream onto a
     // dense 6-hour-bucket grid (missing buckets → zero rows) — the
     // resample step before any rolling/ML feature computation. The grid
