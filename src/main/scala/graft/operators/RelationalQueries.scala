@@ -277,6 +277,30 @@ object RelationalQueries {
                     TRUE AS approx_ok
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Fuzzy string matching (edit distance): candidate pairs from a
+    // bounded broadcast self-join of the dim, kept under a Levenshtein
+    // threshold — the record-linkage / data-cleaning primitive. At
+    // corpus scale the all-pairs shape is replaced by a blocking key
+    // (first letter, length band, or the MinHash pipeline); the
+    // distance function itself is the same.
+    Spec("q_fuzzy_match",
+      (s, dir) => {
+        val a = t(s, dir, "nation").select(col("n_name").as("name_a"))
+        val b = t(s, dir, "nation").select(col("n_name").as("name_b"))
+        a.crossJoin(broadcast(b))
+          .filter(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          .filter(col("dist") <= 1)
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+                    CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+             FROM nation a, nation b
+             WHERE a.n_name < b.n_name
+               AND levenshtein(a.n_name, b.n_name) <= 1
+             ORDER BY name_a, name_b""")),
+
     // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     // match each other — the semantics MERGE pipelines need when the
     // join key is itself nullable. Still a hash-partitionable equi
