@@ -122,6 +122,22 @@ JOIN (SELECT cluster_id, count(*) AS n_members
       FROM cc GROUP BY cluster_id) n USING (cluster_id)
 ORDER BY doc_id"""
 
+  /** Stateless contamination flag against a driver-materialized
+    * benchmark shingle set. The benchmark side of a contamination scan
+    * is always tiny relative to the corpus, so it ships as a broadcast
+    * literal — which makes the flag a pure map: it runs unchanged on a
+    * batch frame and on a Structured-Streaming frame (append mode),
+    * proven stream==batch in StreamingSpec. The q_contamination gate
+    * row is the join-shaped equivalent for when the benchmark set is a
+    * table rather than a constant.
+    */
+  def contaminationFlag(docs: org.apache.spark.sql.DataFrame,
+                        benchShingles: Seq[String],
+                        minOverlap: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      (size(array_intersect(shingleSetFast(col("text")),
+        typedLit(benchShingles))) >= minOverlap).as("contaminated"))
+
   /** DuckDB replay of the full dedup pipeline's keep set: recursive
     * connected components over the verified near-dup pairs, then every
     * document except non-canonical cluster members. */

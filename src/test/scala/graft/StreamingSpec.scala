@@ -212,6 +212,35 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("the contamination flag runs unchanged as a structured stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("contamstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(in)
+    // benchmark shingles driver-materialized once (the tiny side)
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(explode(graft.functions.TextFunctions.shingleSetFast(col("text"))))
+      .distinct().as[String].collect().toSeq
+
+    val q = graft.operators.DedupQueries.contaminationFlag(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in), bench, 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("contam").orderBy("doc_id").collect()
+    val batch = graft.operators.DedupQueries.contaminationFlag(docs, bench, 3)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    // sanity: the benchmark docs themselves flag as contaminated
+    assert(streamed.take(20).forall(_.getBoolean(1)))
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
