@@ -86,6 +86,9 @@ object ScaleOps {
     require(binWidth > 0, "binWidth must be positive")
     require(pointKeys.length == intervalKeys.length,
       "pointKeys and intervalKeys must pair up")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      s"point/interval column names must not collide: " +
+        points.columns.intersect(intervals.columns).mkString(", "))
     val bi = intervals.withColumn("__bin",
       explode(sequence(expr(s"$lo div $binWidth"), expr(s"$hi div $binWidth"))))
     val bp = points.withColumn("__bin", expr(s"$ts div $binWidth"))
@@ -120,6 +123,13 @@ object ScaleOps {
     import org.apache.spark.sql.expressions.Window
     val keyNames = leftKeys.indices.map(i => s"__k$i")
     val leftCols = left.columns.toSeq
+    val reserved = keyNames ++ Seq("__ts", "__side") ++ payload.map("__p_" + _)
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with asofJoin internals: " +
+        leftCols.filter(reserved.contains).mkString(", "))
+    require(!payload.exists(leftCols.contains),
+      s"payload names collide with left columns: " +
+        payload.filter(leftCols.contains).mkString(", "))
     val l = left.select(
       (leftKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
