@@ -152,6 +152,31 @@ class PlanAssertSpec extends AnyFunSuite {
       s"text crosses the shuffle:\n$p")
   }
 
+  test("battery-wide join-shape sweep: no cartesian products anywhere; " +
+    "nested loops only where a side is broadcast-bounded") {
+    // queries whose SEMANTICS are non-equi (theta/cross) against a
+    // bounded broadcast side — BroadcastNestedLoopJoin is the correct
+    // plan there and the build side is constant-size by construction
+    val bnljAllowed = Set(
+      "q_join_cross",         // tiny distinct side, explicit cross
+      "q_range_join",         // 4-row bands build side
+      "q_dedup_embed_cosine", // bounded O(n²) oracle variant by design
+      "q_fuzzy_match",        // 25-row dim self-candidates
+      "q_ann_brute",          // broadcast query set vs corpus
+      "q_ann_recall",         // contains the brute leg
+      "q_ann_ivf",            // 8-row codebook crossJoin for assignment
+      "q_balance_classes",    // 1-row scalar target crossJoin
+      "q_tfidf")              // 1-row corpus-count crossJoin
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested loop:\n$p")
+    }
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)
