@@ -1,0 +1,79 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The LLM-training-data pipeline, composed end-to-end from the
+  * operator battery: PII scrub → repetition quality filter → near-dup
+  * dedup (keep set) → leakage-aware split → sequence packing →
+  * sliding-window chunking. Each stage is the same code the oracle
+  * gate verifies query-by-query; this main proves they compose into
+  * the pipeline a user would actually run, and prints one JSON line of
+  * stage counts.
+  *
+  * Usage: runMain graft.examples.CorpusPipelineDemo [sfDir]
+  */
+object CorpusPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, sfDir))
+    spark.stop()
+  }
+
+  /** Runs the composed pipeline; returns the JSON stage summary. */
+  def run(spark: SparkSession, sfDir: String): String = {
+    val q = graft.SparkEntry.queries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+
+    // 1. PII scrub (map-only; audit counts aggregated for the report)
+    val scrub = graft.operators.TextQueries.redact(docs)
+    val nRedactions = scrub
+      .agg(sum(col("n_emails") + col("n_longnums"))).head().getLong(0)
+
+    // 2. quality: drop repetitive docs (Gopher rule)
+    val qualityIds = q("q_text_repetition")(spark, sfDir)
+      .filter(!col("is_repetitive")).select("doc_id")
+    val nQuality = qualityIds.count()
+
+    // 3. dedup keep set (MinHash → verify → clusters → canonical)
+    val keepIds = q("q_dedup_corpus")(spark, sfDir).select("doc_id")
+
+    // 4. leakage-aware split (cluster-keyed, so near-dups co-travel)
+    val splits = q("q_split_by_cluster")(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+
+    val surviving = docs
+      .join(qualityIds, Seq("doc_id"))
+      .join(keepIds, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+    val nSurviving = surviving.count()
+    val perSplit = surviving.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 5. pack the surviving training docs into ~512-token sequences
+    val packs = graft.operators.TextQueries
+      .packSequences(surviving.filter(col("split") === "train"),
+        graft.operators.TextQueries.PackShardWidth)
+    val nPacks = packs.select(col("lang"), col("pack_id")).distinct().count()
+
+    // 6. chunk every surviving doc for the retrieval index
+    val nChunks = q("q_chunk_overlap")(spark, sfDir)
+      .join(surviving.select("doc_id"), Seq("doc_id")).count()
+
+    s"""{"n_docs":$nDocs,"n_redactions":$nRedactions,""" +
+      s""""after_quality":$nQuality,"after_dedup_and_split":$nSurviving,""" +
+      s""""train":${perSplit.getOrElse("train", 0L)},""" +
+      s""""val":${perSplit.getOrElse("val", 0L)},""" +
+      s""""test":${perSplit.getOrElse("test", 0L)},""" +
+      s""""train_packs":$nPacks,"chunks":$nChunks}"""
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed LLM-data pipeline (examples.CorpusPipelineDemo.run):
+  * stages must only ever shrink the corpus, the split must partition
+  * the survivors, and packing/chunking must cover what survives. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pipeline stages compose with monotone counts and full coverage") {
+    val json = graft.examples.CorpusPipelineDemo
+      .run(spark, "/root/testdata/sf0.001")
+    val kv = "\"([a-z_]+)\":(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    assert(kv("n_docs") > 0)
+    assert(kv("after_quality") <= kv("n_docs"))
+    assert(kv("after_dedup_and_split") <= kv("after_quality"))
+    assert(kv("train") + kv("val") + kv("test") == kv("after_dedup_and_split"))
+    assert(kv("train") > 0 && kv("train_packs") > 0)
+    // every surviving doc yields at least one retrieval chunk
+    assert(kv("chunks") >= kv("after_dedup_and_split"))
+  }
+}
