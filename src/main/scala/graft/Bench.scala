@@ -25,15 +25,25 @@ object Bench {
       ()
     } catch { case _: Throwable => () }
     // stable execution order (Map iteration order is hash-dependent);
-    // min of two passes per query — this box is shared and single runs
-    // vary ~2x, which would poison the cross-round 2x comparison
+    // two passes per query, and a THIRD tie-breaker pass when the two
+    // disagree by > 2x — this box is shared, and a minutes-long
+    // contention window can cover both passes (round 3's driver
+    // artifact recorded 5-23x inflation on an alphabetical band of
+    // queries); the median of three rejects one poisoned pass. All
+    // per-pass times are persisted so a poisoned artifact is
+    // self-diagnosing.
     // optional subset (comma-separated names) — e.g. the 10 hottest
     // queries for a scale-up run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results: Seq[(String, Either[String, Double])] =
+    // value per query + every pass outcome (time or error string)
+    case class QueryResult(value: Either[String, Double],
+                           passes: Seq[Either[String, Double]]) {
+      def flaky: Boolean = value.isRight && passes.exists(_.isLeft)
+    }
+    val results: Seq[(String, QueryResult)] =
       selected.map { case (name, fn) =>
         // a failing query is an ERROR, not 0 s — swallowing it would
         // record ~0 and "improve" the total
@@ -51,11 +61,25 @@ object Bench {
               Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }
         }
-        val r = (once(), once()) match {
-          case (Right(a), Right(b)) => Right(math.min(a, b))
-          case (Right(a), Left(_))  => Right(a)
-          case (Left(_), Right(b))  => Right(b)
-          case (Left(a), Left(_))   => Left(a)
+        val two = Seq(once(), once())
+        val r = two match {
+          case Seq(Right(a), Right(b)) if math.max(a, b) > 2 * math.min(a, b) =>
+            // contention suspect: median of three
+            once() match {
+              case Right(c) =>
+                QueryResult(Right(Seq(a, b, c).sorted.apply(1)),
+                  two :+ Right(c))
+              case l @ Left(_) =>
+                QueryResult(Right(math.min(a, b)), two :+ l)
+            }
+          case Seq(Right(a), Right(b)) =>
+            QueryResult(Right(math.min(a, b)), two)
+          // one pass failed: keep the surviving time, but the mixed
+          // outcome is recorded in `flaky` below — a query that OOMs
+          // every other run must not look healthy
+          case Seq(Right(a), Left(_)) => QueryResult(Right(a), two)
+          case Seq(Left(_), Right(b)) => QueryResult(Right(b), two)
+          case Seq(Left(a), Left(_))  => QueryResult(Left(a), two)
         }
         name -> r
       }
@@ -66,20 +90,32 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(e)) => k -> e }
+    def passJson(p: Either[String, Double]): String = p match {
+      case Right(v) => v.toString
+      case Left(e) => "\"" + esc(e) + "\""
+    }
+    val ok = results.collect { case (k, q) if q.value.isRight =>
+      k -> q.value.toOption.get }
+    val errs = results.collect { case (k, QueryResult(Left(e), _)) => k -> e }
+    val flaky = results.collect { case (k, q) if q.flaky =>
+      k -> q.passes.collectFirst { case Left(e) => e }.get }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
+    val fl = flaky.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val ps = results.map { case (k, q) =>
+      s"\"" + k + "\":" + q.passes.map(passJson).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errs.size},"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_latest.json")
+      "bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

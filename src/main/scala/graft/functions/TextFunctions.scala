@@ -57,6 +57,13 @@ object TextFunctions {
   def bigramsFast(text: Column): Column =
     asCol(graft.plans.BigramsExpr(expr(text)))
 
+  /** Occurrences of whitespace-split tokens belonging to `words`,
+    * native one-pass — replaces the interpreted
+    * `size(filter(tokens, t -> t IN set))` HOF on hot paths
+    * (see [[graft.plans.TokenInSetCountExpr]]). */
+  def tokenInSetCount(text: Column, words: Seq[String]): Column =
+    asCol(graft.plans.TokenInSetCountExpr(expr(text), words))
+
   def minhashSigFast(text: Column, n: Int, k: Int = 3): Column =
     asCol(graft.plans.MinHashSigExpr(expr(text), minhashCoefs(n), k))
 

@@ -27,6 +27,28 @@ object EtlQueries {
       |GROUP BY n_name, o_orderpriority
       |ORDER BY n_name, o_orderpriority""".stripMargin
 
+  /** The on-disk `.sql` fixture, created ONCE per JVM (the query runs
+    * many times per bench/determinism sweep) and removed on exit. */
+  private lazy val sqlFixtureDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sqlsrc")
+    val f = d.resolve("agg.sql")
+    java.nio.file.Files.write(f,
+      SqlFileE2eText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit(); d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Temp views the shared SQL text resolves against, registered once
+    * per (session, data dir) instead of on every invocation — and
+    * re-registered only when the same session switches data dirs. */
+  private val sqlViewsFor =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, String]()
+  private def ensureSqlViews(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit =
+    if (sqlViewsFor.put(s, dir) != dir)
+      Seq("orders", "customer", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
   val specs: Seq[Spec] = Seq(
 
     // F5/F6 — the flagship projection+conjunctive filter shape
@@ -53,12 +75,8 @@ object EtlQueries {
     // test, not a re-derivation.
     Spec("q_sql_file_e2e",
       (s, dir) => {
-        val qdir = java.nio.file.Files.createTempDirectory("graft_sqlsrc")
-        java.nio.file.Files.write(qdir.resolve("agg.sql"),
-          SqlFileE2eText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Seq("orders", "customer", "nation", "region")
-          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-        s.sql(graft.sources.SqlSource.readQuery(s, qdir.toString, "agg.sql"))
+        ensureSqlViews(s, dir)
+        s.sql(graft.sources.SqlSource.readQuery(s, sqlFixtureDir, "agg.sql"))
       },
       Some(SqlFileE2eText)),
 

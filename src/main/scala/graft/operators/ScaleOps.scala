@@ -103,11 +103,15 @@ object ScaleOps {
     * newest right row with `rightTs` ≤ `leftTs` for the same key —
     * without a range theta join. Both sides union into one relation,
     * right rows sorting before left rows at equal timestamps
-    * (inclusive as-of), and each `payload` column is carried forward
-    * by a last-non-null window. ONE shuffle on the key and a linear
-    * scan per partition, versus the per-row range probe a theta join
-    * would pay; this is the standard Spark encoding for "price as of
-    * trade time" style joins at scale.
+    * (inclusive as-of), and ALL `payload` columns are carried forward
+    * together as ONE struct by a single last-non-null window — the
+    * struct is non-null for every right row even when its fields are
+    * NULL, so a NULL payload value on the newest matching right row
+    * comes back as NULL (it is never skipped in favour of an older
+    * row, and fields never mix across different right rows). ONE
+    * shuffle on the key and a linear scan per partition, versus the
+    * per-row range probe a theta join would pay; this is the standard
+    * Spark encoding for "price as of trade time" style joins at scale.
     *
     * Ties among right rows at the same (key, ts) resolve to any one of
     * them — pass pre-deduplicated right sides when that matters.
@@ -120,35 +124,37 @@ object ScaleOps {
                payload: Seq[String]): DataFrame = {
     require(leftKeys.length == rightKeys.length,
       "leftKeys and rightKeys must pair up")
+    require(payload.nonEmpty, "payload must name at least one right column")
     import org.apache.spark.sql.expressions.Window
     val keyNames = leftKeys.indices.map(i => s"__k$i")
     val leftCols = left.columns.toSeq
-    val reserved = keyNames ++ Seq("__ts", "__side") ++ payload.map("__p_" + _)
+    val reserved = keyNames ++ Seq("__ts", "__side", "__p")
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with asofJoin internals: " +
         leftCols.filter(reserved.contains).mkString(", "))
     require(!payload.exists(leftCols.contains),
       s"payload names collide with left columns: " +
         payload.filter(leftCols.contains).mkString(", "))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val l = left.select(
       (leftKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        payload.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__p")): _*)
     val r = right.select(
       (rightKeys.zip(keyNames).map { case (c, k) => col(c).as(k) } ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p")): _*)
     val w = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__p_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__p_$p").as(p)): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1

@@ -126,14 +126,16 @@ object TextQueries {
         val toks = split(col("text"), " ")
         val nTokens = size(toks).cast("long")
         val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
-        val stopHits = size(filter(toks, t => t.isInCollection(StopWords))).cast("long")
+        // native one-pass count — the size(filter(toks, t -> t IN set))
+        // HOF form is interpreted per token (BASELINE.md's own rule)
+        val stopHits = tokenInSetCount(col("text"), StopWords)
         // floor(x·10⁴)/10⁴ instead of round(x,4): both engines compute
         // bit-identical doubles, but their ROUND implementations differ
         // on FP-induced half boundaries (Spark rounds the exact decimal
         // of the double, DuckDB rounds x·10⁴) — floor of the same
         // double is deterministic everywhere.
         def floor4(c: org.apache.spark.sql.Column) = floor(c * 10000) / 10000
-        t(s, dir, "documents")
+        spread(s, t(s, dir, "documents"))
           .select(col("doc_id"),
             nTokens.as("n_tokens"),
             floor4(noSpace.cast("double") / nTokens).as("avg_token_len"),

@@ -172,3 +172,50 @@ case class MinHashSigExpr(child: Expression, coefs: Seq[(Long, Long)], k: Int = 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
     copy(child = c)
 }
+
+/** `token_in_set_count(text)` → long: occurrences (multiplicities
+  * kept) of whitespace-split tokens that belong to a fixed word set,
+  * in one pass. The declarative form
+  * (`size(filter(split(text, ' '), t -> t IN (...)))`) routes through
+  * the interpreted higher-order-function evaluator per token AND
+  * materializes the filtered array just to take its size; this counts
+  * in place and stays inside whole-stage codegen. Token semantics
+  * match `split(text, ' ')`: consecutive separators yield empty
+  * tokens, which never match a non-empty word set.
+  */
+case class TokenInSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.split(TokenInSetCountExpr.Space, -1)
+    var c = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenInSetCountExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenInSetCountExpr =
+    copy(child = c)
+}
+
+object TokenInSetCountExpr {
+  private val Space = UTF8String.fromString(" ")
+}

@@ -44,4 +44,22 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(rows.count(_.getBoolean(2)) == 1) // exactly one canonical doc
     assert(rows.forall(_.getLong(3) == 13L)) // n_members
   }
+
+  test("convergence checks are amortized: ~half the driver actions of per-round checking") {
+    val perRound = DedupQueries.connectedComponents(
+      pathGraph(12), maxRounds = 30, checkEvery = 1).collect()
+    val roundsPerRound = DedupQueries.lastCcRounds
+    val checksPerRound = DedupQueries.lastCcChecks
+    assert(checksPerRound == roundsPerRound) // every round checked
+
+    val amortized = DedupQueries.connectedComponents(
+      pathGraph(12), maxRounds = 30, checkEvery = 2).collect()
+    val checksAmortized = DedupQueries.lastCcChecks
+    // same labels either way (propagation past the fixpoint is a no-op)
+    assert(amortized.map(_.toString).sorted.toSeq ==
+      perRound.map(_.toString).sorted.toSeq)
+    // and at most one extra round's worth of checks beyond the half
+    assert(checksAmortized <= roundsPerRound / 2 + 1,
+      s"expected ~${roundsPerRound / 2} checks, got $checksAmortized")
+  }
 }

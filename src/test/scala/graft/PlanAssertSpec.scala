@@ -177,6 +177,14 @@ class PlanAssertSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_quality runs no interpreted lambda: stop-word count is native") {
+    val df = SparkEntry.queries("q_text_quality")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("lambdafunction"),
+      s"interpreted HOF survives in q_text_quality:\n$analyzed")
+    assert(analyzed.contains("tokeninsetcount"), analyzed)
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)

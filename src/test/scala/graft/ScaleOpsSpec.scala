@@ -96,6 +96,53 @@ class ScaleOpsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("asofJoin returns the newest match's NULL payload, never an older row's value") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("l_id", "l_key", "l_ts")
+    // newest match (ts=50) has a NULL in `a` and a value in `b`; the
+    // older row (ts=10) must NOT leak its `a` into the result
+    val right = Seq(
+      (1L, 10L, Option("old_a"), Option("old_b")),
+      (1L, 50L, Option.empty[String], Option("new_b"))
+    ).toDF("r_key", "r_ts", "a", "b")
+    val got = ScaleOps.asofJoin(left, right, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", Seq("a", "b"))
+      .select("a", "b").as[(Option[String], Option[String])].head()
+    assert(got == ((None, Some("new_b"))))
+  }
+
+  test("asofJoin equals row-of-newest-match on random data with NULL payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(3000).toLong))
+      .toDF("l_id", "l_key", "l_ts")
+    // unique (key, ts) per right row → the newest match is deterministic
+    val rightRows = (0 until 10).flatMap { k =>
+      rnd.shuffle((0 until 3000).toList).take(40).map { ts =>
+        (k.toLong, ts.toLong,
+          if (rnd.nextBoolean()) Option(rnd.nextInt(100).toLong) else None,
+          if (rnd.nextBoolean()) Option(s"v${rnd.nextInt(100)}") else None)
+      }
+    }
+    val right = rightRows.toDF("r_key", "r_ts", "pa", "pb")
+    val got = ScaleOps.asofJoin(left, right, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", Seq("pa", "pb"))
+      .select("l_id", "pa", "pb")
+      .as[(Long, Option[Long], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val brute = left.join(right,
+        col("l_key") === col("r_key") && col("r_ts") <= col("l_ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_id").orderBy(col("r_ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("l_id", "pa", "pb")
+      .as[(Long, Option[Long], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.size == 300 && got == brute)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val salted = ScaleOps.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 8)
