@@ -24,62 +24,67 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       ()
     } catch { case _: Throwable => () }
-    // stable execution order (Map iteration order is hash-dependent);
-    // two passes per query, and a THIRD tie-breaker pass when the two
-    // disagree by > 2x — this box is shared, and a minutes-long
-    // contention window can cover both passes (round 3's driver
-    // artifact recorded 5-23x inflation on an alphabetical band of
-    // queries); the median of three rejects one poisoned pass. All
-    // per-pass times are persisted so a poisoned artifact is
-    // self-diagnosing.
+    // DECORRELATED passes: the box is shared, and a minutes-long
+    // contention window inflates whatever happens to run inside it.
+    // Back-to-back passes of one query share the window, so per-query
+    // median-of-3 still voted for the noise twice (r3 and r4 driver
+    // artifacts both recorded 2x+ phantom totals on an alphabetical
+    // band). Instead: run pass 1 of EVERY query in name order, then
+    // pass 2 of every query in REVERSE order, and take min-of-passes —
+    // two timings of the same query are now separated by ~half the
+    // battery, so one window can no longer poison both. A query whose
+    // passes were Left+Right gets a third salvage pass at the end
+    // (again outside the original window) so a lone surviving time is
+    // never recorded unscreened. All per-pass times are persisted so a
+    // poisoned artifact stays self-diagnosing.
     // optional subset (comma-separated names) — e.g. the 10 hottest
     // queries for a scale-up run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a failing query is an ERROR, not 0 s — swallowing it would
+    // record ~0 and "improve" the total
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      // noop sink fully materializes every projected column and keeps
+      // top-level sorts (count() would let Catalyst prune projections
+      // and eliminate the ORDER BY — under-measuring scalar batteries
+      // and sorts)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
     // value per query + every pass outcome (time or error string)
     case class QueryResult(value: Either[String, Double],
                            passes: Seq[Either[String, Double]]) {
       def flaky: Boolean = value.isRight && passes.exists(_.isLeft)
     }
+    val pass1: Map[String, Either[String, Double]] =
+      selected.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass2: Map[String, Either[String, Double]] =
+      selected.reverse.map { case (name, fn) => name -> once(fn) }.toMap
     val results: Seq[(String, QueryResult)] =
       selected.map { case (name, fn) =>
-        // a failing query is an ERROR, not 0 s — swallowing it would
-        // record ~0 and "improve" the total
-        def once(): Either[String, Double] = {
-          val t0 = System.nanoTime()
-          // noop sink fully materializes every projected column and keeps
-          // top-level sorts (count() would let Catalyst prune projections
-          // and eliminate the ORDER BY — under-measuring scalar batteries
-          // and sorts)
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          }
-        }
-        val two = Seq(once(), once())
+        val two = Seq(pass1(name), pass2(name))
         val r = two match {
-          case Seq(Right(a), Right(b)) if math.max(a, b) > 2 * math.min(a, b) =>
-            // contention suspect: median of three
-            once() match {
-              case Right(c) =>
-                QueryResult(Right(Seq(a, b, c).sorted.apply(1)),
-                  two :+ Right(c))
-              case l @ Left(_) =>
-                QueryResult(Right(math.min(a, b)), two :+ l)
-            }
           case Seq(Right(a), Right(b)) =>
+            // min, not median: with decorrelated passes a slow outlier
+            // is contention by construction, and min rejects it
             QueryResult(Right(math.min(a, b)), two)
-          // one pass failed: keep the surviving time, but the mixed
-          // outcome is recorded in `flaky` below — a query that OOMs
-          // every other run must not look healthy
-          case Seq(Right(a), Left(_)) => QueryResult(Right(a), two)
-          case Seq(Left(_), Right(b)) => QueryResult(Right(b), two)
-          case Seq(Left(a), Left(_))  => QueryResult(Left(a), two)
+          case Seq(Left(a), Left(_)) => QueryResult(Left(a), two)
+          case _ =>
+            // mixed: one pass failed. Salvage with a third pass so a
+            // lone surviving time never enters the total unscreened —
+            // the query stays marked flaky either way
+            val third = once(fn)
+            val times = (two :+ third).collect { case Right(t) => t }
+            QueryResult(Right(times.min), two :+ third)
         }
         name -> r
       }
@@ -114,8 +119,10 @@ object Bench {
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
+    // absolute default so the canonical artifact location is
+    // cwd-independent (tooling reads this exact path)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_latest.json")
+      "/root/repo/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

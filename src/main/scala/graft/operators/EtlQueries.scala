@@ -41,13 +41,28 @@ object EtlQueries {
   /** Temp views the shared SQL text resolves against, registered once
     * per (session, data dir) instead of on every invocation — and
     * re-registered only when the same session switches data dirs. */
+  // keyed by session UUID (not the session itself) so old sessions are
+  // not strongly retained; compute() registers the views BEFORE the new
+  // dir becomes visible and serializes concurrent callers per session,
+  // so a racing caller can never skip registration and run against
+  // missing or stale-dir views
   private val sqlViewsFor =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    // sessionUUID is private[sql] at the Scala level but public in
+    // bytecode; reflection keeps the key stable per session without
+    // strongly retaining the session itself
+    try s.getClass.getMethod("sessionUUID").invoke(s).toString
+    catch { case _: ReflectiveOperationException =>
+      "id@" + System.identityHashCode(s) }
   private def ensureSqlViews(s: org.apache.spark.sql.SparkSession,
                              dir: String): Unit =
-    if (sqlViewsFor.put(s, dir) != dir)
-      Seq("orders", "customer", "nation", "region")
-        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    sqlViewsFor.compute(sessionKey(s), (_, prev) => {
+      if (prev != dir)
+        Seq("orders", "customer", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      dir
+    })
 
   val specs: Seq[Spec] = Seq(
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -184,8 +184,11 @@ case class MinHashSigExpr(child: Expression, coefs: Seq[(Long, Long)], k: Int = 
   * tokens, which never match a non-empty word set.
   */
 case class TokenInSetCountExpr(child: Expression, words: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  // non-string children fail at analysis time, not with a runtime
+  // ClassCastException inside codegen
+  override def inputTypes = Seq(StringType)
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.length * 2)
@@ -194,11 +197,23 @@ case class TokenInSetCountExpr(child: Expression, words: Seq[String])
   }
 
   def compute(text: UTF8String): Long = {
-    val toks = text.split(TokenInSetCountExpr.Space, -1)
+    // manual byte scan: UTF8String.split is regex-backed (Pattern per
+    // row), which defeats the hot-path purpose. A 0x20 byte never
+    // occurs inside a multi-byte UTF-8 sequence, so splitting on the
+    // raw byte is exact; fromAddress wraps each token as a zero-copy
+    // view for the set probe — no arrays materialized.
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
     var c = 0L
+    var tokStart = 0
     var i = 0
-    while (i < toks.length) {
-      if (set.contains(toks(i))) c += 1
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20.toByte) {
+        if (set.contains(UTF8String.fromAddress(base, off + tokStart, i - tokStart)))
+          c += 1
+        tokStart = i + 1
+      }
       i += 1
     }
     c
@@ -214,8 +229,4 @@ case class TokenInSetCountExpr(child: Expression, words: Seq[String])
 
   override protected def withNewChildInternal(c: Expression): TokenInSetCountExpr =
     copy(child = c)
-}
-
-object TokenInSetCountExpr {
-  private val Space = UTF8String.fromString(" ")
 }
