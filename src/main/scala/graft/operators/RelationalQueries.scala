@@ -301,6 +301,40 @@ object RelationalQueries {
                AND levenshtein(a.n_name, b.n_name) <= 1
              ORDER BY name_a, name_b""")),
 
+    // The SCALE form of the fuzzy match: ScaleOps.blockedFuzzyJoin over
+    // the documents corpus — blocking key (first char × length band)
+    // turns the all-pairs shape above into a shuffle equi-join whose
+    // cost is block-local pair counts, not n². The fuzzy key is the
+    // first 4 words of each document (variable length, so the band
+    // mechanism is actually exercised); the oracle replays the exact
+    // same blocking, including the deliberate first-char recall
+    // trade-off.
+    Spec("q_fuzzy_match_blocked",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
+        ScaleOps.blockedFuzzyJoin(
+            docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
+            docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
+            "s_a", "s_b", maxDist = 4)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH k AS (
+               SELECT doc_id,
+                      array_to_string((string_split(text, ' '))[1:4], ' ') AS s
+               FROM documents),
+             l AS (SELECT doc_id AS id_a, s AS s_a, substr(s, 1, 1) AS c,
+                          length(s) // 4 AS b FROM k),
+             r AS (SELECT doc_id AS id_b, s AS s_b, substr(s, 1, 1) AS c,
+                          length(s) // 4 + o.off AS b
+                   FROM k CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off) o)
+             SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+             FROM l JOIN r USING (c, b)
+             WHERE id_a < id_b AND levenshtein(s_a, s_b) <= 4
+             ORDER BY id_a, id_b""")),
+
     // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     // match each other — the semantics MERGE pipelines need when the
     // join key is itself nullable. Still a hash-partitionable equi

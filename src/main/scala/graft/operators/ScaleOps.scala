@@ -157,6 +157,54 @@ object ScaleOps {
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
+  /** Blocked fuzzy (edit-distance) join — the record-linkage primitive
+    * at corpus scale, replacing the all-pairs cross join with a plain
+    * shuffle EQUI-join on a blocking key (first char × length band).
+    *
+    * Band completeness is exact: `levenshtein ≤ maxDist` implies the
+    * lengths differ by ≤ maxDist, and with band width = maxDist two
+    * such lengths land in the same or adjacent bands — the right side
+    * emits its own band ±1, so every length-compatible pair meets in
+    * exactly one (char, band) block (no post-join dedup needed). The
+    * deliberate recall trade-off is the first-char key: pairs whose
+    * first characters differ are never candidates — the standard
+    * blocking compromise; the MinHash pipeline (DedupQueries) is the
+    * high-recall alternative when that matters. Cost scales with
+    * block-local pair counts instead of n², and the join shuffles on
+    * (char, band) like any equi-join — no cartesian, no theta join.
+    *
+    * Output = all left columns + all right columns + `distCol` (long
+    * edit distance ≤ maxDist); names must not collide.
+    */
+  def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
+                       leftCol: String, rightCol: String,
+                       maxDist: Int, distCol: String = "dist"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val dup = left.columns.intersect(right.columns)
+    require(dup.isEmpty,
+      s"left/right column names must not collide: ${dup.mkString(", ")}")
+    val reserved = Seq("__c", "__b", "__b0", distCol)
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"columns collide with blockedFuzzyJoin internals: ${clash.mkString(", ")}")
+    val w = math.max(maxDist, 1)
+    // int/int Column division is double; cast(long) truncates = floor
+    // for the non-negative lengths here
+    val l = left
+      .withColumn("__c", substring(col(leftCol), 1, 1))
+      .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
+    val r = right
+      .withColumn("__c", substring(col(rightCol), 1, 1))
+      .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
+      .withColumn("__b",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    l.join(r, Seq("__c", "__b"))
+      .withColumn(distCol, levenshtein(col(leftCol), col(rightCol)).cast("long"))
+      .filter(col(distCol) <= maxDist)
+      .drop("__c", "__b")
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `salts`
     * reducers — phase 2 merges the partials. Works for any

@@ -45,6 +45,12 @@ class PlanAssertSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fuzzy_match_blocked plans an equi join on the blocking key — " +
+    "no cartesian, no nested loop") {
+    val p = plan("q_fuzzy_match_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_tfidf broadcasts the scalar corpus count, no cartesian blowup") {
     val p = plan("q_tfidf")
     assert(!p.contains("CartesianProduct"), p)

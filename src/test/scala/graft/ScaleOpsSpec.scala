@@ -157,6 +157,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked fuzzy join equals the brute-force first-char-blocked filter, " +
+    "each pair exactly once") {
+    import spark.implicits._
+    // deterministic short strings over a 3-letter alphabet so near
+    // matches, cross-band pairs, and shared first chars all occur
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 120).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (i.toLong, (0 until len).map(_ => "abc"(rnd.nextInt(3))).mkString)
+    }
+    val a = strs.toDF("id_a", "s_a")
+    val b = strs.toDF("id_b", "s_b")
+    val rows = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b", maxDist = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // blocking completeness: lev <= d implies |Δlen| <= d, and the ±1
+    // neighbour-band emission then guarantees the pair meets in exactly
+    // one block — so blocked == { same first char && lev <= d }
+    val brute = a.crossJoin(b)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(substring(col("s_a"), 1, 1) === substring(col("s_b"), 1, 1) &&
+        col("dist") <= 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == brute)
+    assert(rows.length == rows.toSet.size,
+      "neighbour-band emission produced duplicate pairs")
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = spark.read.parquet(s"$sf/part.parquet")
