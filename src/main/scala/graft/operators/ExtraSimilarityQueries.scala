@@ -6,18 +6,94 @@ import graft.functions.VectorFunctions._
 
 /** IVF-style ANN + TF-IDF (COVERAGE §2.9 X2/X4 extras).
   *
-  * IVF here uses a deterministic coarse codebook (a fixed set of corpus
-  * vectors as centroids) rather than trained k-means — the partition /
-  * probe mechanics are identical: assign every vector to its nearest
-  * centroid (map-only pass against a broadcast codebook), then search
-  * only the probed cell. At 100 TB the cell assignment is the
-  * shuffle key that turns full-corpus scans into ~1/C cell scans.
+  * The IVF codebook is TRAINED: a fixed deterministic init (the first
+  * `NCentroids` corpus vectors) refined by `LloydIters` Lloyd
+  * iterations — assign every training vector to its nearest centroid,
+  * recompute each centroid as the element-wise mean of its cell. Every
+  * step is replayed verbatim by the DuckDB oracle (fixed init, the
+  * identical three-dot distance expansion, ties on cent_id), so the
+  * trained codebook is gate-checked, not just the probe mechanics.
+  * At 100 TB this is the honest k-means shape: per-iteration cost is
+  * one broadcast-assign pass plus a (cent_id, pos)-keyed mean — the
+  * aggregate output is k×dim values, never corpus-sized — and the cell
+  * assignment is the shuffle key that turns full-corpus scans into
+  * ~1/C cell scans.
   */
 object ExtraSimilarityQueries {
   import Q._
 
   private val NCentroids = 8
   private val K = 5
+  // the q_ann_ivf oracle unrolls the Lloyd chain as explicit CTEs
+  // (a1/c1/a2/c2) — it replays exactly 2 iterations, keep in sync
+  private val LloydIters = 2
+
+  /** Nearest-centroid assignment: broadcast the k×dim codebook, rank by
+    * the same ‖a−b‖² dot expansion the oracle computes (sqrt omitted:
+    * monotonic), ties broken on cent_id. Adds `cent_id` to `df`. */
+  private def assignTo(cents: org.apache.spark.sql.DataFrame)(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      vCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d"), col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__d",
+        dot(col(vCol), col(vCol)) - lit(2) * dot(col(vCol), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__d", "__rn", "cv")
+  }
+
+  /** `iters` Lloyd refinements of the fixed init codebook over the
+    * corpus vectors. The mean is computed long-form (posexplode →
+    * avg per (cent_id, pos) → re-assemble sorted by pos) so it stays a
+    * pair of tiny aggregations; an emptied cell keeps its previous
+    * centroid. Returns (cent_id, cv: array<double>). */
+  private def lloydCentroids(e: org.apache.spark.sql.DataFrame,
+                             iters: Int): org.apache.spark.sql.DataFrame = {
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding").as("ev"))
+    var cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+    for (_ <- 0 until iters) {
+      val means = assignTo(cents)(corpus, "vec_id", "ev")
+        .select(col("cent_id"),
+          posexplode(graft.functions.VectorFunctions.asDouble(col("ev")))
+            .as(Seq("pos", "val")))
+        .groupBy("cent_id", "pos").agg(avg("val").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv_new"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** DuckDB replay of one nearest-centroid assignment. */
+  private def assignSql(cents: String, idAs: String, flt: String): String =
+    s"""SELECT $idAs, v, cent_id FROM (
+       SELECT e.vec_id AS $idAs, e.v, c.cent_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.v, e.v)
+                         - 2 * list_dot_product(e.v, c.cv)
+                         + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
+       FROM e, $cents c WHERE $flt) x WHERE rn = 1"""
+
+  /** DuckDB replay of one Lloyd mean step (zipped unnest gives
+    * (value, position) pairs; emptied cells keep the previous
+    * centroid via the left-join coalesce). */
+  private def meansSql(assigned: String, prev: String): String =
+    s"""SELECT p.cent_id, coalesce(m.cv, p.cv) AS cv
+       FROM $prev p LEFT JOIN (
+         SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+           SELECT cent_id, pos, avg(val) AS m FROM (
+             SELECT cent_id, unnest(v) AS val,
+                    unnest(range(1, len(v) + 1)) AS pos
+             FROM $assigned) GROUP BY cent_id, pos)
+         GROUP BY cent_id) m ON p.cent_id = m.cent_id"""
 
   // same seeded hyperplanes as SimilarityQueries (seed 42) so the two
   // modules' buckets agree
@@ -34,23 +110,8 @@ object ExtraSimilarityQueries {
     Spec("q_ann_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < NCentroids)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-        def assign(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   vCol: String): org.apache.spark.sql.DataFrame = {
-          val w = Window.partitionBy(col(idCol))
-            .orderBy(col("__d"), col("cent_id"))
-          // ‖a−b‖² via the dot expansion — the exact same three-dot formula
-          // the DuckDB oracle computes, so assignment ties break
-          // identically (sqrt omitted: monotonic)
-          df.crossJoin(broadcast(cents))
-            .withColumn("__d",
-              dot(col(vCol), col(vCol)) - lit(2) * dot(col(vCol), col("cv"))
-                + dot(col("cv"), col("cv")))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .drop("__d", "__rn", "cv")
-        }
+        val cents = lloydCentroids(e, LloydIters)
+        val assign = assignTo(cents) _
         val corpus = assign(
           e.filter(col("vec_id") >= 20)
             .select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
@@ -67,24 +128,16 @@ object ExtraSimilarityQueries {
               cosine(col("qv"), col("ev")).as("cos")), K)
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
-             corpus AS (
-               SELECT vec_id, v, cent_id FROM (
-                 SELECT e.vec_id, e.v, c.cent_id,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY list_dot_product(e.v, e.v)
-                                   - 2 * list_dot_product(e.v, c.cv)
-                                   + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
-                 FROM e, cents c WHERE e.vec_id >= 20) x WHERE rn = 1),
+             c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             a1 AS (${assignSql("c0", "vid", "e.vec_id >= 20")}),
+             c1 AS (${meansSql("a1", "c0")}),
+             a2 AS (${assignSql("c1", "vid", "e.vec_id >= 20")}),
+             c2 AS (${meansSql("a2", "c1")}),
+             corpus AS (${assignSql("c2", "vec_id", "e.vec_id >= 20")}),
              queries AS (
-               SELECT query_id, v, q_cent FROM (
-                 SELECT e.vec_id AS query_id, e.v, c.cent_id AS q_cent,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY list_dot_product(e.v, e.v)
-                                   - 2 * list_dot_product(e.v, c.cv)
-                                   + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
-                 FROM e, cents c WHERE e.vec_id >= $NCentroids AND e.vec_id < 13) x
-               WHERE rn = 1),
+               SELECT vid AS query_id, v, cent_id AS q_cent FROM (
+                 ${assignSql("c2", "vid",
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13")}) z),
              scored AS (
                SELECT q.query_id, c.vec_id,
                       list_dot_product(q.v, c.v)
