@@ -239,6 +239,33 @@ ORDER BY d.doc_id"""
       .orderBy(col("doc_id"))
   }
 
+  /** Co-occurrence pairs from an inverted (doc_id, sh) index with a
+    * document-frequency cap: a shingle shared by m docs contributes
+    * m·(m−1)/2 candidate pairs, and real corpora carry boilerplate
+    * shingles with huge m — so shingles with df > cap are dropped
+    * BEFORE the self-join, bounding every shingle's contribution at
+    * cap²/2 pairs. The hot set is tiny by construction (only
+    * boilerplate exceeds the cap), so the drop is a broadcast anti-join
+    * that never shuffles the index; intersection counts for pairs
+    * sharing a dropped shingle undercount by exactly those shingles —
+    * the standard, documented trade (a boilerplate shingle carries no
+    * dedup signal). Returns (doc_a < doc_b, inter). */
+  def invertedIndexPairs(inv: org.apache.spark.sql.DataFrame,
+                         dfCap: Int): org.apache.spark.sql.DataFrame = {
+    val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("sh"))
+    val kept = inv.join(broadcast(hot), Seq("sh"), "left_anti")
+    kept.as("x")
+      .join(kept.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** df > NgramDfCap shingles are boilerplate: mirrored as the HAVING
+    * threshold in the q_dedup_ngram_jaccard oracle — keep in sync. */
+  val NgramDfCap = 20
+
   /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard ≥
     * threshold), shared by the pair and cluster queries. Candidate
     * generation is a self-equi-join on (band, bandHash) — at scale a
@@ -421,18 +448,16 @@ FROM grouped ORDER BY doc_id""")),
 
     // Direct n-gram Jaccard via an inverted shingle index on a bounded
     // subset: explode distinct shingles, self-join on the shingle, count
-    // co-occurrences per pair. Never materializes non-overlapping pairs.
+    // co-occurrences per pair. Never materializes non-overlapping pairs,
+    // and hot (boilerplate) shingles are df-capped before the self-join
+    // — see invertedIndexPairs.
     Spec("q_dedup_ngram_jaccard",
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
         val sizes = docs.select(col("doc_id"), size(col("s")).as("n"))
-        val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
-        val pairs = inv.as("x")
-          .join(inv.as("y"), col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
+        val pairs = invertedIndexPairs(
+          docs.select(col("doc_id"), explode(col("s")).as("sh")), NgramDfCap)
         pairs
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -454,9 +479,13 @@ FROM grouped ORDER BY doc_id""")),
                       ELSE [text] END) AS s
                FROM documents WHERE doc_id < 200),
              inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+             kept AS (
+               SELECT * FROM inv WHERE shingle NOT IN (
+                 SELECT shingle FROM inv GROUP BY shingle
+                 HAVING count(*) > 20)),
              pairs AS (
                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-               FROM inv x JOIN inv y
+               FROM kept x JOIN kept y
                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
                GROUP BY x.doc_id, y.doc_id),
              scored AS (

@@ -15,6 +15,26 @@ class DedupClustersSpec extends AnyFunSuite {
     (0L until edges.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
   }
 
+  test("df-capped inverted index bounds a boilerplate shingle's pair blowup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 docs all share one boilerplate shingle (m=100 → 4950 pairs
+    // uncapped); docs 2i/2i+1 also share a rare distinguishing shingle
+    val boiler = (0L until 100L).map(i => (i, "BOILER"))
+    val rare = (0L until 100L).map(i => (i, s"rare${i / 2}"))
+    val inv = (boiler ++ rare).toDF("doc_id", "sh")
+    val capped = DedupQueries.invertedIndexPairs(inv, dfCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the 50 rare-shingle pairs survive; the hot shingle
+    // contributes nothing — candidate count is bounded by the rare df
+    assert(capped.length == 50, s"got ${capped.length} pairs")
+    assert(capped.forall { case (a, b, inter) => b == a + 1 && inter == 1 })
+    // and without the cap the same index explodes quadratically
+    // (every doc pair shares BOILER, so all C(100,2) pairs materialize)
+    val uncapped = DedupQueries.invertedIndexPairs(inv, dfCap = 1000).count()
+    assert(uncapped == 4950, s"got $uncapped")
+  }
+
   test("a path deeper than the round cap throws instead of mislabeling") {
     // min labels travel one hop per round: a 12-edge path needs 12
     // rounds; cap at 5 must abort
