@@ -446,6 +446,50 @@ SELECT doc_id, group_id,
             ELSE 'test' END AS split
 FROM grouped ORDER BY doc_id""")),
 
+    // The SQL registration path as a gate row: the same native
+    // expressions the pipelines use, but invoked THROUGH
+    // `spark.sql(...)` against the GraftExtensions-registered function
+    // names — so the SQL surface (name resolution, arg binding, the
+    // array return types) is oracle-checked, not just unit-tested.
+    // Values replay in DuckDB via the same md5→31-bit machinery as the
+    // MinHash oracle above.
+    Spec("q_sql_native_fns",
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        t(s, dir, "documents").filter(col("doc_id") < 50)
+          .createOrReplaceTempView("sql_fn_docs")
+        s.sql("""SELECT doc_id,
+                   CAST(size(shingle_set(text)) AS BIGINT) AS n_shingles,
+                   minhash_sig(text, 4)[0] AS mh0,
+                   minhash_sig(text, 4)[3] AS mh3
+                 FROM sql_fn_docs ORDER BY doc_id""")
+      },
+      Some {
+        import graft.functions.TextFunctions.{MinhashP, minhashCoefs}
+        val coefs = minhashCoefs(4)
+        def mh(i: Int) = {
+          val (a, b) = coefs(i)
+          s"list_min(list_transform(h, v -> ($a * v + $b) % $MinhashP))"
+        }
+        s"""WITH toks AS (
+             SELECT doc_id, text, string_split(text, ' ') AS t
+             FROM documents WHERE doc_id < 50),
+           sh AS (
+             SELECT doc_id, list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                    ELSE [text] END) AS s
+             FROM toks),
+           hs AS (
+             SELECT doc_id, s, list_transform(s, x ->
+               CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS h
+             FROM sh)
+           SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+                  ${mh(0)} AS mh0, ${mh(3)} AS mh3
+           FROM hs ORDER BY doc_id"""
+      }),
+
     // Direct n-gram Jaccard via an inverted shingle index on a bounded
     // subset: explode distinct shingles, self-join on the shingle, count
     // co-occurrences per pair. Never materializes non-overlapping pairs,
