@@ -41,6 +41,47 @@ object EtlQueries {
   /** Temp views the shared SQL text resolves against, registered once
     * per (session, data dir) instead of on every invocation — and
     * re-registered only when the same session switches data dirs. */
+  /** On-disk REPEATED-mode fixture (S5 end-to-end): a `;`-CSV whose
+    * third column is a REPEATED INTEGER cell (`|`-separated elements —
+    * see Repair.coerce), plus the YAML schema file declaring it.
+    * Exercises the full chain schema-file → StructType → ingest →
+    * arity filter → lenient element coercion. Created once per JVM. */
+  private val RepeatedCsvText = Seq(
+    "ID;NAME;VALS", // header row (skipHeaders default)
+    "0;alpha;1|2|3",
+    // NB: no unparseable elements here — a NULL inside a list becomes a
+    // numpy MaskedArray in the DuckDB→pandas bridge, which comparators
+    // may not canonicalize; the NULL-element coercion is spec-covered
+    // in CsvIngestSpec instead
+    "1;beta;4|5|6",
+    "2;gamma;", // empty cell -> NULL array
+    "3;delta;7",
+    "junk-row-wrong-arity", // dropped by the arity filter
+    "4;epsilon;8|9").mkString("\n")
+  private val RepeatedSchemaYaml =
+    """fields:
+      |  - name: ID
+      |    type: INTEGER
+      |    mode: REQUIRED
+      |  - name: NAME
+      |    type: STRING
+      |    mode: NULLABLE
+      |  - name: VALS
+      |    type: INTEGER
+      |    mode: REPEATED
+      |""".stripMargin
+  private lazy val repeatedFixture: (String, java.nio.file.Path) = {
+    val d = java.nio.file.Files.createTempDirectory("graft_repeated")
+    val csv = d.resolve("seq_202109.csv")
+    java.nio.file.Files.write(csv, RepeatedCsvText.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    val sch = d.resolve("seq_schema.yaml")
+    java.nio.file.Files.write(sch, RepeatedSchemaYaml.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    csv.toFile.deleteOnExit(); sch.toFile.deleteOnExit(); d.toFile.deleteOnExit()
+    (csv.toString, sch)
+  }
+
   // keyed by session UUID (not the session itself) so old sessions are
   // not strongly retained; compute() registers the views BEFORE the new
   // dir becomes visible and serializes concurrent callers per session,
@@ -121,6 +162,33 @@ object EtlQueries {
              SELECT k, string_split(raw, ';')[2] AS n_name
              FROM raw WHERE len(string_split(raw, ';')) = 3
              ORDER BY k""")),
+
+    // S5 REPEATED end-to-end: the YAML schema's `mode: REPEATED` field
+    // drives a real on-disk CSV through CsvIngest.read — header skip,
+    // arity drop, and per-element lenient coercion all land in the
+    // typed array column. The oracle replays the raw lines as VALUES
+    // and the identical parse in DuckDB list functions.
+    Spec("q_csv_repeated_e2e",
+      (s, _) => {
+        val (csv, sch) = repeatedFixture
+        val schema = graft.sources.SchemaIO.parseFile(sch)
+        graft.sources.CsvIngest.read(s, csv, schema)
+          .select(col("ID").as("id"), col("NAME").as("name"),
+            col("VALS").as("vals"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH lines(line) AS (VALUES
+               ('0;alpha;1|2|3'), ('1;beta;4|5|6'), ('2;gamma;'),
+               ('3;delta;7'), ('junk-row-wrong-arity'), ('4;epsilon;8|9')),
+             cells AS (
+               SELECT string_split(line, ';') AS c FROM lines
+               WHERE len(string_split(line, ';')) = 3)
+             SELECT CAST(c[1] AS BIGINT) AS id, c[2] AS name,
+                    CASE WHEN c[3] = '' THEN NULL
+                         ELSE list_transform(string_split(c[3], '|'),
+                                             x -> TRY_CAST(x AS BIGINT))
+                    END AS vals
+             FROM cells ORDER BY id""")),
 
     // F2 — lenient INTEGER coercion (`main.py:111-115`): mixed
     // valid-int / alphabetic strings; unparseable → NULL. (Decimal

@@ -51,6 +51,15 @@ object Repair {
     case DoubleType    => lenientDouble(c)
     case TimestampType => lenientTimestamp(c)
     case StringType    => c // passthrough, no branch in fix_csv_row
+    // REPEATED cells (SchemaIO mode REPEATED → ArrayType): elements
+    // '|'-separated inside the cell — BigQuery CSV can't carry REPEATED,
+    // so the wire convention is this library's, documented here. Each
+    // element gets the same lenient coercion as a scalar cell of the
+    // element type (unparseable → NULL element); an empty cell is a
+    // NULL array, matching the scalar null-on-empty behaviour.
+    case ArrayType(et, _) =>
+      when(c === "", lit(null).cast(ArrayType(et)))
+        .otherwise(transform(split(c, "\\|"), e => coerce(e, et)))
     case other         => c.try_cast(other)
   }
 

@@ -22,6 +22,28 @@ class CsvIngestSpec extends AnyFunSuite {
     Files.write(dir.resolve(name),
       lines.mkString("", "\n", "\n").getBytes("ISO-8859-1"))
 
+  test("REPEATED schema field parses '|'-separated cells: typed elements, " +
+    "NULL element on junk, NULL array on empty cell") {
+    val dir = tmpDir()
+    write(dir, "rep_1.csv", Seq(
+      "ID;VALS",
+      "0;1|2|3",
+      "1;4|x|6",
+      "2;",
+      "3;7"))
+    val sch = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("VALS", ArrayType(LongType))))
+    val rows = CsvIngest.read(spark, dir.resolve("rep_1.csv").toString, sch)
+      .orderBy("ID").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows(0).getSeq[Any](1) == Seq(1L, 2L, 3L))
+    assert(rows(1).getSeq[Any](1) == Seq(4L, null, 6L),
+      s"junk element must coerce to NULL, got ${rows(1).getSeq[Any](1)}")
+    assert(rows(2).isNullAt(1), "empty cell must be a NULL array")
+    assert(rows(3).getSeq[Any](1) == Seq(7L))
+  }
+
   test("pickLatest: lexicographic max; none → CsvNotFound; bad ext → CsvInvalid") {
     val dir = tmpDir()
     write(dir, "cars_202107.csv", Seq("h"))

@@ -18,9 +18,14 @@ def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify everything so dtype differences don't mask value equality
     def cell(v):
-        if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        import numpy as np
+        if v is None or v is np.ma.masked:
+            return "<null>"
+        # DuckDB lists with NULL elements surface as numpy MaskedArray
+        if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0 \
+                or isinstance(v, np.ma.MaskedArray):
             return "[" + ",".join(cell(x) for x in v) + "]"
-        if v is None or v != v:
+        if v != v:
             return "<null>"
         if isinstance(v, float):
             return repr(v)
