@@ -18,15 +18,26 @@ import org.apache.spark.sql.functions._
   * pair a true near-dup and quadratically inflating the REAL pair
   * count (that measures the data, not the engine).
   *
-  * Usage: runMain graft.examples.ScaleUp <srcDir> <destDir> [factor]
+  * An optional 4th arg appends `hotDocs` boilerplate documents that all
+  * share ONE text — every MinHash band of those docs lands in the same
+  * band bucket, the worst-case hot key for the dedup band join. Used by
+  * graft.examples.SkewProbe to measure AQE's skew-split bounding that
+  * join's task times (real corpora carry exactly this shape: licence
+  * headers, cookie banners, templated pages).
+  *
+  * Usage: runMain graft.examples.ScaleUp <srcDir> <destDir> [factor] [hotDocs]
   */
 object ScaleUp {
   private val Off = 10000000L // disjoint per-copy key offset
+  val HotIdBase = 900000000L
+  val HotText: String =
+    "terms of service apply to all content provided herein all rights reserved"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val hotDocs = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,12 +68,21 @@ object ScaleUp {
       shiftCols(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(copies(read("events"))(shiftCols(_, _, "event_id", "user_id")),
       "events")
-    write(copies(read("documents")) { (df, off) =>
+    val docsScaled = copies(read("documents")) { (df, off) =>
       val shifted = shiftCols(df, off, "doc_id")
       if (off == 0L) shifted
       else shifted.withColumn("text",
         regexp_replace(col("text"), "(\\S+)", "$1c" + (off / Off)))
-    }, "documents")
+    }
+    val docsOut =
+      if (hotDocs == 0) docsScaled
+      else docsScaled.unionByName(spark.range(hotDocs.toLong)
+        .select((col("id") + HotIdBase).as("doc_id"),
+          lit(HotText).as("text"),
+          lit("en").as("lang"),
+          lit("boilerplate").as("source"),
+          lit(HotText.length.toLong).as("n_chars")))
+    write(docsOut, "documents")
     write(copies(read("embeddings"))(shiftCols(_, _, "vec_id")), "embeddings")
 
     println(s"""{"scaled": "$src -> $dest", "factor": $factor}""")

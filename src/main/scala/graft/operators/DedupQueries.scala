@@ -277,11 +277,14 @@ ORDER BY d.doc_id"""
     * Uses the native single-pass expressions (graft.plans) — the HOF
     * chain is interpreted per element and was the whole-query
     * bottleneck. */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
-    val sig = t(s, dir, "documents")
+  /** The LSH band-candidate leg on its own: signatures → per-band
+    * (band, bandHash) keys → self-equi-join → raw (doc_a < doc_b)
+    * candidates (NOT distinct'd — callers dedup). Public so the skew
+    * probe (graft.examples.SkewProbe) can measure exactly this join
+    * under a deliberately hot band bucket. */
+  def bandCandidates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = docs
       .select(col("doc_id"),
         minhashSigFast(col("text"), Bands * RowsPerBand).as("mh"))
       .select(col("doc_id"),
@@ -289,9 +292,16 @@ ORDER BY d.doc_id"""
     val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
       col("bh").as("bh_b"))
-    val cand = a.join(b, col("band") === col("band_b") &&
+    a.join(b, col("band") === col("band_b") &&
         col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
+    val cand = bandCandidates(t(s, dir, "documents")).distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter)
