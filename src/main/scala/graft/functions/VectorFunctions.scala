@@ -4,33 +4,42 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector math over `ArrayType` embedding columns (SURVEY §2.9
-  * X2/X3), built purely from codegen-friendly higher-order built-ins —
-  * no UDFs, so whole-stage codegen and column pruning survive.
+  * X2/X3). The three primitives route through native one-pass Catalyst
+  * expressions ([[graft.plans.DotProductExpr]] and friends) — the
+  * earlier higher-order-function formulation (`aggregate(zip_with(...))`)
+  * was interpreted per element and materialized the zipped array per
+  * pair, which on a brute-force scorer is a per-pair constant that
+  * dominates at corpus scale (see BASELINE.md "Native expressions vs
+  * chained HOFs" for the measured gap on the MinHash family).
   *
-  * All arithmetic is forced to double (the testdata embeddings are
-  * float32) so results are reproducible against any double-precision
-  * oracle, and folds run left-to-right giving deterministic sums.
+  * Value semantics are unchanged and bit-identical: elements widen to
+  * double before any arithmetic, folds run left-to-right, and NULL is
+  * produced on length mismatch or null elements exactly as
+  * `zip_with`'s null-padding did.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import graft.plans.{CosineSimExpr, DotProductExpr, L2DistanceExpr}
 
-  /** Cast any numeric array column to array<double>. */
+  /** Cast any numeric array column to array<double> (the native
+    * expressions widen internally; this remains for callers that need
+    * a double array value, e.g. quantization stats). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Σ aᵢ·bᵢ — sequential left fold, deterministic. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    column(DotProductExpr(expression(a), expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe on zero vectors is the caller's
-    * concern (testdata embeddings are non-degenerate). */
+  /** Cosine similarity in ONE fused pass over both arrays (dot and the
+    * two norms share the element reads); null-safe on zero vectors is
+    * the caller's concern (testdata embeddings are non-degenerate). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    column(CosineSimExpr(expression(a), expression(b)))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    column(L2DistanceExpr(expression(a), expression(b)))
 
   /** Random-hyperplane LSH bucket (SimHash for vectors): the sign bit
     * of the dot product against each fixed hyperplane, concatenated to

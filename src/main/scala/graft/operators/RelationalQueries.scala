@@ -316,7 +316,7 @@ object RelationalQueries {
         ScaleOps.blockedFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
-            "s_a", "s_b", maxDist = 4)
+            "s_a", "s_b", maxDist = 4, salts = 1)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))

@@ -175,15 +175,26 @@ object ScaleOps {
     *
     * Output = all left columns + all right columns + `distCol` (long
     * edit distance ≤ maxDist); names must not collide.
+    *
+    * `salts > 1` additionally splits each block's LEFT side across
+    * `salts` sub-keys (right side replicated per salt) — the result
+    * set is identical, but a boilerplate-heavy hot block's n_l × n_r
+    * edit-distance work spreads over `salts` tasks instead of one.
+    * The right-side replication cost is `salts ×` on the (id, key)
+    * projection only, the standard trade for bounding the straggler;
+    * AQE's skew split does the same for reducer-side bytes but cannot
+    * split the per-task CPU of one hot block's quadratic verify loop.
     */
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
-                       maxDist: Int, distCol: String = "dist"): DataFrame = {
+                       maxDist: Int, distCol: String = "dist",
+                       salts: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    require(salts >= 1, "salts must be >= 1")
     val dup = left.columns.intersect(right.columns)
     require(dup.isEmpty,
       s"left/right column names must not collide: ${dup.mkString(", ")}")
-    val reserved = Seq("__c", "__b", "__b0", distCol)
+    val reserved = Seq("__c", "__b", "__b0", "__s", distCol)
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"columns collide with blockedFuzzyJoin internals: ${clash.mkString(", ")}")
@@ -193,16 +204,25 @@ object ScaleOps {
     val l = left
       .withColumn("__c", substring(col(leftCol), 1, 1))
       .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
+      .withColumn("__s", pmod(xxhash64(col(leftCol)), lit(salts)))
     val r = right
       .withColumn("__c", substring(col(rightCol), 1, 1))
       .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
       .withColumn("__b",
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")
-    l.join(r, Seq("__c", "__b"))
-      .withColumn(distCol, levenshtein(col(leftCol), col(rightCol)).cast("long"))
-      .filter(col(distCol) <= maxDist)
-      .drop("__c", "__b")
+      .withColumn("__s", explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq("__c", "__b", "__s"))
+      // levenshtein(a,b) >= |len(a)-len(b)|: reject on the cheap length
+      // probe before any DP table is built
+      .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)
+      // thresholded levenshtein runs the banded O(n·maxDist) algorithm
+      // (vs O(n·m) full DP) and returns -1 past the threshold — identical
+      // kept rows, ~len/(2·maxDist+1)× less work per pair
+      .withColumn(distCol,
+        levenshtein(col(leftCol), col(rightCol), maxDist).cast("long"))
+      .filter(col(distCol) >= 0)
+      .drop("__c", "__b", "__s")
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1

@@ -184,6 +184,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.toSet == brute)
     assert(rows.length == rows.toSet.size,
       "neighbour-band emission produced duplicate pairs")
+    // salting is physical only: identical pair set, no duplicates
+    val salted = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, salts = 5)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted.toSet == brute && salted.length == salted.toSet.size,
+      "salted blocked fuzzy join must equal the unsalted result")
   }
 
   test("salted join equals plain join") {
