@@ -47,7 +47,11 @@ sig AS (
     * signatures match bit-for-bit. Generated so the constants stay in
     * lockstep with the Spark side. `withPrefix` lets the clusters query
     * prepend WITH RECURSIVE. */
-  private def minhashScoredCte(withPrefix: String): String = {
+  /** Shared prefix of the MinHash oracles: everything through the
+    * per-document `bands` CTE (and the `sh` shingle sets the verify
+    * step re-joins). The pair queries and the incremental batch-vs-
+    * corpus query append their own `cand`/`scored` tails. */
+  private def minhashBandsCte(withPrefix: String): String = {
     import graft.functions.TextFunctions.{MinhashP, minhashCoefs}
     val coefs = minhashCoefs(Bands * RowsPerBand)
     val mhCols = coefs.zipWithIndex.map { case ((a, b), i) =>
@@ -77,7 +81,11 @@ sig AS (
     $mhCols
   FROM hs),
 bands AS (
-  $bandSelects),
+  $bandSelects)"""
+  }
+
+  private def minhashScoredCte(withPrefix: String): String = {
+    s"""${minhashBandsCte(withPrefix)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
@@ -282,19 +290,65 @@ ORDER BY d.doc_id"""
     * candidates (NOT distinct'd — callers dedup). Public so the skew
     * probe (graft.examples.SkewProbe) can measure exactly this join
     * under a deliberately hot band bucket. */
-  def bandCandidates(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val sig = docs
+  /** Per-document LSH band index (doc_id, band, bh) — as a maintained
+    * corpus artifact this is THE incremental-dedup enabler: a corpus
+    * table bucketed by (band, bh) that new batches equi-join against
+    * without ever rescanning corpus text (see incrementalKeep). */
+  def bandIndex(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"),
         minhashSigFast(col("text"), Bands * RowsPerBand).as("mh"))
       .select(col("doc_id"),
         posexplode(lshBands(col("mh"), Bands, RowsPerBand)).as(Seq("band", "bh")))
+
+  def bandCandidates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = bandIndex(docs)
     val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
       col("bh").as("bh_b"))
     a.join(b, col("band") === col("band_b") &&
         col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup dedup — the production
+    * shape: dedup each NEW ingest batch against the full historical
+    * corpus without re-processing the corpus. The corpus side is the
+    * maintained [[bandIndex]] table (plus a (doc_id, shingle-set)
+    * store for verify); per batch, the work is: signature the batch,
+    * equi-join its bands against the index (co-partitioned when the
+    * index is bucketed by (band, bh) — zero corpus shuffle), verify
+    * the candidates with exact Jaccard fetching ONLY the candidates'
+    * corpus sets by id, then broadcast-anti-join the tiny drop set.
+    * Batch-internal dups are q_dedup_corpus's job — compose the two
+    * (dedup the batch, then this) for a full ingest pipeline.
+    * Returns the kept subset of `batch` (all its columns). */
+  def incrementalKeep(batch: org.apache.spark.sql.DataFrame,
+                      corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bIdx = bandIndex(batch)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val cIdx = bandIndex(corpus)
+      .select(col("doc_id").as("old_id"), col("band").as("band_c"),
+        col("bh").as("bh_c"))
+    val cand = bIdx.join(cIdx,
+        col("band") === col("band_c") && col("bh") === col("bh_c"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val bSets = batch.select(col("doc_id").as("new_id"),
+      shingleSetFast(col("text")).as("sa"))
+    val cSets = corpus.select(col("doc_id").as("old_id"),
+      shingleSetFast(col("text")).as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter)
+    val drops = cand
+      .join(bSets, "new_id")
+      .join(cSets, "old_id")
+      .filter(jac >= MinhashJaccardThreshold)
+      .select(col("new_id")).distinct()
+    batch.join(broadcast(drops), col("doc_id") === col("new_id"), "left_anti")
   }
 
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
@@ -337,6 +391,37 @@ ORDER BY d.doc_id"""
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(minhashOracle)),
+
+    // Incremental batch-vs-corpus dedup: every 5th document plays the
+    // role of today's ingest batch, the rest the historical corpus.
+    // The batch's bands equi-join the corpus band index; candidates
+    // verify with exact Jaccard; survivors pass through. At corpus
+    // scale the index is a maintained (band, bh)-bucketed table, so
+    // a daily batch never rescans or reshuffles the corpus.
+    Spec("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        incrementalKeep(batch, corpus)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${minhashBandsCte("WITH")},
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+  FROM bands b JOIN bands a ON b.band = a.band AND b.bh = a.bh
+  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0),
+drops AS (
+  SELECT DISTINCT new_id FROM cand
+  JOIN sh sa ON sa.doc_id = new_id
+  JOIN sh sb ON sb.doc_id = old_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        >= $MinhashJaccardThreshold)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM drops)
+ORDER BY doc_id""")),
 
     // Duplicate-cluster resolution on top of the MinHash pairs: the
     // step that turns a pair detector into a usable dedup pipeline —

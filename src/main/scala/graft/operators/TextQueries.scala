@@ -281,6 +281,57 @@ object TextQueries {
                    < t.target * 1000000
              GROUP BY d.lang ORDER BY d.lang""")),
 
+    // Source mixing to TARGET token proportions — the "data mixture"
+    // step of a training pipeline (upweight curated languages/sources,
+    // downsample the over-represented ones to a token budget). Given
+    // target weights w_c and budget B = T/2 tokens, each class keeps
+    // rate_c = min(1, w_c·B / toks_c) of its documents by the same
+    // deterministic md5-threshold the balancer uses (the min(1, ·) cap
+    // is implicit: bucket < 1e6 always, so rate ≥ 1 keeps everything —
+    // exercised here by 'de', whose target exceeds its supply). Two
+    // tiny broadcast aggregates; the corpus itself is filtered in one
+    // map-only pass — no shuffle of document rows at any scale. All
+    // threshold arithmetic is integer (exact cross-engine); the long
+    // products stay < 2^63 until ~4.6e12 tokens per class — past that,
+    // promote the comparison to decimal(38).
+    Spec("q_mix_sources",
+      (s, dir) => {
+        val bucket = conv(substring(md5(concat(lit("mix|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 1000000L
+        val w = when(col("lang") === "en", 250L)
+          .when(col("lang") === "de", 350L)
+          .when(col("lang") === "es", 150L)
+          .when(col("lang") === "fr", 150L)
+          .otherwise(100L)
+        val tok = size(split(col("text"), " ")).cast("long")
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy(col("lang"))
+          .agg(sum(tok).as("toks_lang"))
+        val total = counts.agg(sum(col("toks_lang")).as("T"))
+        docs.withColumn("tok", tok)
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(total))
+          .filter(bucket * 2L * col("toks_lang") < w * col("T") * 1000L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("toks_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tk AS (
+               SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+               FROM documents),
+             counts AS (SELECT lang, sum(tok) AS toks_lang FROM tk GROUP BY lang),
+             total AS (SELECT sum(toks_lang) AS T FROM counts)
+             SELECT d.lang, count(*) AS n_kept,
+                    CAST(sum(d.tok) AS BIGINT) AS toks_kept
+             FROM tk d JOIN counts c ON d.lang = c.lang CROSS JOIN total t
+             WHERE (CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) * 2 * c.toks_lang
+                   < (CASE d.lang WHEN 'en' THEN 250 WHEN 'de' THEN 350
+                                  WHEN 'es' THEN 150 WHEN 'fr' THEN 150
+                                  ELSE 100 END) * t.T * 1000
+             GROUP BY d.lang ORDER BY d.lang""")),
+
     // Exact-k deterministic sample per group — the complement of the
     // hash-threshold balancer when exactly k rows per class are
     // required: k smallest md5-order rows per lang through the native

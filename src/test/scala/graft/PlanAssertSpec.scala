@@ -172,6 +172,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_recall",         // contains the brute leg
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_balance_classes",    // 1-row scalar target crossJoin
+      "q_mix_sources",        // 1-row token-total crossJoin
       "q_tfidf")              // 1-row corpus-count crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
