@@ -553,11 +553,19 @@ FROM grouped ORDER BY doc_id""")),
         graft.plans.GraftExtensions.register(s)
         t(s, dir, "documents").filter(col("doc_id") < 50)
           .createOrReplaceTempView("sql_fn_docs")
-        s.sql("""SELECT doc_id,
-                   CAST(size(shingle_set(text)) AS BIGINT) AS n_shingles,
-                   minhash_sig(text, 4)[0] AS mh0,
-                   minhash_sig(text, 4)[3] AS mh3
-                 FROM sql_fn_docs ORDER BY doc_id""")
+        t(s, dir, "embeddings").filter(col("vec_id") <= 50)
+          .createOrReplaceTempView("sql_fn_vecs")
+        s.sql("""SELECT d.doc_id,
+                   CAST(size(shingle_set(d.text)) AS BIGINT) AS n_shingles,
+                   minhash_sig(d.text, 4)[0] AS mh0,
+                   minhash_sig(d.text, 4)[3] AS mh3,
+                   round(vec_dot(a.embedding, b.embedding), 4) AS dot_next,
+                   round(vec_cosine(a.embedding, b.embedding), 4) AS cos_next,
+                   round(vec_l2(a.embedding, b.embedding), 4) AS l2_next
+                 FROM sql_fn_docs d
+                 JOIN sql_fn_vecs a ON a.vec_id = d.doc_id
+                 JOIN sql_fn_vecs b ON b.vec_id = d.doc_id + 1
+                 ORDER BY d.doc_id""")
       },
       Some {
         import graft.functions.TextFunctions.{MinhashP, minhashCoefs}
@@ -579,10 +587,24 @@ FROM grouped ORDER BY doc_id""")),
            hs AS (
              SELECT doc_id, s, list_transform(s, x ->
                CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS h
-             FROM sh)
+             FROM sh),
+           ev AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id <= 50)
            SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
-                  ${mh(0)} AS mh0, ${mh(3)} AS mh3
-           FROM hs ORDER BY doc_id"""
+                  ${mh(0)} AS mh0, ${mh(3)} AS mh3,
+                  round(list_dot_product(a.v, b.v), 4) AS dot_next,
+                  round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_next,
+                  round(sqrt(list_sum(list_transform(
+                        generate_series(1, len(a.v)),
+                        i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))), 4)
+                    AS l2_next
+           FROM hs
+           JOIN ev a ON a.vec_id = doc_id
+           JOIN ev b ON b.vec_id = doc_id + 1
+           ORDER BY doc_id"""
       }),
 
     // Direct n-gram Jaccard via an inverted shingle index on a bounded

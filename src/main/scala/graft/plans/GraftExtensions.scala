@@ -42,7 +42,16 @@ object GraftExtensions {
         case Seq(c) => MinHashSigExpr(c, minhashCoefs(8))
         case Seq(c, n) => MinHashSigExpr(c,
           minhashCoefs(n.eval().asInstanceOf[Number].intValue()))
-      }))
+      }),
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - dense-vector dot product (double)"),
+      { case Seq(a, b) => DotProductExpr(a, b) }),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity, one fused pass"),
+      { case Seq(a, b) => CosineSimExpr(a, b) }),
+    ("vec_l2",
+      info("vec_l2", "vec_l2(a, b) - Euclidean distance"),
+      { case Seq(a, b) => L2DistanceExpr(a, b) }))
 
   /** Install into an already-built session (extensions normally apply
     * only at builder time). */
