@@ -724,6 +724,71 @@ FROM grouped ORDER BY doc_id""")),
                            * sqrt(list_dot_product(b.v, b.v))) AS cos
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
              SELECT a_id, b_id, round(cos, 4) AS cos_sim
-             FROM pairs WHERE cos >= 0.4 ORDER BY a_id, b_id"""))
+             FROM pairs WHERE cos >= 0.4 ORDER BY a_id, b_id""")),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
+    // as the blocking key, then within-cell pairwise cosine with
+    // greedy keep-lowest-id. The cell assignment is a broadcast of the
+    // tiny codebook (same fixed deterministic init as q_ann_ivf); the
+    // within-cell pair join is a plain equi-join on cent_id. At corpus
+    // scale the cell count grows with the corpus (SemDeDup uses 10k+
+    // clusters) so cells stay bounded and the pair join stays
+    // blocked — 8 cells here only because the gate corpus is 500
+    // vectors. Scoring is the native fused cosine.
+    Spec("q_dedup_semantic",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"),
+            VectorFunctions.asDouble(col("embedding")).as("cv"))
+        def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          VectorFunctions.dot(a, b)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("__d"), col("cent_id"))
+        val assigned = e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .withColumn("__d",
+            d(col("embedding"), col("embedding"))
+              - lit(2) * d(col("embedding"), col("cv"))
+              + d(col("cv"), col("cv")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("cent_id"), col("embedding"))
+        val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
+          col("embedding").as("va"))
+        val b = assigned.select(col("cent_id").as("cent_b"),
+          col("vec_id").as("b_id"), col("embedding").as("vb"))
+        val drops = a.join(b,
+            col("cent_id") === col("cent_b") && col("a_id") < col("b_id"))
+          .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.4)
+          .select(col("b_id")).distinct()
+        e.join(broadcast(drops), col("vec_id") === col("b_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                        FROM embeddings),
+             c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+             asn AS (
+               SELECT vec_id, cent_id FROM (
+                 SELECT e.vec_id, c.cent_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, e.v)
+                            - 2 * list_dot_product(e.v, c.cv)
+                            + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
+                 FROM e, c) x WHERE rn = 1),
+             drops AS (
+               SELECT DISTINCT b.vec_id
+               FROM asn a JOIN asn b ON a.cent_id = b.cent_id
+                                    AND a.vec_id < b.vec_id
+               JOIN e ea ON ea.vec_id = a.vec_id
+               JOIN e eb ON eb.vec_id = b.vec_id
+               WHERE list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4)
+             SELECT vec_id, label FROM embeddings
+             WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+             ORDER BY vec_id"""))
   )
 }

@@ -171,6 +171,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_brute",          // broadcast query set vs corpus
       "q_ann_recall",         // contains the brute leg
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
+      "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_balance_classes",    // 1-row scalar target crossJoin
       "q_mix_sources",        // 1-row token-total crossJoin
       "q_tfidf")              // 1-row corpus-count crossJoin
