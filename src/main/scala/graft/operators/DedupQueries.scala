@@ -366,6 +366,45 @@ ORDER BY d.doc_id"""
       .filter(col("jac") >= MinhashJaccardThreshold)
   }
 
+  /** SemDeDup-style semantic dedup core: nearest-centroid cell
+    * assignment (broadcast of the tiny `nCells`-row codebook — the
+    * first `nCells` corpus vectors as the fixed deterministic init),
+    * within-cell pairwise cosine ≥ `theta`, greedy keep-lowest-id.
+    * Returns the kept (vec_id, label). `nCells` must scale with the
+    * corpus (SemDeDup's contract: cells stay constant-size) — the
+    * scale probe (examples.SemanticScaleProbe) runs 10× data with 10×
+    * cells to show the per-cell pair work staying flat. */
+  def semanticKeep(e: org.apache.spark.sql.DataFrame, nCells: Int,
+                   theta: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"),
+        VectorFunctions.asDouble(col("embedding")).as("cv"))
+    def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(a, b)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d"), col("cent_id"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d",
+        d(col("embedding"), col("embedding"))
+          - lit(2) * d(col("embedding"), col("cv"))
+          + d(col("cv"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("embedding"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cent_id").as("cent_b"),
+      col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val drops = a.join(b,
+        col("cent_id") === col("cent_b") && col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosine(col("va"), col("vb")) >= theta)
+      .select(col("b_id")).distinct()
+    e.join(broadcast(drops), col("vec_id") === col("b_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Exact dedup: hash groupBy on the CONTENT DIGEST, not the text —
@@ -736,37 +775,9 @@ FROM grouped ORDER BY doc_id""")),
     // blocked — 8 cells here only because the gate corpus is 500
     // vectors. Scoring is the native fused cosine.
     Spec("q_dedup_semantic",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = t(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"),
-            VectorFunctions.asDouble(col("embedding")).as("cv"))
-        def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          VectorFunctions.dot(a, b)
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("__d"), col("cent_id"))
-        val assigned = e.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .withColumn("__d",
-            d(col("embedding"), col("embedding"))
-              - lit(2) * d(col("embedding"), col("cv"))
-              + d(col("cv"), col("cv")))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("vec_id"), col("cent_id"), col("embedding"))
-        val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
-          col("embedding").as("va"))
-        val b = assigned.select(col("cent_id").as("cent_b"),
-          col("vec_id").as("b_id"), col("embedding").as("vb"))
-        val drops = a.join(b,
-            col("cent_id") === col("cent_b") && col("a_id") < col("b_id"))
-          .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.4)
-          .select(col("b_id")).distinct()
-        e.join(broadcast(drops), col("vec_id") === col("b_id"), "left_anti")
-          .select(col("vec_id"), col("label"))
-          .orderBy(col("vec_id"))
-      },
+      (s, dir) => semanticKeep(t(s, dir, "embeddings"), nCells = 8,
+          theta = 0.4)
+        .orderBy(col("vec_id")),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                         FROM embeddings),
              c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),

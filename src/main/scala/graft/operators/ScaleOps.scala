@@ -176,6 +176,14 @@ object ScaleOps {
     * Output = all left columns + all right columns + `distCol` (long
     * edit distance ≤ maxDist); names must not collide.
     *
+    * `prefixLen` sets the blocking prefix length (default 1 char).
+    * The blocking-key space is FIXED (prefix alphabet × length bands),
+    * so block-local pair counts grow quadratically with the corpus —
+    * at larger scale, raise `prefixLen` (each extra char multiplies
+    * key cardinality by the alphabet size and divides per-block pairs
+    * accordingly, at the documented recall trade-off: pairs whose
+    * edit distance touches the prefix are missed).
+    *
     * `salts > 1` additionally splits each block's LEFT side across
     * `salts` sub-keys (right side replicated per salt) — the result
     * set is identical, but a boilerplate-heavy hot block's n_l × n_r
@@ -188,9 +196,10 @@ object ScaleOps {
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
                        maxDist: Int, distCol: String = "dist",
-                       salts: Int = 1): DataFrame = {
+                       salts: Int = 1, prefixLen: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(salts >= 1, "salts must be >= 1")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
     val dup = left.columns.intersect(right.columns)
     require(dup.isEmpty,
       s"left/right column names must not collide: ${dup.mkString(", ")}")
@@ -202,11 +211,11 @@ object ScaleOps {
     // int/int Column division is double; cast(long) truncates = floor
     // for the non-negative lengths here
     val l = left
-      .withColumn("__c", substring(col(leftCol), 1, 1))
+      .withColumn("__c", substring(col(leftCol), 1, prefixLen))
       .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
       .withColumn("__s", pmod(xxhash64(col(leftCol)), lit(salts)))
     val r = right
-      .withColumn("__c", substring(col(rightCol), 1, 1))
+      .withColumn("__c", substring(col(rightCol), 1, prefixLen))
       .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
       .withColumn("__b",
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))

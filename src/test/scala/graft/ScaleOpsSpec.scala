@@ -191,6 +191,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(salted.toSet == brute && salted.length == salted.toSet.size,
       "salted blocked fuzzy join must equal the unsalted result")
+    // a longer blocking prefix trades recall for selectivity, exactly
+    // along the documented line: blocked == { same first-2-chars && lev <= d }
+    val p2 = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, prefixLen = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute2set = a.crossJoin(b)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(substring(col("s_a"), 1, 2) === substring(col("s_b"), 1, 2) &&
+        col("dist") <= 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p2 == brute2set,
+      "prefixLen=2 blocking must equal the first-2-chars brute filter")
   }
 
   test("salted join equals plain join") {
