@@ -241,6 +241,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.take(20).forall(_.getBoolean(1)))
   }
 
+  test("incremental batch-vs-corpus dedup runs per micro-batch via foreachBatch") {
+    // the production shape for incremental ingest dedup: each trigger's
+    // micro-batch is deduped against the STATIC corpus with the full
+    // batch operator (foreachBatch = batch semantics per trigger), so
+    // the streamed keep-set must equal the one-shot batch keep-set.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("incstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // three arrival chunks → three micro-batches
+    batchDocs.filter(col("doc_id") < 100).write.mode("overwrite").parquet(in)
+    batchDocs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .write.mode("append").parquet(in)
+    batchDocs.filter(col("doc_id") >= 300).write.mode("append").parquet(in)
+
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.DedupQueries.incrementalKeep(mb, corpus)
+          .select("doc_id").collect().foreach(r => sink.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamedKept = sink.asScala.toSet
+    val batchKept = graft.operators.DedupQueries
+      .incrementalKeep(batchDocs, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sink.size == streamedKept.size, "a doc was kept twice")
+    assert(streamedKept == batchKept,
+      s"missing=${(batchKept -- streamedKept).take(5)} " +
+        s"extra=${(streamedKept -- batchKept).take(5)}")
+    // and the corpus near-dups really were dropped in both forms
+    assert(batchKept.size < batchDocs.count())
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
