@@ -51,6 +51,30 @@ class RepairSpec extends AnyFunSuite {
     assert(tsOf("19991231").contains("1999-12-31 00:00:00"))
   }
 
+  test("native multi-format parse equals the try_to_timestamp coalesce chain") {
+    // the pre-native formulation, kept verbatim as the semantics oracle
+    def chain(c: org.apache.spark.sql.Column) =
+      coalesce(Repair.TimestampFormats.map(f => try_to_timestamp(c, lit(f))): _*)
+    val adversarial = Seq(
+      "2021-06-12 08:30:00", "2021-06-12", "12/06/2021", "20210612",
+      "19991231", "2021-6-2", "2021-06-12 8:30:00", "2021-06-12T08:30:00",
+      "12/6/2021", "1/1/1", "00000000", "99999999", "20211301", "20210230",
+      "2021-13-01", "31/02/2021", "2021/06/12", "12-06-2021",
+      " 2021-06-12", "2021-06-12 ", "", " ", "-", "/", ":", "abc",
+      "2021-06-12 08:30", "202106", "2021061", "202106123",
+      "+2021-06-12", "2021-06-12 08:30:00.5", "12345678")
+    val gen = Gen.oneOf(Gen.numStr.map(_.take(10)),
+      Gen.asciiPrintableStr.map(_.take(19)))
+    val fuzz = Gen.listOfN(300, gen).sample.get
+    val df = (adversarial ++ fuzz).distinct.toDF("c")
+      .select(col("c"), Repair.lenientTimestamp(col("c")).as("native"),
+        chain(col("c")).as("chain"))
+    val bad = df.filter(col("native") =!= col("chain") ||
+      (col("native").isNull =!= col("chain").isNull)).collect()
+    assert(bad.isEmpty,
+      s"native != chain on: ${bad.take(5).map(_.getString(0)).mkString("['", "', '", "']")}")
+  }
+
   test("coercion is total: never throws, null iff unparseable (property)") {
     val gen = Gen.oneOf(
       Gen.numStr.map(_.take(15)), Gen.alphaStr.map(_.take(10)),
