@@ -281,6 +281,100 @@ object TextQueries {
                    < t.target * 1000000
              GROUP BY d.lang ORDER BY d.lang""")),
 
+    // Unigram corpus-frequency quality proxy (the KenLM-style score
+    // without the LM): rare-garbage documents score low because their
+    // tokens barely occur in the corpus. Two passes: corpus token
+    // frequencies (one shuffle groupBy), then tokens ⋈ freq (a plain
+    // shuffle equi-join on token — the frequency table grows with the
+    // corpus, so neither side broadcasts) and a per-doc integer sum.
+    // The score is ONE double division of exact longs
+    // (Σ n_tok / (doc_len · T)) so it is bit-deterministic across
+    // engines and shuffle orders — no float aggregation anywhere.
+    Spec("q_text_commonness",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        val total = freq.agg(sum(col("n_tok")).as("T"))
+        toks.join(freq, "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("n_tok")).as("freq_sum"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_toks"),
+            (floor(col("freq_sum").cast("double")
+              / (col("n_toks") * col("T")).cast("double") * 100000000) / 100000000)
+              .as("commonness"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+             freq AS (SELECT tok, count(*) AS n_tok FROM tk GROUP BY tok),
+             total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS T FROM freq),
+             d AS (SELECT doc_id, count(*) AS n_toks,
+                          CAST(sum(n_tok) AS BIGINT) AS freq_sum
+                   FROM tk JOIN freq USING (tok) GROUP BY doc_id)
+             SELECT doc_id, n_toks,
+                    floor(CAST(freq_sum AS DOUBLE)
+                          / CAST(n_toks * t.T AS DOUBLE) * 100000000) / 100000000
+                      AS commonness
+             FROM d CROSS JOIN total t ORDER BY doc_id""")),
+
+    // Model-based quality filter: a linear classifier over the quality
+    // features (token count, avg token length, stopword ratio, digit
+    // ratio) with literal weights — the CCNet/fastText-style "learned
+    // filter" step, scored entirely inside whole-stage codegen (the
+    // stopword count is the native TokenInSetCountExpr). The squash is
+    // the rational sigmoid z/(1+|z|), NOT exp-based: +,·,/,|·| are
+    // IEEE-exact so both engines produce bit-identical scores, while
+    // exp() differs in ULPs across libm implementations.
+    Spec("q_quality_classifier",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTokens = size(toks).cast("long")
+        val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+        val stopHits = tokenInSetCount(col("text"), StopWords)
+        val digits = length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("long")
+        def floor6(c: org.apache.spark.sql.Column) =
+          floor(c * 1000000) / 1000000
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), nTokens.as("n_tokens"),
+            (noSpace.cast("double") / nTokens).as("avg_len"),
+            (stopHits.cast("double") / nTokens).as("stop_r"),
+            (digits.cast("double") / length(col("text"))).as("digit_r"))
+          .withColumn("z",
+            lit(-1.2) + col("n_tokens") / 64.0 * 0.8 + col("avg_len") * 0.3
+              + col("stop_r") * 2.0 - col("digit_r") * 3.0)
+          .select(col("doc_id"),
+            floor6(lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
+              .as("score"))
+          .withColumn("keep", col("score") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH x AS (
+               SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS no_space,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(${listSql(StopWords)}, t))) AS BIGINT) AS stop_hits,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+                 CAST(length(text) AS BIGINT) AS n_chars_raw
+               FROM documents),
+             zz AS (
+               SELECT doc_id,
+                 -1.2 + CAST(n_tokens AS DOUBLE) / 64.0 * 0.8
+                   + CAST(no_space AS DOUBLE) / n_tokens * 0.3
+                   + CAST(stop_hits AS DOUBLE) / n_tokens * 2.0
+                   - CAST(digits AS DOUBLE) / n_chars_raw * 3.0 AS z
+               FROM x)
+             SELECT doc_id,
+                    floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 1000000) / 1000000
+                      AS score,
+                    floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 1000000) / 1000000
+                      >= 0.5 AS keep
+             FROM zz ORDER BY doc_id""")),
+
     // Source mixing to TARGET token proportions — the "data mixture"
     // step of a training pipeline (upweight curated languages/sources,
     // downsample the over-represented ones to a token budget). Given
