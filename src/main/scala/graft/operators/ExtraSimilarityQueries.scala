@@ -27,11 +27,17 @@ object ExtraSimilarityQueries {
   // the q_ann_ivf oracle unrolls the Lloyd chain as explicit CTEs
   // (a1/c1/a2/c2) — it replays exactly 2 iterations, keep in sync
   private val LloydIters = 2
+  // IVF probes per query (the recall knob; cells disjoint → no dups)
+  private val NProbe = 2
 
   /** Nearest-centroid assignment: broadcast the k×dim codebook, rank by
     * the same ‖a−b‖² dot expansion the oracle computes (sqrt omitted:
-    * monotonic), ties broken on cent_id. Adds `cent_id` to `df`. */
-  private def assignTo(cents: org.apache.spark.sql.DataFrame)(
+    * monotonic), ties broken on cent_id. Adds `cent_id` to `df`;
+    * `keepN > 1` keeps the N nearest cells per row (one output row per
+    * cell) — the IVF `nprobe` search knob: probing more cells trades
+    * candidate volume for recall, the corpus side always keeps 1. */
+  private def assignTo(cents: org.apache.spark.sql.DataFrame,
+                       keepN: Int = 1)(
       df: org.apache.spark.sql.DataFrame, idCol: String,
       vCol: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col(idCol))
@@ -41,7 +47,7 @@ object ExtraSimilarityQueries {
         dot(col(vCol), col(vCol)) - lit(2) * dot(col(vCol), col("cv"))
           + dot(col("cv"), col("cv")))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= keepN)
       .drop("__d", "__rn", "cv")
   }
 
@@ -72,15 +78,17 @@ object ExtraSimilarityQueries {
     cents
   }
 
-  /** DuckDB replay of one nearest-centroid assignment. */
-  private def assignSql(cents: String, idAs: String, flt: String): String =
+  /** DuckDB replay of one nearest-centroid assignment (`maxRank` > 1 =
+    * the nprobe multi-cell assignment of the query side). */
+  private def assignSql(cents: String, idAs: String, flt: String,
+                        maxRank: Int = 1): String =
     s"""SELECT $idAs, v, cent_id FROM (
        SELECT e.vec_id AS $idAs, e.v, c.cent_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY list_dot_product(e.v, e.v)
                          - 2 * list_dot_product(e.v, c.cv)
                          + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
-       FROM e, $cents c WHERE $flt) x WHERE rn = 1"""
+       FROM e, $cents c WHERE $flt) x WHERE rn <= $maxRank"""
 
   /** DuckDB replay of one Lloyd mean step (zipped unnest gives
     * (value, position) pairs; emptied cells keep the previous
@@ -111,11 +119,12 @@ object ExtraSimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val cents = lloydCentroids(e, LloydIters)
-        val assign = assignTo(cents) _
-        val corpus = assign(
+        val corpus = assignTo(cents)(
           e.filter(col("vec_id") >= 20)
             .select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
-        val queries = assign(
+        // nprobe=2: each query probes its two nearest cells — the IVF
+        // recall knob (cells are disjoint, so candidates never dup)
+        val queries = assignTo(cents, keepN = NProbe)(
           e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
           "query_id", "qv")
@@ -137,7 +146,8 @@ object ExtraSimilarityQueries {
              queries AS (
                SELECT vid AS query_id, v, cent_id AS q_cent FROM (
                  ${assignSql("c2", "vid",
-                   s"e.vec_id >= $NCentroids AND e.vec_id < 13")}) z),
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13",
+                   maxRank = NProbe)}) z),
              scored AS (
                SELECT q.query_id, c.vec_id,
                       list_dot_product(q.v, c.v)

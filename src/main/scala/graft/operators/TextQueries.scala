@@ -87,6 +87,35 @@ object TextQueries {
         .cast("long").as("n_longnums"))
   }
 
+  /** Model-based quality filter as a reusable STATELESS map — a pure
+    * per-row projection, so it runs unchanged on a batch frame and on
+    * a Structured-Streaming frame (StreamingSpec proves parity).
+    * Literal-weight linear score over quality features, squashed with
+    * the rational sigmoid z/(1+|z|) whose ops are IEEE-exact across
+    * engines (exp() is not). Emits (doc_id, score, keep). */
+  def qualityClassifier(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks).cast("long")
+    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val stopHits = tokenInSetCount(col("text"), StopWords)
+    val digits = length(regexp_replace(col("text"), "[^0-9]", ""))
+      .cast("long")
+    def floor6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000) / 1000000
+    df.select(col("doc_id"), nTokens.as("n_tokens"),
+        (noSpace.cast("double") / nTokens).as("avg_len"),
+        (stopHits.cast("double") / nTokens).as("stop_r"),
+        (digits.cast("double") / length(col("text"))).as("digit_r"))
+      .withColumn("z",
+        lit(-1.2) + col("n_tokens") / 64.0 * 0.8 + col("avg_len") * 0.3
+          + col("stop_r") * 2.0 - col("digit_r") * 3.0)
+      .select(col("doc_id"),
+        floor6(lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
+          .as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
@@ -329,29 +358,8 @@ object TextQueries {
     // IEEE-exact so both engines produce bit-identical scores, while
     // exp() differs in ULPs across libm implementations.
     Spec("q_quality_classifier",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val nTokens = size(toks).cast("long")
-        val noSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
-        val stopHits = tokenInSetCount(col("text"), StopWords)
-        val digits = length(regexp_replace(col("text"), "[^0-9]", ""))
-          .cast("long")
-        def floor6(c: org.apache.spark.sql.Column) =
-          floor(c * 1000000) / 1000000
-        spread(s, t(s, dir, "documents"))
-          .select(col("doc_id"), nTokens.as("n_tokens"),
-            (noSpace.cast("double") / nTokens).as("avg_len"),
-            (stopHits.cast("double") / nTokens).as("stop_r"),
-            (digits.cast("double") / length(col("text"))).as("digit_r"))
-          .withColumn("z",
-            lit(-1.2) + col("n_tokens") / 64.0 * 0.8 + col("avg_len") * 0.3
-              + col("stop_r") * 2.0 - col("digit_r") * 3.0)
-          .select(col("doc_id"),
-            floor6(lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
-              .as("score"))
-          .withColumn("keep", col("score") >= 0.5)
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => qualityClassifier(spread(s, t(s, dir, "documents")))
+        .orderBy(col("doc_id")),
       Some(s"""WITH x AS (
                SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

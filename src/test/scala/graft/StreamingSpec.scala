@@ -241,6 +241,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.take(20).forall(_.getBoolean(1)))
   }
 
+  test("the quality classifier runs unchanged as a structured stream") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("qcstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(in)
+
+    val q = graft.operators.TextQueries.qualityClassifier(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qclass")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("qclass").orderBy("doc_id").collect()
+    val batch = graft.operators.TextQueries.qualityClassifier(docs)
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("incremental batch-vs-corpus dedup runs per micro-batch via foreachBatch") {
     // the production shape for incremental ingest dedup: each trigger's
     // micro-batch is deduped against the STATIC corpus with the full
