@@ -39,9 +39,12 @@ object CorpusPipelineDemo {
     val nRedactions = scrub
       .agg(sum(col("n_emails") + col("n_longnums"))).head().getLong(0)
 
-    // 2. quality: drop repetitive docs (Gopher rule)
+    // 2. quality: drop repetitive docs (Gopher rule) AND docs the
+    //    linear classifier rejects (model-based filter, stateless map)
     val qualityIds = q("q_text_repetition")(spark, sfDir)
       .filter(!col("is_repetitive")).select("doc_id")
+      .join(graft.operators.TextQueries.qualityClassifier(docs)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
     val nQuality = qualityIds.count()
 
     // 3. dedup keep set (MinHash → verify → clusters → canonical)
@@ -59,6 +62,15 @@ object CorpusPipelineDemo {
     val perSplit = surviving.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // 4b. incremental arrival: dedup a simulated "tomorrow's batch"
+    //     (every 5th doc) against the surviving corpus — the daily
+    //     ingest path (batch bands vs the corpus band index)
+    val corpusSide = docs.join(surviving.select("doc_id"), Seq("doc_id"))
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val nArrivalsKept = graft.operators.DedupQueries
+      .incrementalKeep(arrivals, corpusSide).count()
+
     // 5. pack the surviving training docs into ~512-token sequences
     val packs = graft.operators.TextQueries
       .packSequences(surviving.filter(col("split") === "train"),
@@ -74,6 +86,7 @@ object CorpusPipelineDemo {
       s""""train":${perSplit.getOrElse("train", 0L)},""" +
       s""""val":${perSplit.getOrElse("val", 0L)},""" +
       s""""test":${perSplit.getOrElse("test", 0L)},""" +
+      s""""arrivals_kept":$nArrivalsKept,""" +
       s""""train_packs":$nPacks,"chunks":$nChunks}"""
   }
 }

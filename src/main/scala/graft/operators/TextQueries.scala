@@ -108,7 +108,7 @@ object TextQueries {
         (stopHits.cast("double") / nTokens).as("stop_r"),
         (digits.cast("double") / length(col("text"))).as("digit_r"))
       .withColumn("z",
-        lit(-1.2) + col("n_tokens") / 64.0 * 0.8 + col("avg_len") * 0.3
+        lit(-1.75) + col("n_tokens") / 64.0 * 0.8 + col("avg_len") * 0.3
           + col("stop_r") * 2.0 - col("digit_r") * 3.0)
       .select(col("doc_id"),
         floor6(lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
@@ -371,7 +371,7 @@ object TextQueries {
                FROM documents),
              zz AS (
                SELECT doc_id,
-                 -1.2 + CAST(n_tokens AS DOUBLE) / 64.0 * 0.8
+                 -1.75 + CAST(n_tokens AS DOUBLE) / 64.0 * 0.8
                    + CAST(no_space AS DOUBLE) / n_tokens * 0.3
                    + CAST(stop_hits AS DOUBLE) / n_tokens * 2.0
                    - CAST(digits AS DOUBLE) / n_chars_raw * 3.0 AS z
