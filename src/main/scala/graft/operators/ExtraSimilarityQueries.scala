@@ -162,6 +162,80 @@ object ExtraSimilarityQueries {
                     round(cos, 4) AS cos_sim
              FROM scored WHERE rank <= $K ORDER BY query_id, rank""")),
 
+    // Recall audit for the IVF path: per query, how many of the exact
+    // top-k the nprobe-cell search recovered — the metric that justifies
+    // (or indicts) a given (cells, nprobe) operating point at scale.
+    Spec("q_ann_ivf_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = lloydCentroids(e, LloydIters)
+        val corpus = assignTo(cents)(
+          e.filter(col("vec_id") >= 20)
+            .select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
+        val qraw = e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val queries = assignTo(cents, keepN = NProbe)(qraw, "query_id", "qv")
+          .withColumnRenamed("cent_id", "q_cent")
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding").as("cv"))
+        val brute = ScaleOps.topKPerKey(
+            craw.crossJoin(broadcast(qraw))
+              .select(col("query_id"), col("vec_id"),
+                cosine(col("qv"), col("cv")).as("cos")),
+            Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), K)
+          .select(col("query_id"), col("vec_id"))
+        val ivf = ScaleOps.topKPerKey(
+            queries.join(corpus, col("q_cent") === col("cent_id"))
+              .select(col("query_id"), col("vec_id"),
+                cosine(col("qv"), col("ev")).as("cos")),
+            Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), K)
+          .select(col("query_id").as("query_id_i"), col("vec_id").as("vec_id_i"))
+        brute.join(ivf,
+            col("query_id") === col("query_id_i") &&
+              col("vec_id") === col("vec_id_i"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_i")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             a1 AS (${assignSql("c0", "vid", "e.vec_id >= 20")}),
+             c1 AS (${meansSql("a1", "c0")}),
+             a2 AS (${assignSql("c1", "vid", "e.vec_id >= 20")}),
+             c2 AS (${meansSql("a2", "c1")}),
+             corpus AS (${assignSql("c2", "vec_id", "e.vec_id >= 20")}),
+             queries AS (
+               SELECT vid AS query_id, v, cent_id AS q_cent FROM (
+                 ${assignSql("c2", "vid",
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13",
+                   maxRank = NProbe)}) z),
+             qraw AS (SELECT vec_id AS query_id, v FROM e
+                      WHERE vec_id >= $NCentroids AND vec_id < 13),
+             craw AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, c.vec_id,
+                        row_number() OVER (PARTITION BY q.query_id ORDER BY
+                          $cosSqlPublic DESC, c.vec_id) AS rank
+                 FROM qraw q CROSS JOIN craw c) x WHERE rank <= $K),
+             ivfc AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, c.vec_id,
+                        row_number() OVER (PARTITION BY q.query_id ORDER BY
+                          $cosSqlPublic DESC, c.vec_id) AS rank
+                 FROM queries q JOIN corpus c ON q.q_cent = c.cent_id) y
+               WHERE rank <= $K)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(i.vec_id) AS n_recovered,
+                    round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
+             FROM brute b LEFT JOIN ivfc i
+               ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id""")),
+
     // Recall audit for the approximate path: per query, how many of the
     // exact top-k the hyperplane-LSH bucket search recovered. The
     // operational metric for tuning bits-vs-recall at scale.

@@ -170,6 +170,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_fuzzy_match",        // 25-row dim self-candidates
       "q_ann_brute",          // broadcast query set vs corpus
       "q_ann_recall",         // contains the brute leg
+      "q_ann_ivf_recall",     // brute leg + 8-row codebook crossJoins
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_balance_classes",    // 1-row scalar target crossJoin
