@@ -366,6 +366,51 @@ ORDER BY d.doc_id"""
       .filter(col("jac") >= MinhashJaccardThreshold)
   }
 
+  /** Corpus-membership bloom over content digests, built with Spark's
+    * own BloomFilterAggregate (the runtime-filter machinery) over
+    * xxhash64(md5(text)) and collected as ONE serialized byte blob —
+    * a compressed corpus summary on the driver, like a codebook. At
+    * 100 TB this is MBs standing in for the corpus digest table on the
+    * arrival hot path. */
+  def digestBloom(corpus: org.apache.spark.sql.DataFrame,
+                  expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val hash = XxHash64(Seq(ColumnBridge.expression(md5(col("text")))), 42L)
+    val agg = new BloomFilterAggregate(hash,
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    corpus.select(ColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** EXACT incremental dedup with a bloom membership pre-filter: the
+    * broadcast bloom drops almost every non-duplicate arrival MAP-SIDE
+    * (no false negatives, so nothing is wrongly dropped); only the
+    * bloom-positive sliver — true duplicates plus the fpp share —
+    * pays the digest equi-join that removes false positives. The
+    * result is bit-identical to the plain anti-join (the oracle
+    * replays that plain form), but the arrival-side shuffle shrinks
+    * from |batch| to ~|dups|. Complements [[incrementalKeep]] (near
+    * dups); compose both for a full ingest path. */
+  def incrementalExactKeep(batch: org.apache.spark.sql.DataFrame,
+                           corpus: org.apache.spark.sql.DataFrame,
+                           expectedItems: Long = 1L << 16,
+                           numBits: Long = 1L << 22)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val bloom = digestBloom(corpus, expectedItems, numBits)
+    def might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom),
+      XxHash64(Seq(ColumnBridge.expression(md5(col("text")))), 42L)))
+    val clear = batch.filter(!might)
+    val verified = batch.filter(might)
+      .join(corpus.select(md5(col("text")).as("__cfp")).distinct(),
+        md5(col("text")) === col("__cfp"), "left_anti")
+    clear.unionByName(verified)
+  }
+
   /** SemDeDup-style semantic dedup core: nearest-centroid cell
     * assignment (broadcast of the tiny `nCells`-row codebook — the
     * first `nCells` corpus vectors as the fixed deterministic init),
@@ -764,6 +809,26 @@ FROM grouped ORDER BY doc_id""")),
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
              SELECT a_id, b_id, round(cos, 4) AS cos_sim
              FROM pairs WHERE cos >= 0.4 ORDER BY a_id, b_id""")),
+
+    // Exact incremental dedup through the bloom membership pre-filter:
+    // result must be bit-identical to the plain digest anti-join the
+    // oracle runs — a single wrongly-dropped arrival (a mishandled
+    // bloom positive) fails this row. True-drop and pruning behaviour
+    // are spec'd with synthetic duplicates (BloomDedupSpec).
+    Spec("q_dedup_exact_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        incrementalExactKeep(batch, corpus)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM documents d
+             WHERE doc_id % 5 = 0
+               AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                                     WHERE doc_id % 5 <> 0)
+             ORDER BY doc_id""")),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
     // as the blocking key, then within-cell pairwise cosine with
