@@ -75,7 +75,15 @@ object ExtraSimilarityQueries {
       cents = cents.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
     }
-    cents
+    // materialize the trained codebook on the driver (the standard
+    // k-means pattern — centers ARE driver state: nCells × dim doubles,
+    // KBs). Without this, every consumer branch (corpus assign, query
+    // assign, recall legs) re-executes the whole Lloyd lineage.
+    val spark = e.sparkSession
+    import spark.implicits._
+    cents.select(col("cent_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("cent_id", "cv")
   }
 
   /** DuckDB replay of one nearest-centroid assignment (`maxRank` > 1 =
