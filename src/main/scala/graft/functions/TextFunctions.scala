@@ -166,6 +166,13 @@ object TextFunctions {
   def rollingMinFingerprintFast(text: Column, k: Int = 8): Column =
     asCol(graft.plans.RollingMinFingerprintExpr(expr(text), k))
 
+  /** DISTINCT winnowing-selected fingerprints (window `w` over char
+    * `k`-gram md5s) — the verbatim-span detection artifact: any shared
+    * literal substring of ≥ w+k−1 chars guarantees a shared selected
+    * fingerprint (graft.plans.WinnowSetExpr). */
+  def winnowSetFast(text: Column, k: Int = 8, w: Int = 4): Column =
+    asCol(graft.plans.WinnowSetExpr(expr(text), k, w))
+
   /** Count of tokens (with multiplicity) that appear in `vocab`. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(vocab)))

@@ -580,6 +580,51 @@ ORDER BY doc_id""")),
              GROUP BY c.doc_id HAVING count(*) >= 3
              ORDER BY doc_id""")),
 
+    // Verbatim-SPAN contamination (the character-level complement of
+    // the word-shingle scan above): winnowing fingerprints — min md5
+    // per sliding window of w=4 consecutive char-8-gram hashes — so
+    // any literal shared substring of ≥ 11 chars between a corpus doc
+    // and any benchmark doc guarantees a shared selected fingerprint
+    // (Schleimer et al. winnowing). The benchmark fingerprint set
+    // broadcasts; the corpus never shuffles. The ≥120 threshold sits
+    // above this synthetic vocabulary's high base rate (median 67
+    // shared fps from 40 shared words) and flags the heavy-overlap
+    // tail; a natural corpus would use a small absolute threshold.
+    Spec("q_contamination_span",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), winnowSetFast(col("text")).as("ws"))
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(explode(col("ws")).as("wfp")).distinct()
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(col("ws")).as("wfp"))
+          .join(broadcast(bench.withColumn("__hit", lit(1))),
+            Seq("wfp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("__hit")).as("n_shared"))
+          .select(col("doc_id"), col("n_shared"),
+            (col("n_shared") >= 120).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+               SELECT doc_id, list_transform(
+                 generate_series(1, greatest(length(text) - 7, 0)),
+                 i -> md5(substr(text, i, 8))) AS grams
+               FROM documents),
+             wf AS (
+               SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(grams) - 3),
+                 j -> list_min(grams[j:j+3]))) AS ws
+               FROM g),
+             bench AS (
+               SELECT DISTINCT unnest(ws) AS wfp FROM wf WHERE doc_id < 20),
+             corpus AS (
+               SELECT doc_id, unnest(ws) AS wfp FROM wf WHERE doc_id >= 20)
+             SELECT c.doc_id, count(b.wfp) AS n_shared,
+                    count(b.wfp) >= 120 AS contaminated
+             FROM corpus c LEFT JOIN bench b ON c.wfp = b.wfp
+             GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
     // Leakage-aware train/val/test split: assignment is keyed on the
     // near-dup CLUSTER id (canonical min doc_id; singletons are their
     // own group), so two near-duplicate documents can never land in

@@ -62,8 +62,80 @@ case class RollingMinFingerprintExpr(child: Expression, k: Int = 8)
     copy(child = c)
 }
 
+/** `winnow_set(text)` → array<string>: the DISTINCT winnowing-selected
+  * fingerprints — minimum md5 hex per sliding window of `w` consecutive
+  * character-`k`-gram hashes — in one imperative pass.
+  *
+  * This is the document-side artifact of verbatim-span detection
+  * (Schleimer/Wilkerson/Aiken winnowing): any literal shared substring
+  * of ≥ w + k − 1 characters between two documents GUARANTEES a shared
+  * selected fingerprint, regardless of alignment. Documents shorter
+  * than w + k − 1 characters yield the empty set (mirrored by the
+  * empty generate_series ranges in the SQL replay).
+  */
+case class WinnowSetExpr(child: Expression, k: Int = 8, w: Int = 4)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): String = {
+    val hex = new Array[Char](d.length * 2)
+    var j = 0
+    while (j < d.length) {
+      hex(j * 2) = hexDigits((d(j) >> 4) & 0xf)
+      hex(j * 2 + 1) = hexDigits(d(j) & 0xf)
+      j += 1
+    }
+    new String(hex)
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = text.numChars()
+    val nGrams = n - k + 1
+    if (nGrams < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = RollingMinFingerprintExpr.md5Local.get()
+    val grams = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      grams(i) = toHex(md.digest(text.substring(i, i + k).getBytes))
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j <= nGrams - w) {
+      var min = grams(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (grams(t).compareTo(min) < 0) min = grams(t)
+        t += 1
+      }
+      out.add(min)
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSetExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowSetExpr =
+    copy(child = c)
+}
+
 object RollingMinFingerprintExpr {
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+  private[plans] val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

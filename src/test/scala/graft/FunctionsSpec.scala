@@ -9,6 +9,30 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("winnowing guarantee: a shared span of >= w+k-1 chars shares a fingerprint") {
+    val rnd = new scala.util.Random(19)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // planted 11-char (= w+k-1 for k=8, w=4) span at random offsets in
+    // otherwise-unrelated strings — winnowing MUST select at least one
+    // common fingerprint in every case
+    val cases = (1 to 50).map { _ =>
+      val span = randStr(11)
+      (randStr(rnd.nextInt(30)) + span + randStr(rnd.nextInt(30)),
+        randStr(rnd.nextInt(30)) + span + randStr(rnd.nextInt(30)))
+    }
+    val df = cases.toDF("a", "b").select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(
+          TF.winnowSetFast(col("a")), TF.winnowSetFast(col("b")))).as("n"))
+    val mins = df.as[Int].collect()
+    assert(mins.forall(_ >= 1), s"guarantee violated: ${mins.count(_ == 0)} of 50 pairs")
+    // and a doc shorter than w+k-1 yields the empty set
+    val empty = Seq("tencharstr").toDF("a")
+      .select(org.apache.spark.sql.functions.size(TF.winnowSetFast(col("a"))).as("n"))
+      .as[Int].head()
+    assert(empty == 0)
+  }
+
   test("shingles: word 3-grams; short docs collapse to whole text") {
     val df = Seq("a b c d e", "a b").toDF("text")
       .select(TF.shingles(col("text")).as("s"))
