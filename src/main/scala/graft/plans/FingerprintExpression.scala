@@ -96,11 +96,14 @@ case class WinnowSetExpr(child: Expression, k: Int = 8, w: Int = 4)
     if (nGrams < w)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val md = RollingMinFingerprintExpr.md5Local.get()
-    val grams = new Array[String](nGrams)
+    // window-min over raw digests (unsigned byte order == hex string
+    // order), hex-converting only the SELECTED mins — no per-gram
+    // String allocation
+    val grams = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
       md.reset()
-      grams(i) = toHex(md.digest(text.substring(i, i + k).getBytes))
+      grams(i) = md.digest(text.substring(i, i + k).getBytes)
       i += 1
     }
     val out = new java.util.LinkedHashSet[String]()
@@ -109,10 +112,10 @@ case class WinnowSetExpr(child: Expression, k: Int = 8, w: Int = 4)
       var min = grams(j)
       var t = j + 1
       while (t < j + w) {
-        if (grams(t).compareTo(min) < 0) min = grams(t)
+        if (RollingMinFingerprintExpr.unsignedLess(grams(t), min)) min = grams(t)
         t += 1
       }
-      out.add(min)
+      out.add(toHex(min))
       j += 1
     }
     val arr = new Array[Any](out.size)
