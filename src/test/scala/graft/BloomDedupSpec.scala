@@ -35,6 +35,49 @@ class BloomDedupSpec extends AnyFunSuite {
       "every replayed duplicate must drop, every fresh doc must survive")
   }
 
+  test("the bloom membership check runs as a stateless streaming filter") {
+    // the bloom bytes are a broadcast literal and the check is a pure
+    // per-row predicate — so `!might` drops definitely-new arrivals
+    // straight off a stream with zero state; only the bloom-positive
+    // sliver needs the per-batch verify join (foreachBatch, as in the
+    // incremental near-dup test)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val corpus = docs((0L until 300L).map(i => (i, s"corpus doc number $i")))
+    val batch = docs((1000L until 1200L).map(i => (i, s"new doc $i")) ++
+      (0L until 30L).map(i => (5000L + i, s"corpus doc number $i")))
+    val dir = java.nio.file.Files.createTempDirectory("bloomstream")
+    val in = dir.resolve("in").toString
+    batch.write.mode("overwrite").parquet(in)
+
+    val bloom = DedupQueries.digestBloom(corpus,
+      expectedItems = 1024, numBits = 1 << 16)
+    def might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom),
+      XxHash64(Seq(ColumnBridge.expression(md5(col("text")))), 42L)))
+
+    val q = batchSchemaStream(in, batch)
+      .filter(!might)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloomclear")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("bloomclear")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchClear = batch.filter(!might)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchClear)
+    // no false negatives: every replayed duplicate was held back
+    assert(streamed.intersect((5000L until 5030L).toSet).isEmpty)
+    // and the pass-through is the overwhelming majority of fresh docs
+    assert(streamed.size >= 190)
+  }
+
+  private def batchSchemaStream(in: String, like: org.apache.spark.sql.DataFrame) =
+    spark.readStream.schema(like.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+
   test("the bloom prunes: only ~dups reach the digest verify join") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
