@@ -787,6 +787,47 @@ FROM grouped ORDER BY doc_id""")),
              SELECT doc_a, doc_b, round(jac, 4) AS jaccard
              FROM scored WHERE jac >= 0.03 ORDER BY doc_a, doc_b""")),
 
+    // Verbatim-span near-dup PAIRS: the char-level complement of the
+    // word n-gram Jaccard above — two docs pair when they share ≥ 20
+    // winnowing-selected fingerprints after the df-cap drops the
+    // vocabulary-level boilerplate fps (same inverted-index + cap
+    // machinery; every shared fp witnesses an aligned literal span of
+    // ≥ 11 chars). Bounded subset for the oracle; the scale path is
+    // the same capped equi-join, whose key cardinality grows with the
+    // corpus.
+    Spec("q_dedup_span_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), winnowSetFast(col("text")).as("ws"))
+        invertedIndexPairs(
+            docs.select(col("doc_id"), explode(col("ws")).as("sh")), NgramDfCap)
+          .filter(col("inter") >= 20)
+          .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH g AS (
+               SELECT doc_id, list_transform(
+                 generate_series(1, greatest(length(text) - 7, 0)),
+                 i -> md5(substr(text, i, 8))) AS grams
+               FROM documents WHERE doc_id < 200),
+             wf AS (
+               SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(grams) - 3),
+                 j -> list_min(grams[j:j+3]))) AS ws
+               FROM g),
+             inv AS (SELECT doc_id, unnest(ws) AS wfp FROM wf),
+             kept AS (
+               SELECT * FROM inv WHERE wfp NOT IN (
+                 SELECT wfp FROM inv GROUP BY wfp HAVING count(*) > 20)),
+             pairs AS (
+               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      count(*) AS n_shared
+               FROM kept x JOIN kept y
+                 ON x.wfp = y.wfp AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id)
+             SELECT doc_a, doc_b, n_shared FROM pairs
+             WHERE n_shared >= 20 ORDER BY doc_a, doc_b""")),
+
     // SimHash signatures + 16-bit prefix buckets. The 60-bit signature
     // is derived from one md5 per token (graft.plans.SimHashSigExpr),
     // so the DuckDB oracle replays it bit-identically — the same
