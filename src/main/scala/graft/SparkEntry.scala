@@ -23,7 +23,8 @@ object SparkEntry {
       ExtraSimilarityQueries.specs ++
       TextQueries.specs ++
       MultimodalQueries.specs ++
-      VectorQueries.specs
+      VectorQueries.specs ++
+      CurationQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity (SURVEY §2.9): JSONL ingest with an explicit
+  * schema, weighted sampling, inverted-index keyword search, and the
+  * Z-order clustering key for multi-dimensional write layout.
+  *
+  * Scale designs:
+  *  - JSONL is THE interchange format for document corpora; the read
+  *    passes an explicit `StructType` so no inference pass scans the
+  *    data, and line-delimited JSON splits at any scale. The required
+  *    schema is pushed into the parser — unreferenced fields are never
+  *    materialized.
+  *  - Weighted sampling uses the Efraimidis–Spirakis one-pass key
+  *    (`ln(u)/w`, top-k by key): a map-side key per row plus ONE
+  *    TakeOrdered — no global sort, no per-weight passes, and the
+  *    md5-derived uniform makes the draw engine-replayable.
+  *  - Keyword search materializes the posting index once (at 100 TB:
+  *    `ScaleOps.writeBucketed` by term) and answers each conjunctive
+  *    query by filtering the tiny per-term slices and intersecting on
+  *    doc_id via aggregation — never a per-query full-text scan.
+  *  - The Z-order row drives [[graft.plans.ZOrderKeyExpr]] through a
+  *    real ordering so the bit interleave is oracle-checked; the
+  *    write-side layout helper is [[ScaleOps.zorderSorted]].
+  */
+object CurationQueries {
+  import Q._
+
+  /** JSONL fixture (one doc per line; id 2 has no tags field, id 3 an
+    * empty tags list and no lang) — written once per JVM, parsed by
+    * Spark with the explicit schema and re-derived by the oracle from
+    * the same raw lines via DuckDB's JSON functions. */
+  private[operators] val JsonlLines = Seq(
+    """{"id":0,"text":"spark joins data","meta":{"lang":"en","source":"web"},"tags":["a","b"]}""",
+    """{"id":1,"text":"agg rows fast","meta":{"lang":"de","source":"books"},"tags":["x"]}""",
+    """{"id":2,"text":"no tags here","meta":{"lang":"en","source":"web"}}""",
+    """{"id":3,"text":"null lang","meta":{"source":"cc"},"tags":[]}""",
+    """{"id":4,"text":"plain","meta":{"lang":"fr","source":"cc"},"tags":["a","b","c"]}""")
+
+  private lazy val jsonlFixture: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = d.resolve("docs.jsonl")
+    java.nio.file.Files.write(f, JsonlLines.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit(); d.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private val JsonlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id BIGINT, text STRING, meta STRUCT<lang: STRING, source: STRING>, " +
+      "tags ARRAY<STRING>")
+
+  /** Conjunctive keyword query answered through the inverted index. */
+  private val SearchTerms = Seq("spark", "join")
+
+  private val WeightedSampleK = 25
+
+  /** The 62-term DuckDB replay of the Morton interleave: bit i of a →
+    * z-bit 2i, bit i of b → z-bit 2i+1 (31 bits each, disjoint targets,
+    * so `+` is `|`). Generated so the layout stays in lockstep with
+    * [[graft.plans.ZOrderKeyExpr]]. */
+  private def zorderOracleExpr(a: String, b: String): String =
+    (0 until 31).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  val specs: Seq[Spec] = Seq(
+
+    // X-family JSONL ingest: explicit-schema line-JSON read (no
+    // inference scan), nested-struct field access, null-safe array
+    // size. The oracle re-parses the SAME raw lines with DuckDB's JSON
+    // functions — both engines derive the values from the bytes on
+    // disk, nothing is hardcoded.
+    Spec("q_jsonl_ingest",
+      (s, _) => s.read.schema(JsonlSchema).json(jsonlFixture)
+        .select(col("id"), col("text"),
+          col("meta.lang").as("lang"), col("meta.source").as("source"),
+          when(col("tags").isNull, lit(0L))
+            .otherwise(size(col("tags")).cast("long")).as("n_tags"))
+        .orderBy(col("id")),
+      Some {
+        val vals = JsonlLines.map(l => "('" + l.replace("'", "''") + "')")
+          .mkString(", ")
+        s"""WITH lines(raw) AS (VALUES $vals)
+           SELECT CAST(json_extract(raw, '$$.id') AS BIGINT) AS id,
+                  json_extract_string(raw, '$$.text') AS text,
+                  json_extract_string(raw, '$$.meta.lang') AS lang,
+                  json_extract_string(raw, '$$.meta.source') AS source,
+                  CASE WHEN json_extract(raw, '$$.tags') IS NULL THEN 0
+                       ELSE len(CAST(json_extract(raw, '$$.tags') AS JSON[]))
+                  END AS n_tags
+           FROM lines ORDER BY id"""
+      }),
+
+    // X-family weighted sampling (Efraimidis–Spirakis A-ES): draw
+    // WeightedSampleK docs with probability proportional to n_chars,
+    // WITHOUT replacement, in one pass — per-row key ln(u)/w with an
+    // md5-derived uniform u ∈ (0,1], then top-k by key. orderBy+limit
+    // plans as TakeOrdered (per-partition heaps + driver merge of k),
+    // so no global sort and no full-data shuffle at any scale. The
+    // md5-seeded u makes the identical draw replayable by any engine.
+    Spec("q_sample_weighted",
+      (s, dir) => {
+        val m = conv(substring(md5(concat(lit("wsamp|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val u = (m + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (log(u) / col("n_chars")).as("__key"))
+          .orderBy(col("__key").desc, col("doc_id"))
+          .limit(WeightedSampleK)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       ln((CAST(('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                          / 1152921504606846976.0) / n_chars AS k
+                FROM documents),
+              topk AS (
+                SELECT doc_id, n_chars FROM keyed
+                ORDER BY k DESC, doc_id LIMIT $WeightedSampleK)
+              SELECT doc_id, n_chars FROM topk ORDER BY doc_id""")),
+
+    // X-family keyword search: conjunctive term query through an
+    // inverted posting index — explode to (doc_id, term) postings,
+    // filter to the query terms BEFORE the distinct (only matching
+    // postings ever shuffle), and intersect the per-term posting lists
+    // by counting distinct matched terms per doc. At 100 TB the index
+    // is materialized once (writeBucketed by term) and each query
+    // touches only its terms' slices; the final doc join broadcasts
+    // the tiny hit set. The oracle states the same predicate
+    // declaratively (token-set membership of both terms).
+    Spec("q_keyword_search",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val hits = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term").isin(SearchTerms: _*))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") === SearchTerms.size)
+          .select(col("doc_id"))
+        docs.join(broadcast(hits), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, source, n_chars FROM documents
+              WHERE ${SearchTerms.map(t =>
+                 s"list_contains(string_split(lower(text), ' '), '$t')")
+                 .mkString(" AND ")}
+              ORDER BY doc_id""")),
+
+    // Scale-utility gate row: the Morton (Z-order) clustering key over
+    // (l_partkey, l_suppkey), ordered by z — the exact ordering a
+    // zorderSorted write lays on disk, so the expression, its codegen
+    // path, and the order it induces are all oracle-checked against a
+    // 62-term bit-arithmetic replay.
+    Spec("q_zorder_key",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          ScaleOps.zorderKey(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber")),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     ${zorderOracleExpr("l_partkey", "l_suppkey")} AS z
+              FROM lineitem WHERE l_orderkey < 300
+              ORDER BY z, l_orderkey, l_linenumber""")))
+}

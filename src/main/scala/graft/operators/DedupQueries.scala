@@ -951,6 +951,84 @@ FROM grouped ORDER BY doc_id""")),
                           * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4)
              SELECT vec_id, label FROM embeddings
              WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-             ORDER BY vec_id"""))
+             ORDER BY vec_id""")),
+
+    // Canonicalizing exact dedup: real pipelines normalize before
+    // hashing (case, punctuation, whitespace runs) so trivially-
+    // different copies of one document collapse to one canonical hash.
+    // The canonicalization is map-side; as with q_dedup_exact only the
+    // 16-byte digest ever shuffles — the grouped projection is the
+    // digest plus the 8-byte doc_id, never the text.
+    Spec("q_dedup_canonical",
+      (s, dir) => {
+        val canon = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(canon).as("canon_digest"))
+          .groupBy(col("canon_digest"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH canon AS (
+               SELECT doc_id,
+                      md5(trim(regexp_replace(regexp_replace(
+                        lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g'))) AS canon_digest
+               FROM documents)
+             SELECT canon_digest, min(doc_id) AS keep_id,
+                    count(*) AS n_members
+             FROM canon GROUP BY canon_digest ORDER BY keep_id""")),
+
+    // Cluster-representative selection: after near-dup clustering,
+    // production pipelines keep the BEST member of each cluster (by a
+    // quality signal), not the arbitrary lowest id. Selection is a
+    // partial-aggregatable groupBy max(struct(quality, -doc_id)) —
+    // deterministic arg-max with a smallest-id tie-break, no window
+    // function, so map-side combine bounds the shuffle at any corpus
+    // size. Singletons are their own cluster (coalesce), same as the
+    // split row above.
+    Spec("q_dedup_keep_best",
+      (s, dir) => {
+        val clusters = connectedComponents(
+            minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+          .select(col("doc_id"), col("cluster_id"))
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+          .groupBy(col("group_id"))
+          .agg(max(struct(col("n_chars").as("c"),
+              (-col("doc_id")).as("negid"))).as("b"),
+            count(lit(1)).as("n_members"))
+          .select(col("group_id").as("cluster_id"),
+            (-col("b.negid")).as("keep_doc"),
+            col("b.c").as("best_chars"), col("n_members"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""${minhashScoredCte("WITH RECURSIVE")},
+dup_pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE jac >= $MinhashJaccardThreshold),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs),
+walk(id, reach) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.reach FROM walk w JOIN edges e ON e.dst = w.id),
+cc AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+grouped AS (
+  SELECT d.doc_id, d.n_chars, coalesce(cc.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN cc USING (doc_id))
+SELECT group_id AS cluster_id, doc_id AS keep_doc,
+       n_chars AS best_chars, n_members
+FROM (SELECT *,
+        row_number() OVER (PARTITION BY group_id
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY group_id) AS n_members
+      FROM grouped) x
+WHERE rn = 1 ORDER BY cluster_id"""))
   )
 }

@@ -266,4 +266,35 @@ object ScaleOps {
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Z-order (Morton) write layout over two integral dimensions: range-
+    * partition + sort by the interleaved key, so each output file's
+    * min/max envelope is tight on BOTH columns and a downstream scan
+    * with a predicate on either dimension prunes most files. A
+    * lexicographic `sortWithinPartitions(c1, c2)` only clusters the
+    * leading column — at 100 TB that is one prunable dimension vs two.
+    *
+    * `repartitionByRange` samples the z-key to build balanced range
+    * bounds (one extra job over a sample, the standard cost of a total
+    * ordering); the sort inside each partition is then local. The
+    * helper returns the clustered frame ready for `.write` — the z-key
+    * column is dropped after sorting, ordering is preserved.
+    */
+  def zorderSorted(df: DataFrame, c1: String, c2: String,
+                   partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__z"), "column __z collides with zorderSorted internals")
+    val keyed = df.withColumn("__z", zorderKey(col(c1), col(c2)))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("__z"))
+      else keyed.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  /** The Morton key itself (native codegen'd expression) — see
+    * [[graft.plans.ZOrderKeyExpr]] for semantics and the oracle replay. */
+  def zorderKey(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.plans.ZOrderKeyExpr(
+      expression(a.cast("long")), expression(b.cast("long"))))
+  }
 }

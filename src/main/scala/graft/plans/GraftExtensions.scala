@@ -51,7 +51,10 @@ object GraftExtensions {
       { case Seq(a, b) => CosineSimExpr(a, b) }),
     ("vec_l2",
       info("vec_l2", "vec_l2(a, b) - Euclidean distance"),
-      { case Seq(a, b) => L2DistanceExpr(a, b) }))
+      { case Seq(a, b) => L2DistanceExpr(a, b) }),
+    ("zorder_key",
+      info("zorder_key", "zorder_key(a, b) - Morton interleave of the low 31 bits"),
+      { case Seq(a, b) => ZOrderKeyExpr(a, b) }))
 
   /** Install into an already-built session (extensions normally apply
     * only at builder time). */

@@ -195,6 +195,25 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(analyzed.contains("tokeninsetcount"), analyzed)
   }
 
+  test("q_sample_weighted plans a TakeOrdered top-k, not a global sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_dedup_keep_best arg-max is a partial aggregate, no window") {
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_keyword_search intersects postings via broadcast equi-join") {
+    val p = plan("q_keyword_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)
