@@ -160,6 +160,54 @@ object CurationQueries {
     // zorderSorted write lays on disk, so the expression, its codegen
     // path, and the order it induces are all oracle-checked against a
     // 62-term bit-arithmetic replay.
+    // X-family heavy hitters through a Count-Min sketch, fully
+    // distributed: the sketch is a mergeable partial/final aggregate
+    // (counters cross the wire, not tokens), the 1-row sketch relation
+    // broadcasts, and per-candidate estimates come from the native
+    // [[graft.plans.CmsEstimateExpr]] probe — no driver-side sketch
+    // object. Gated like the HLL row: estimates are engine-private, so
+    // the oracle checks the exact counts plus the sketch's hard bounds
+    // (est ≥ exact always; est ≤ exact + ε·N with the fixed seed —
+    // ε·N = 0.1 % of the token stream). At 100 TB the exact-count leg
+    // is replaced by the sketch alone; it exists here to gate the
+    // candidates and the bounds.
+    Spec("q_heavy_hitters",
+      (s, dir) => {
+        val tokens = spread(s, t(s, dir, "documents"))
+          .select(explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val sketch = tokens.agg(
+          expr("count_min_sketch(term, 0.001d, 0.99d, 7)").as("sk"),
+          count(lit(1)).as("n_total"))
+        val top = tokens.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("term"))
+          .limit(20)
+        val est = graft.plans.CmsEstimateExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sk")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("term")))
+        top.join(broadcast(sketch))
+          .select(col("term"), col("exact_n"),
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(est).as("__est"),
+            col("n_total"))
+          .select(col("term"), col("exact_n"),
+            (col("__est") >= col("exact_n")).as("never_undercounts"),
+            (col("__est") <= col("exact_n")
+              + ceil(col("n_total") * lit(0.001)).cast("long"))
+              .as("within_eps"))
+          .orderBy(col("exact_n").desc, col("term"))
+      },
+      Some("""WITH toks AS (
+               SELECT unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+             top AS (
+               SELECT term, count(*) AS exact_n FROM toks
+               WHERE term <> '' GROUP BY term
+               ORDER BY exact_n DESC, term LIMIT 20)
+             SELECT term, exact_n,
+                    true AS never_undercounts, true AS within_eps
+             FROM top ORDER BY exact_n DESC, term""")),
+
     Spec("q_zorder_key",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 300)

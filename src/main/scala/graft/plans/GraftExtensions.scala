@@ -54,7 +54,10 @@ object GraftExtensions {
       { case Seq(a, b) => L2DistanceExpr(a, b) }),
     ("zorder_key",
       info("zorder_key", "zorder_key(a, b) - Morton interleave of the low 31 bits"),
-      { case Seq(a, b) => ZOrderKeyExpr(a, b) }))
+      { case Seq(a, b) => ZOrderKeyExpr(a, b) }),
+    ("cms_estimate",
+      info("cms_estimate", "cms_estimate(sketch, item) - probe a count_min_sketch binary"),
+      { case Seq(s, i) => CmsEstimateExpr(s, i) }))
 
   /** Install into an already-built session (extensions normally apply
     * only at builder time). */

@@ -25,6 +25,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
   }
 
+  test("cms_estimate probes a count_min_sketch binary from SQL") {
+    GraftExtensions.register(spark)
+    Seq("a", "a", "a", "b", "b", "c").toDF("term")
+      .createOrReplaceTempView("cms_terms")
+    val rows = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(term, 0.01d, 0.99d, 7) AS s
+                     FROM cms_terms)
+         SELECT term, cms_estimate(sk.s, term) AS est
+         FROM (SELECT DISTINCT term FROM cms_terms) t, sk
+         ORDER BY term""").collect()
+    val est = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sketch never undercounts; at this tiny cardinality it is exact
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), est)
+  }
+
   test("builder-time extension injects the same functions") {
     // new session object sharing the context, with extensions applied
     // via the documented withExtensions path

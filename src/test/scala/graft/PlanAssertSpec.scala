@@ -175,6 +175,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_balance_classes",    // 1-row scalar target crossJoin
       "q_mix_sources",        // 1-row token-total crossJoin
+      "q_heavy_hitters",      // 1-row broadcast sketch crossJoin
       "q_text_commonness",    // 1-row token-total crossJoin
       "q_tfidf")              // 1-row corpus-count crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
