@@ -66,7 +66,81 @@ object CurationQueries {
       s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
+  /** Hive-partitioned copy of `documents` (one directory per lang),
+    * written once per (JVM, sf-dir): the fixture for the
+    * partition-pruning gate row. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedCopy(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    partitionedDirs.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_part")
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(d.toString)
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
+  /** Two-generation schema-evolution fixture: generation 1 lacks the
+    * `quality` column a later pipeline stage added. Written once per
+    * JVM; the mergeSchema read must union the schemas and null-fill. */
+  private val evolvedDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolvedDir(s: org.apache.spark.sql.SparkSession): String =
+    evolvedDirMemo.computeIfAbsent("dir", _ => {
+    val d = java.nio.file.Files.createTempDirectory("graft_evolve")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gen1 = s.createDataFrame(
+      java.util.Arrays.asList(Row(0L, "alpha"), Row(1L, "beta")),
+      StructType.fromDDL("id BIGINT, name STRING"))
+    val gen2 = s.createDataFrame(
+      java.util.Arrays.asList(Row(2L, "gamma", 0.9), Row(3L, "delta", 0.2)),
+      StructType.fromDDL("id BIGINT, name STRING, quality DOUBLE"))
+    gen1.coalesce(1).write.parquet(s"$d/gen=1")
+    gen2.coalesce(1).write.parquet(s"$d/gen=2")
+    d.toFile.deleteOnExit()
+    d.toString
+  })
+
   val specs: Seq[Spec] = Seq(
+
+    // Storage-layout gate row: documents written Hive-partitioned by
+    // lang, then read back with a lang predicate — the filter resolves
+    // against DIRECTORIES (PartitionFilters in the scan), so the query
+    // reads only the matching partition's files. At 100 TB,
+    // partitioning on a low-cardinality routing column (lang, source,
+    // date) is the first line of scan pruning, ahead of row-group
+    // min/max. The oracle states the same predicate over the original
+    // table; PlanAssertSpec pins the pruning to the scan node.
+    Spec("q_partitioned_read",
+      (s, dir) => s.read.parquet(partitionedCopy(s, dir))
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             WHERE lang = 'en' ORDER BY doc_id""")),
+
+    // Schema-evolution gate row: a corpus whose later generation added
+    // a column is read with mergeSchema — older files null-fill the new
+    // column, the partition column (gen) comes from the path. This is
+    // how a 100 TB corpus accretes columns WITHOUT rewriting history;
+    // the alternative (casting every historical file) is a full-corpus
+    // rewrite. The oracle re-derives the union from the same literal
+    // generations.
+    Spec("q_schema_merge",
+      (s, _) => s.read.option("mergeSchema", "true").parquet(evolvedDir(s))
+        .select(col("id"), col("name"), col("quality"),
+          col("gen").cast("long").as("gen"))
+        .orderBy(col("id")),
+      Some("""WITH gen1(id, name) AS (VALUES (0, 'alpha'), (1, 'beta')),
+             gen2(id, name, quality) AS (VALUES (2, 'gamma', 0.9), (3, 'delta', 0.2))
+             SELECT CAST(id AS BIGINT) AS id, name,
+                    CAST(NULL AS DOUBLE) AS quality, CAST(1 AS BIGINT) AS gen
+             FROM gen1
+             UNION ALL
+             SELECT id, name, quality, 2 AS gen FROM gen2
+             ORDER BY id""")),
 
     // X-family JSONL ingest: explicit-schema line-JSON read (no
     // inference scan), nested-struct field access, null-safe array

@@ -953,18 +953,34 @@ FROM grouped ORDER BY doc_id""")),
              WHERE vec_id NOT IN (SELECT vec_id FROM drops)
              ORDER BY vec_id""")),
 
-    // Canonicalizing exact dedup: real pipelines normalize before
-    // hashing (case, punctuation, whitespace runs) so trivially-
-    // different copies of one document collapse to one canonical hash.
-    // The canonicalization is map-side; as with q_dedup_exact only the
-    // 16-byte digest ever shuffles — the grouped projection is the
-    // digest plus the 8-byte doc_id, never the text.
+    canonicalSpec,
+
+    canonicalKeepBestSpec
+  )
+
+  /** Normalization → digest, the map-only front half of canonical
+    * dedup: lowercase, strip punctuation to spaces, collapse runs,
+    * trim, md5. Stateless per row — it runs unchanged as a structured
+    * stream (StreamingSpec), and composes with
+    * `dropDuplicatesWithinWatermark` on the digest for the streaming
+    * dedup path. */
+  def canonicalDigest(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val canon = trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"), md5(canon).as("canon_digest"))
+  }
+
+  // Canonicalizing exact dedup: real pipelines normalize before
+  // hashing (case, punctuation, whitespace runs) so trivially-
+  // different copies of one document collapse to one canonical hash.
+  // The canonicalization is map-side; as with q_dedup_exact only the
+  // 16-byte digest ever shuffles — the grouped projection is the
+  // digest plus the 8-byte doc_id, never the text.
+  private def canonicalSpec: Spec =
     Spec("q_dedup_canonical",
       (s, dir) => {
-        val canon = trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-        t(s, dir, "documents")
-          .select(col("doc_id"), md5(canon).as("canon_digest"))
+        canonicalDigest(t(s, dir, "documents"))
           .groupBy(col("canon_digest"))
           .agg(min(col("doc_id")).as("keep_id"),
             count(lit(1)).as("n_members"))
@@ -978,16 +994,17 @@ FROM grouped ORDER BY doc_id""")),
                FROM documents)
              SELECT canon_digest, min(doc_id) AS keep_id,
                     count(*) AS n_members
-             FROM canon GROUP BY canon_digest ORDER BY keep_id""")),
+             FROM canon GROUP BY canon_digest ORDER BY keep_id"""))
 
-    // Cluster-representative selection: after near-dup clustering,
-    // production pipelines keep the BEST member of each cluster (by a
-    // quality signal), not the arbitrary lowest id. Selection is a
-    // partial-aggregatable groupBy max(struct(quality, -doc_id)) —
-    // deterministic arg-max with a smallest-id tie-break, no window
-    // function, so map-side combine bounds the shuffle at any corpus
-    // size. Singletons are their own cluster (coalesce), same as the
-    // split row above.
+  // Cluster-representative selection: after near-dup clustering,
+  // production pipelines keep the BEST member of each cluster (by a
+  // quality signal), not the arbitrary lowest id. Selection is a
+  // partial-aggregatable groupBy max(struct(quality, -doc_id)) —
+  // deterministic arg-max with a smallest-id tie-break, no window
+  // function, so map-side combine bounds the shuffle at any corpus
+  // size. Singletons are their own cluster (coalesce), same as the
+  // split row above.
+  private def canonicalKeepBestSpec: Spec =
     Spec("q_dedup_keep_best",
       (s, dir) => {
         val clusters = connectedComponents(
@@ -1030,5 +1047,4 @@ FROM (SELECT *,
         count(*) OVER (PARTITION BY group_id) AS n_members
       FROM grouped) x
 WHERE rn = 1 ORDER BY cluster_id"""))
-  )
 }

@@ -215,6 +215,13 @@ class PlanAssertSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_partitioned_read prunes at the partition level, not per row") {
+    val p = plan("q_partitioned_read")
+    assert(p.contains("PartitionFilters: ["), p)
+    val pf = p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+    assert(pf.contains("lang"), s"lang not in partition filters: $pf\n$p")
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)

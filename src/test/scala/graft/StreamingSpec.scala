@@ -190,6 +190,28 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(allIds -- emittedIds).take(5)} extra=${(emittedIds -- allIds).take(5)}")
   }
 
+  test("the canonical-digest transform runs unchanged as a structured stream") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("canonstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(in)
+
+    val q = graft.operators.DedupQueries.canonicalDigest(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("canon")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("canon").orderBy("doc_id").collect()
+    val batch = graft.operators.DedupQueries.canonicalDigest(docs)
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("the PII scrub transform runs unchanged as a structured stream") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("scrubstream")
