@@ -229,6 +229,97 @@ object CurationQueries {
                  .mkString(" AND ")}
               ORDER BY doc_id""")),
 
+    // X-family percentile-threshold filtering ("keep the top 30 % by
+    // quality"): the exact quantile leg exists for the gate — both
+    // engines interpolate quantile_cont identically over the same
+    // integers — and broadcasts as a 1-row scalar against the corpus
+    // (map-side filter, no second shuffle of the data). At 100 TB the
+    // threshold comes from `approx_percentile` (one sketch pass,
+    // mergeable) instead of the exact sort-based aggregate; the filter
+    // side is unchanged.
+    Spec("q_quality_threshold",
+      (s, dir) => {
+        val thr = t(s, dir, "documents")
+          .agg(expr("percentile(n_chars, 0.7d)").as("__thr"))
+        t(s, dir, "documents")
+          .join(broadcast(thr))
+          .filter(col("n_chars") >= col("__thr"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+             WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7)
+                               FROM documents)
+             ORDER BY doc_id""")),
+
+    // X-family time-window event dedup (telemetry/webhook retry
+    // suppression): an event is a duplicate if the SAME (user, type)
+    // key fired within the last 5 minutes. One lag window per key —
+    // hash-partitioned by user at any scale, state is one row — vs the
+    // exact-digest streaming form (`dropDuplicatesWithinWatermark`)
+    // this keeps the FIRST of a burst and suppresses the tail.
+    Spec("q_event_dedup_window",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+          .filter(col("__prev").isNull ||
+            col("ts_us") - col("__prev") > 300L * 1000000L)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+               SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+             l AS (
+               SELECT event_id, user_id, event_type,
+                      ts_us - lag(ts_us, 1) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts_us, event_id) AS gap
+               FROM e)
+             SELECT event_id, user_id, event_type FROM l
+             WHERE gap IS NULL OR gap > 300 * 1000000
+             ORDER BY event_id""")),
+
+    // X-family per-domain capping (the CommonCrawl-style "at most k
+    // documents per host" rule): extract the host with the same regex
+    // on both engines, then keep the k best per domain by quality
+    // through the native TopKPerKey operator — partial per-mapper heaps
+    // mean at most k rows per (mapper, domain) ever shuffle, not the
+    // domain's full document set (the hot-host problem at corpus
+    // scale).
+    Spec("q_domain_topk",
+      (s, dir) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id").cast("string"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            regexp_extract(url, "^https?://([^/]+)/", 1).as("domain"))
+        ScaleOps.topKPerKey(docs,
+            Seq(col("domain")),
+            Seq(col("n_chars").desc, col("doc_id")), 4)
+          .select(col("domain"), col("doc_id"), col("n_chars"))
+          .orderBy(col("domain"), col("doc_id"))
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, n_chars,
+                      regexp_extract(
+                        'https://' || source || '.example.com/doc/'
+                          || CAST(doc_id AS VARCHAR),
+                        '^https?://([^/]+)/', 1) AS domain
+               FROM documents),
+             ranked AS (
+               SELECT domain, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY domain
+                        ORDER BY n_chars DESC, doc_id) AS rn
+               FROM d)
+             SELECT domain, doc_id, n_chars FROM ranked WHERE rn <= 4
+             ORDER BY domain, doc_id""")),
+
     // Scale-utility gate row: the Morton (Z-order) clustering key over
     // (l_partkey, l_suppkey), ordered by z — the exact ordering a
     // zorderSorted write lays on disk, so the expression, its codegen

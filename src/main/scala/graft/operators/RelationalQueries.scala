@@ -302,13 +302,16 @@ object RelationalQueries {
              ORDER BY name_a, name_b""")),
 
     // The SCALE form of the fuzzy match: ScaleOps.blockedFuzzyJoin over
-    // the documents corpus — blocking key (first char × length band)
-    // turns the all-pairs shape above into a shuffle equi-join whose
-    // cost is block-local pair counts, not n². The fuzzy key is the
-    // first 4 words of each document (variable length, so the band
-    // mechanism is actually exercised); the oracle replays the exact
-    // same blocking, including the deliberate first-char recall
-    // trade-off.
+    // the documents corpus — blocking key (prefix × length band) turns
+    // the all-pairs shape above into a shuffle equi-join whose cost is
+    // block-local pair counts, not n². The fuzzy key is the first 4
+    // words of each document (variable length, so the band mechanism is
+    // actually exercised); the oracle replays the exact same blocking,
+    // including the deliberate prefix recall trade-off. prefixLen = 2
+    // is the measured operating point (examples.FuzzyScaleProbe on the
+    // 10× replica, BASELINE.md: 1 char → 22.4 s, 2 chars → 12.5 s at
+    // −0.08 % recall; each further char divides block sizes by the
+    // alphabet on diverse-prefix corpora).
     Spec("q_fuzzy_match_blocked",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"),
@@ -316,7 +319,7 @@ object RelationalQueries {
         ScaleOps.blockedFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
-            "s_a", "s_b", maxDist = 4, salts = 1)
+            "s_a", "s_b", maxDist = 4, salts = 1, prefixLen = 2)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))
@@ -325,9 +328,9 @@ object RelationalQueries {
                SELECT doc_id,
                       array_to_string((string_split(text, ' '))[1:4], ' ') AS s
                FROM documents),
-             l AS (SELECT doc_id AS id_a, s AS s_a, substr(s, 1, 1) AS c,
+             l AS (SELECT doc_id AS id_a, s AS s_a, substr(s, 1, 2) AS c,
                           length(s) // 4 AS b FROM k),
-             r AS (SELECT doc_id AS id_b, s AS s_b, substr(s, 1, 1) AS c,
+             r AS (SELECT doc_id AS id_b, s AS s_b, substr(s, 1, 2) AS c,
                           length(s) // 4 + o.off AS b
                    FROM k CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off) o)
              SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist

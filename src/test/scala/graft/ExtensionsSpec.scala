@@ -40,6 +40,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), est)
   }
 
+  test("count_min_sketch is merge-associative: 32-partition aggregate equals 1-partition") {
+    // the property that makes the heavy-hitters pipeline distributed:
+    // per-executor partial sketches merged by the final aggregate are
+    // BIT-identical to sketching the stream serially — estimates are
+    // therefore independent of partitioning / cluster size
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sketch(parts: Int): Array[Byte] = docs.repartition(parts)
+      .selectExpr("explode(split(lower(text), ' ')) AS term")
+      .selectExpr("count_min_sketch(term, 0.001d, 0.99d, 7) AS sk")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sketch(32), sketch(1)))
+  }
+
   test("builder-time extension injects the same functions") {
     // new session object sharing the context, with extensions applied
     // via the documented withExtensions path

@@ -176,6 +176,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_balance_classes",    // 1-row scalar target crossJoin
       "q_mix_sources",        // 1-row token-total crossJoin
       "q_heavy_hitters",      // 1-row broadcast sketch crossJoin
+      "q_quality_threshold",  // 1-row broadcast percentile crossJoin
       "q_text_commonness",    // 1-row token-total crossJoin
       "q_tfidf")              // 1-row corpus-count crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -213,6 +214,12 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_domain_topk caps per-domain rows through the native TopKPerKey") {
+    val p = plan("q_domain_topk")
+    assert(p.contains("TopKPerKeyFinal") && p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("row_number"), p)
   }
 
   test("q_partitioned_read prunes at the partition level, not per row") {
