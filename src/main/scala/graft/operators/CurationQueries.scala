@@ -229,6 +229,66 @@ object CurationQueries {
                  .mkString(" AND ")}
               ORDER BY doc_id""")),
 
+    // X-family BM25 retrieval scoring (Robertson k1/b form) over the
+    // same posting shapes as q_keyword_search: tf comes from postings
+    // FILTERED to the query terms before any shuffle, df/N/avgdl are
+    // three tiny broadcast scalars, and the final score is one map-side
+    // expression per matching doc. Every input to the float math is an
+    // exact integer aggregate, the constants are shared literals, and
+    // the output is floor-rounded — the DuckDB oracle replays the
+    // arithmetic exactly. At corpus scale this is the classic
+    // sparse-retrieval scorer next to the ANN dense path (q_ann_*).
+    Spec("q_bm25",
+      (s, dir) => {
+        val k1 = 1.2
+        val b = 0.75
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        val dl = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_dl"))
+        val tf = toks.filter(col("term").isin(SearchTerms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val avgdl = col("total_dl").cast("double") / col("n_docs")
+        val idf = log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0))
+        val score = idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+        tf.join(broadcast(df), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .join(broadcast(stats))
+          .groupBy(col("doc_id"))
+          .agg(floor(sum(score) * 10000).cast("long").as("score_e4"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents),
+              dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+              tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (${SearchTerms.map("'" + _ + "'").mkString(", ")})
+                GROUP BY doc_id, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+              SELECT tf.doc_id,
+                     CAST(floor(sum(
+                       ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                       ) * 10000) AS BIGINT) AS score_e4,
+                     count(*) AS n_terms
+              FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
     // X-family percentile-threshold filtering ("keep the top 30 % by
     // quality"): the exact quantile leg exists for the gate — both
     // engines interpolate quantile_cont identically over the same

@@ -290,6 +290,34 @@ object ScaleOps {
     ranged.sortWithinPartitions(col("__z")).drop("__z")
   }
 
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * outputs — the operational answer to the small-files problem every
+    * incremental/streaming ingest accumulates (each micro-batch writes
+    * its own files; a 100 TB table fed by minute-level triggers grows
+    * millions of kilobyte files, and scan/listing cost degrades long
+    * before data volume does).
+    *
+    * Sizing reads the REAL on-disk bytes via the filesystem (not row
+    * counts — compression ratios vary); the rewrite is one round-robin
+    * repartition, which both merges small files and splits oversized
+    * ones with even output sizes (`coalesce` could only merge, and
+    * skews). Returns the output file count.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession,
+                   srcDir: String, destDir: String,
+                   targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir).repartition(nParts)
+      .write.mode("overwrite").parquet(destDir)
+    nParts
+  }
+
   /** The Morton key itself (native codegen'd expression) — see
     * [[graft.plans.ZOrderKeyExpr]] for semantics and the oracle replay. */
   def zorderKey(a: Column, b: Column): Column = {

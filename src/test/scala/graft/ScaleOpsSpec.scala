@@ -207,6 +207,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       "prefixLen=2 blocking must equal the first-2-chars brute filter")
   }
 
+  test("compactFiles merges a small-files directory to the byte target, values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // simulate micro-batch accumulation: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small").length == 64)
+    val totalBytes = parquetFiles(s"$dir/small").map(_.length).sum
+    val n = ScaleOps.compactFiles(spark, s"$dir/small", s"$dir/big",
+      targetBytes = totalBytes / 4 + 1)
+    assert(n >= 3 && n <= 5, s"expected ~4 outputs, got $n")
+    assert(parquetFiles(s"$dir/big").length == n)
+    // same rows, nothing lost or duplicated
+    val a = spark.read.parquet(s"$dir/big").orderBy("doc_id").collect()
+    val b = docs.orderBy("doc_id").collect()
+    assert(a.length == b.length && a.sameElements(b))
+    // degenerate direction: a huge target merges to ONE file
+    assert(ScaleOps.compactFiles(spark, s"$dir/small", s"$dir/one",
+      targetBytes = Long.MaxValue) == 1)
+    assert(parquetFiles(s"$dir/one").length == 1)
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = spark.read.parquet(s"$sf/part.parquet")

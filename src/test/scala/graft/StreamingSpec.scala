@@ -190,6 +190,44 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(allIds -- emittedIds).take(5)} extra=${(emittedIds -- allIds).take(5)}")
   }
 
+  test("count-min sketch maintained across micro-batches is bit-identical to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val dir = Files.createTempDirectory("cmsstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(in) // 4 micro-batches
+
+    // the incremental form: each micro-batch sketches its own tokens
+    // (distributed partial/final agg), and the tiny sketch binaries
+    // merge across batches — counters are additive, so arrival order
+    // and batch boundaries cannot change the result
+    var merged: CountMinSketch = null
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .selectExpr("explode(split(lower(text), ' ')) AS term")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bytes = batch
+          .selectExpr("count_min_sketch(term, 0.001d, 0.99d, 7) AS sk")
+          .collect().head.getAs[Array[Byte]](0)
+        val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        if (merged == null) merged = sk else merged.mergeInPlace(sk)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchBytes = docs
+      .selectExpr("explode(split(lower(text), ' ')) AS term")
+      .selectExpr("count_min_sketch(term, 0.001d, 0.99d, 7) AS sk")
+      .collect().head.getAs[Array[Byte]](0)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    assert(java.util.Arrays.equals(out.toByteArray, batchBytes),
+      "incrementally merged sketch must equal the one-shot batch sketch")
+  }
+
   test("the canonical-digest transform runs unchanged as a structured stream") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("canonstream")
