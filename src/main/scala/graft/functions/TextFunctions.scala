@@ -67,6 +67,13 @@ object TextFunctions {
   def minhashSigFast(text: Column, n: Int, k: Int = 3): Column =
     asCol(graft.plans.MinHashSigExpr(expr(text), minhashCoefs(n), k))
 
+  /** Hex md5 of ASCII-canonicalized text (lowercase, punctuation →
+    * space, runs collapsed, trimmed) in one native byte pass — parity
+    * with the declarative regex chain is spec-tested
+    * (see [[graft.plans.CanonicalDigestExpr]]). */
+  def canonicalDigestFast(text: Column): Column =
+    asCol(graft.plans.CanonicalDigestExpr(expr(text)))
+
   /** MinHash is computed as ONE md5 per shingle (the only expensive
     * hash) reduced to a 31-bit integer, followed by cheap affine
     * permutations `(aᵢ·h + bᵢ) mod P` per hash function — k hash

@@ -229,6 +229,44 @@ object CurationQueries {
                  .mkString(" AND ")}
               ORDER BY doc_id""")),
 
+    // Data-quality validation gate (the Deequ/dbt-tests capability):
+    // a declarative constraint list over the corpus — every row-level
+    // predicate folds into ONE scan as a sum of indicators (a 50th
+    // check adds a codegen'd column, not a pass over 100 TB), each
+    // uniqueness check is exactly one hash aggregation, and the report
+    // is itself a DataFrame. Two checks are deliberately failing so
+    // both report directions are oracle-checked with REAL counts.
+    Spec("q_expectations",
+      (s, dir) => QualityChecks.validate(t(s, dir, "documents"), Seq(
+        QualityChecks.RowCheck("doc_id_not_null", col("doc_id").isNotNull),
+        QualityChecks.RowCheck("n_chars_min_100", col("n_chars") >= 100),
+        QualityChecks.RowCheck("text_nonempty", length(col("text")) > 0),
+        QualityChecks.UniqueCheck("doc_id_unique", Seq("doc_id")),
+        QualityChecks.UniqueCheck("lang_source_unique", Seq("lang", "source")))),
+      Some("""WITH rows_part AS (
+               SELECT 'doc_id_not_null' AS "check",
+                      sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS violations
+               FROM documents
+               UNION ALL
+               SELECT 'n_chars_min_100',
+                      sum(CASE WHEN n_chars >= 100 THEN 0 ELSE 1 END)
+               FROM documents
+               UNION ALL
+               SELECT 'text_nonempty',
+                      sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END)
+               FROM documents
+               UNION ALL
+               SELECT 'doc_id_unique',
+                      count(*) - count(DISTINCT doc_id) FROM documents
+               UNION ALL
+               SELECT 'lang_source_unique',
+                      count(*) - (SELECT count(*) FROM
+                        (SELECT DISTINCT lang, source FROM documents))
+               FROM documents)
+             SELECT "check", CAST(violations AS BIGINT) AS violations,
+                    violations = 0 AS passed
+             FROM rows_part ORDER BY "check" """)),
+
     // X-family BM25 retrieval scoring (Robertson k1/b form) over the
     // same posting shapes as q_keyword_search: tf comes from postings
     // FILTERED to the query terms before any shuffle, df/N/avgdl are

@@ -965,11 +965,9 @@ FROM grouped ORDER BY doc_id""")),
     * `dropDuplicatesWithinWatermark` on the digest for the streaming
     * dedup path. */
   def canonicalDigest(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val canon = trim(regexp_replace(regexp_replace(
-      lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    docs.select(col("doc_id"), md5(canon).as("canon_digest"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      canonicalDigestFast(col("text")).as("canon_digest"))
 
   // Canonicalizing exact dedup: real pipelines normalize before
   // hashing (case, punctuation, whitespace runs) so trivially-

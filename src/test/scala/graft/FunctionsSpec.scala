@@ -9,6 +9,25 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("canonical digest: native one-pass equals the declarative regex chain") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcXYZ0189 ,.!?;:-_'\"\t()" // letters, digits, punct, runs
+    val cases = ((1 to 200).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "   ", "...", "  Hello,  WORLD!  ", "a", "7",
+      "MiXeD CaSe 42!")).map(Tuple1(_))
+    val df = cases.toDF("text")
+    val declarative = md5(trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+    val rows = df.select(col("text"),
+        graft.functions.TextFunctions.canonicalDigestFast(col("text")).as("fast"),
+        declarative.as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"diverged on ${r.getString(0).replace("\t", "\\t")}"))
+  }
+
   test("winnowing guarantee: a shared span of >= w+k-1 chars shares a fingerprint") {
     val rnd = new scala.util.Random(19)
     def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
