@@ -47,6 +47,22 @@ object CorpusPipelineDemo {
         .filter(col("keep")).select("doc_id"), Seq("doc_id"))
     val nQuality = qualityIds.count()
 
+    // 2b. canonical exact dedup FIRST (one native byte pass + digest
+    //     groupBy): trivially-different copies collapse before the
+    //     (more expensive) MinHash machinery ever sees them
+    val canonKeep = graft.operators.DedupQueries.canonicalDigest(docs)
+      .groupBy(col("canon_digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nCanon = canonKeep.count()
+
+    // 2c. per-domain cap: at most 40 docs per source domain, best by
+    //     n_chars (native TopKPerKey — the CommonCrawl host-cap rule)
+    val domainCapped = graft.operators.ScaleOps.topKPerKey(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")), 40)
+      .select("doc_id")
+    val nDomainCapped = domainCapped.count()
+
     // 3. dedup keep set (MinHash → verify → clusters → canonical)
     val keepIds = q("q_dedup_corpus")(spark, sfDir).select("doc_id")
 
@@ -56,6 +72,8 @@ object CorpusPipelineDemo {
 
     val surviving = docs
       .join(qualityIds, Seq("doc_id"))
+      .join(canonKeep, Seq("doc_id"))
+      .join(domainCapped, Seq("doc_id"))
       .join(keepIds, Seq("doc_id"))
       .join(splits, Seq("doc_id"))
     val nSurviving = surviving.count()
@@ -81,12 +99,24 @@ object CorpusPipelineDemo {
     val nChunks = q("q_chunk_overlap")(spark, sfDir)
       .join(surviving.select("doc_id"), Seq("doc_id")).count()
 
+    // 7. publish the train split: write (micro-batch-shaped, many
+    //    small files), then compact to ~1 MiB outputs — the
+    //    operational final step of every incremental corpus
+    val out = java.nio.file.Files.createTempDirectory("corpus_out")
+    surviving.filter(col("split") === "train")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/train_raw")
+    val nFiles = graft.operators.ScaleOps.compactFiles(spark,
+      s"$out/train_raw", s"$out/train", targetBytes = 1L << 20)
+
     s"""{"n_docs":$nDocs,"n_redactions":$nRedactions,""" +
+      s""""after_canonical":$nCanon,"after_domain_cap":$nDomainCapped,""" +
       s""""after_quality":$nQuality,"after_dedup_and_split":$nSurviving,""" +
       s""""train":${perSplit.getOrElse("train", 0L)},""" +
       s""""val":${perSplit.getOrElse("val", 0L)},""" +
       s""""test":${perSplit.getOrElse("test", 0L)},""" +
       s""""arrivals_kept":$nArrivalsKept,""" +
-      s""""train_packs":$nPacks,"chunks":$nChunks}"""
+      s""""train_packs":$nPacks,"chunks":$nChunks,""" +
+      s""""train_files":$nFiles}"""
   }
 }

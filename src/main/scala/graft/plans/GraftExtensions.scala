@@ -57,7 +57,10 @@ object GraftExtensions {
       { case Seq(a, b) => ZOrderKeyExpr(a, b) }),
     ("cms_estimate",
       info("cms_estimate", "cms_estimate(sketch, item) - probe a count_min_sketch binary"),
-      { case Seq(s, i) => CmsEstimateExpr(s, i) }))
+      { case Seq(s, i) => CmsEstimateExpr(s, i) }),
+    ("canonical_digest",
+      info("canonical_digest", "canonical_digest(text) - md5 of ASCII-canonicalized text"),
+      { case Seq(c) => CanonicalDigestExpr(c) }))
 
   /** Install into an already-built session (extensions normally apply
     * only at builder time). */
