@@ -103,7 +103,54 @@ object CurationQueries {
     d.toString
   })
 
+  /** Bucketed copies of (lineitem, orders) on the join key, written
+    * once per (JVM, sf-dir) via [[ScaleOps.writeBucketed]] — the
+    * co-located-join fixture. Table names carry a dir hash so battery
+    * runs over different SFs coexist in one catalog. */
+  private val bucketedFor =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) =
+    bucketedFor.computeIfAbsent(dir, _ => {
+      val sfx = Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val (lt, ot) = (s"bk_lineitem_$sfx", s"bk_orders_$sfx")
+      ScaleOps.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        lt, "l_orderkey", 8)
+      ScaleOps.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      (lt, ot)
+    })
+
   val specs: Seq[Spec] = Seq(
+
+    // The co-located join as a GATE row: both fact sides persisted
+    // bucketed+sorted on the join key (paid once), after which the
+    // equi-join AND the key-grouped aggregate run with ZERO
+    // hash-partition exchanges — bucket-local sort-merge feeding a
+    // partitioning-reusing aggregate (PlanAssertSpec pins the absence
+    // of hashpartitioning). At 100 TB this is the difference between
+    // re-shuffling the fact table on every daily join and never
+    // shuffling it again. The oracle replays the same join from the
+    // raw tables — bucketing must not change a single row.
+    Spec("q_bucketed_join",
+      (s, dir) => {
+        val (lt, ot) = bucketedTables(s, dir)
+        s.table(lt).filter(col("l_orderkey") < 2000)
+          .join(s.table(ot).filter(col("o_orderkey") < 2000),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("qty"),
+            count(lit(1)).as("n_lines"),
+            max(col("o_orderpriority")).as("pri"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, sum(l_quantity) AS qty,
+                    count(*) AS n_lines, max(o_orderpriority) AS pri
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_orderkey < 2000 AND o_orderkey < 2000
+             GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
     // Storage-layout gate row: documents written Hive-partitioned by
     // lang, then read back with a lang predicate — the filter resolves

@@ -177,6 +177,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_mix_sources",        // 1-row token-total crossJoin
       "q_heavy_hitters",      // 1-row broadcast sketch crossJoin
       "q_quality_threshold",  // 1-row broadcast percentile crossJoin
+      "q_bm25",               // 1-row broadcast corpus-stats crossJoin
       "q_text_commonness",    // 1-row token-total crossJoin
       "q_tfidf")              // 1-row corpus-count crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -214,6 +215,18 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_bucketed_join runs join AND aggregate with zero hash exchanges") {
+    val p = plan("q_bucketed_join")
+    // at gate scale the filtered small side may legitimately broadcast
+    // (also exchange-free); what bucketing must guarantee is that
+    // NOTHING hash-repartitions — the key-grouped aggregate reuses the
+    // bucket partitioning either way
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join re-shuffled:\n$p")
   }
 
   test("q_domain_topk caps per-domain rows through the native TopKPerKey") {
