@@ -114,12 +114,17 @@ object CurationQueries {
     bucketedFor.computeIfAbsent(dir, _ => {
       val sfx = Integer.toHexString(dir.hashCode & 0x7fffffff)
       val (lt, ot) = (s"bk_lineitem_$sfx", s"bk_orders_$sfx")
+      // explicit per-JVM temp location → external tables, immune to a
+      // stale managed-table directory left in ./spark-warehouse by a
+      // previous run (managed CREATE refuses non-empty locations)
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      base.toFile.deleteOnExit()
       ScaleOps.writeBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-        lt, "l_orderkey", 8)
+        lt, "l_orderkey", 8, path = s"$base/$lt")
       ScaleOps.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        ot, "o_orderkey", 8)
+        ot, "o_orderkey", 8, path = s"$base/$ot")
       (lt, ot)
     })
 

@@ -18,12 +18,17 @@ object ScaleOps {
     * the repeated-join shuffle it removes is the dominant cost.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode("overwrite")
+                    buckets: Int, path: String = null): Unit = {
+    // an explicit path makes the table external: a fresh JVM whose
+    // catalog doesn't know the table can still recreate it even though
+    // a previous run's managed-table directory survives in the
+    // warehouse (managed CREATE refuses a non-empty location)
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    (if (path != null) w.option("path", path) else w).saveAsTable(table)
+  }
 
   /** Per-key top-k through the native TopKPerKey operator
     * (graft.plans): a map-side partial pass with bounded per-key heaps
