@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.specs ++
       MultimodalQueries.specs ++
       VectorQueries.specs ++
-      CurationQueries.specs
+      CurationQueries.specs ++
+      WarehouseQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

@@ -24,6 +24,10 @@ object DedupQueries {
   private val MinhashJaccardThreshold = 0.5
   private val SimhashHammingMax = 12
 
+  /** Jaccard threshold for the exact prefix-filter join — interpolated
+    * into BOTH the Spark prefix length and the brute-force oracle. */
+  private val PrefixFilterThreshold = 0.5
+
   /** DuckDB replay of the md5-derived 60-bit SimHash signature — same
     * per-token hash, votes, and bit assembly as
     * [[graft.plans.SimHashSigExpr]]. */
@@ -273,6 +277,56 @@ ORDER BY d.doc_id"""
   /** df > NgramDfCap shingles are boilerplate: mirrored as the HAVING
     * threshold in the q_dedup_ngram_jaccard oracle — keep in sync. */
   val NgramDfCap = 20
+
+  /** Prefix-filter candidate pairs (PPJoin family) for an EXACT
+    * Jaccard-threshold self-join. `docs` is (doc_id, s: array<string>)
+    * with distinct set elements. Elements are ranked globally by
+    * ascending document frequency (ties by value — a total order);
+    * each doc keeps only its first p = n − ceil(thr·n) + 1 elements in
+    * that order, and candidates are pairs sharing ≥ 1 PREFIX element.
+    * Guarantee (no false negatives): if J(A,B) ≥ thr then
+    * |A∩B| ≥ ceil(thr·nA); were the smallest-ranked common element
+    * outside A's prefix, the whole intersection would fit in A's
+    * suffix of size ceil(thr·nA) − 1 — contradiction; symmetrically
+    * for B, so the pair shares a prefix element. Prefix elements are
+    * the RAREST per doc, so join buckets stay small without any
+    * df-cap approximation — the exact counterpart of
+    * [[invertedIndexPairs]]' capped heuristic. */
+  def prefixFilterCandidates(docs: org.apache.spark.sql.DataFrame,
+                             thr: Double): org.apache.spark.sql.DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
+    val dfTab = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixes = inv.join(dfTab, "sh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        explode(slice(array_sort(col("ts")), lit(1),
+          (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int")))
+          .as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
+    prefixes.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Verified exact-threshold pairs: [[prefixFilterCandidates]] with
+    * the shingle sets re-attached and exact Jaccard applied — equal by
+    * theorem to the brute-force all-pairs join at the same threshold
+    * (the q_dedup_prefix_filter oracle IS that brute force). */
+  def prefixFilterPairs(docs: org.apache.spark.sql.DataFrame,
+                        thr: Double): org.apache.spark.sql.DataFrame =
+    prefixFilterCandidates(docs, thr)
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= thr)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
 
   /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard ≥
     * threshold), shared by the pair and cluster queries. Candidate
@@ -786,6 +840,52 @@ FROM grouped ORDER BY doc_id""")),
                JOIN sh sb ON sb.doc_id = doc_b)
              SELECT doc_a, doc_b, round(jac, 4) AS jaccard
              FROM scored WHERE jac >= 0.03 ORDER BY doc_a, doc_b""")),
+
+    // EXACT-threshold set-similarity self-join via prefix filtering
+    // (the PPJoin family) — the deterministic complement of MinHash
+    // LSH: zero false negatives by theorem, no banding probabilities.
+    // Order the corpus vocabulary by ascending document frequency
+    // (rarest first); a doc whose shingle set has n elements keeps
+    // only its first p = n − ceil(t·n) + 1 shingles in that order as
+    // its "prefix". If J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(nA,nB)),
+    // and the smallest-ranked common shingle must sit inside BOTH
+    // prefixes (were it outside A's, the whole intersection would fit
+    // in A's suffix of size ceil(t·nA) − 1 < |A∩B|) — so an equi-join
+    // on prefix shingles finds every qualifying pair. At 100 TB the
+    // shapes are: one df aggregation (shuffle on shingle), one rank
+    // attach (equi-join on shingle), and a self-equi-join on PREFIX
+    // shingles only — which are the rarest per doc by construction,
+    // so bucket sizes stay small without any df-cap approximation.
+    // The oracle is deliberately the BRUTE-FORCE all-pairs Jaccard
+    // over the full table: the gate proves the pruned join loses
+    // nothing vs exhaustive comparison, not merely that DuckDB can
+    // replay the same blocking.
+    Spec("q_dedup_prefix_filter",
+      (s, dir) =>
+        prefixFilterPairs(
+            t(s, dir, "documents")
+              .select(col("doc_id"), shingleSetFast(col("text")).as("s")),
+            PrefixFilterThreshold)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh AS (
+               SELECT doc_id, list_distinct(
+                 CASE WHEN len(string_split(text,' ')) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> concat_ws(' ', string_split(text,' ')[i],
+                                            string_split(text,' ')[i+1],
+                                            string_split(text,' ')[i+2]))
+                      ELSE [text] END) AS s
+               FROM documents),
+             p AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.s, b.s)) AS inter,
+                      len(a.s) AS na, len(b.s) AS nb
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b,
+                    round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+             FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $PrefixFilterThreshold
+             ORDER BY doc_a, doc_b""")),
 
     // Verbatim-span near-dup PAIRS: the char-level complement of the
     // word n-gram Jaccard above — two docs pair when they share ≥ 20

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators the reference reaches through its
+  * delegated-SQL surface (ref `functions/load_query/main.py:57` hands
+  * arbitrary SQL to BigQuery): slowly-changing-dimension history
+  * building, single-pass column profiling, and the oracle gate rows
+  * for the explicit salting helpers in [[ScaleOps]] (previously only
+  * spec-tested — these rows prove the salted two-phase shapes produce
+  * byte-identical results to the plain forms DuckDB runs).
+  */
+object WarehouseQueries {
+  import Q._
+
+  def specs: Seq[Q.Spec] = Seq(
+
+    // Salted two-phase aggregation gate: ScaleOps.saltedSum spreads a
+    // hot group key over 16 (key, salt) reducers and merges partials.
+    // The oracle is the PLAIN GROUP BY — the gate is exactly the
+    // algebraic-equivalence claim (sum/count re-associate freely), and
+    // rounding absorbs the changed double accumulation order. At
+    // 100 TB this is the fallback for skew the optimizer can't see;
+    // AQE skew-join handles the visible cases (BASELINE.md skew
+    // section).
+    Spec("q_salted_agg",
+      (s, dir) =>
+        ScaleOps.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
+            "l_quantity", salts = 16)
+          .select(col("l_returnflag"),
+            round(col("sum_l_quantity"), 2).as("sum_qty"),
+            col("count").as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                    count(*) AS n_rows
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Salted join gate: replicate the small side across 16 salts so a
+    // hot fact key fans out over 16 reducers; each fact row still
+    // matches exactly one replica, so the result is the plain inner
+    // join the oracle runs. The aggregate on top keeps the gate row
+    // small and proves no row was dropped or doubled.
+    Spec("q_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("k"), col("l_quantity"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("k"), col("s_nationkey"))
+        ScaleOps.saltedJoin(li, sup, "k", salts = 16)
+          .groupBy(col("s_nationkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty,
+                    count(*) AS n_rows
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // SCD2 effective-dating: compress each customer's order-status
+    // stream to its CHANGE points (lag ≠ current), then close each
+    // version with the next change's date (lead) — valid_to IS NULL
+    // marks the open current version. Both windows share one
+    // partitioning (o_custkey) and ordering, so the whole history
+    // build is a single sort within one shuffle — at 100 TB the
+    // standard one-pass dimension-history shape. o_orderkey rides
+    // along as the deterministic tiebreak for same-date changes and
+    // makes the output ORDER BY total.
+    Spec("q_scd2_history",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").filter(col("o_custkey") < 100)
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey").as("change_id"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"), col("valid_to"))
+          .orderBy(col("o_custkey"), col("valid_from"), col("change_id"))
+      },
+      Some("""WITH ordered AS (
+               SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                      lag(o_orderstatus) OVER w AS prev
+               FROM orders WHERE o_custkey < 100
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)),
+             changes AS (
+               SELECT * FROM ordered
+               WHERE prev IS NULL OR prev <> o_orderstatus)
+             SELECT o_custkey, o_orderkey AS change_id,
+                    o_orderstatus AS status, o_orderdate AS valid_from,
+                    lead(o_orderdate) OVER w AS valid_to
+             FROM changes
+             WINDOW w AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+             ORDER BY o_custkey, valid_from, change_id""")),
+
+    // Single-pass column profiling: null count, exact distinct count,
+    // min/max (as strings, for a uniform long-table schema) for every
+    // profiled column in ONE scan, unpivoted via stack. The multiple
+    // exact COUNT(DISTINCT)s cost one Expand (×4 row replication
+    // before partial aggregation) — acceptable for a profiling job; a
+    // 100 TB profile swaps them for approx_count_distinct (the
+    // HLL row q_agg_approx_distinct gates that path) and keeps this
+    // exact form for the oracle.
+    Spec("q_profile_columns",
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+        t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_v, max_v)")
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'o_orderkey' AS col_name,
+                    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
+                    count(DISTINCT o_orderkey) AS n_distinct,
+                    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                    CAST(max(o_orderkey) AS VARCHAR) AS max_v
+             FROM orders
+             UNION ALL
+             SELECT 'o_custkey',
+                    count(*) FILTER (WHERE o_custkey IS NULL),
+                    count(DISTINCT o_custkey),
+                    CAST(min(o_custkey) AS VARCHAR),
+                    CAST(max(o_custkey) AS VARCHAR)
+             FROM orders
+             UNION ALL
+             SELECT 'o_orderstatus',
+                    count(*) FILTER (WHERE o_orderstatus IS NULL),
+                    count(DISTINCT o_orderstatus),
+                    CAST(min(o_orderstatus) AS VARCHAR),
+                    CAST(max(o_orderstatus) AS VARCHAR)
+             FROM orders
+             UNION ALL
+             SELECT 'o_orderpriority',
+                    count(*) FILTER (WHERE o_orderpriority IS NULL),
+                    count(DISTINCT o_orderpriority),
+                    CAST(min(o_orderpriority) AS VARCHAR),
+                    CAST(max(o_orderpriority) AS VARCHAR)
+             FROM orders
+             ORDER BY col_name"""))
+  )
+}

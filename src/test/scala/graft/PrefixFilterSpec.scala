@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupQueries
+
+/** Prefix-filter set-similarity join (q_dedup_prefix_filter): the
+  * no-false-negative theorem checked against brute force on a corpus
+  * built to punish weaker blockings, and the pruning claim (prefix
+  * candidates ≪ all pairs) checked under a universal boilerplate
+  * shingle — the shape that breaks a plain inverted-index join.
+  */
+class PrefixFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 docs, every one carrying the same boilerplate shingle "bp";
+  // docs 2k/2k+1 are near-dup twins sharing {x_k, y_k, z_k} with one
+  // private element each -> J = 3/5 = 0.6; unrelated docs share ONLY
+  // the boilerplate -> J = 1/7.
+  private def corpus = (0 until 40).map { i =>
+    val k = i / 2
+    val priv = s"priv_$i"
+    (i.toLong, Seq("bp", s"x_$k", s"y_$k", s"z_$k", priv))
+  }.toDF("doc_id", "s")
+
+  test("pairs equal brute force at the threshold (zero false negatives)") {
+    val got = DedupQueries.prefixFilterPairs(corpus, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val d = corpus.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, sa) <- d; (b, sb) <- d if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield (a, b, math.round(j * 10000) / 10000.0)).toSet
+    assert(want.size == 20, s"fixture should plant 20 twin pairs, got ${want.size}")
+    assert(got == want)
+  }
+
+  test("universal boilerplate shingle does not quadratically blow up candidates") {
+    val cand = DedupQueries.prefixFilterCandidates(corpus, 0.5).count()
+    // all-pairs would be 40*39/2 = 780, every pair sharing "bp"; the
+    // df-ordered prefix (3 of 5 elements, rarest first) excludes the
+    // universal shingle from every prefix, so candidates collapse to
+    // the twin pairs only
+    assert(cand == 20, s"expected 20 candidates, got $cand (all-pairs = 780)")
+  }
+
+  test("threshold 1.0 degenerates to single-element prefixes, still exact") {
+    val got = DedupQueries.prefixFilterPairs(corpus, 1.0).count()
+    assert(got == 0) // twins differ in one element each, J = 0.6 < 1
+    val withClone = corpus.union(Seq((100L, Seq("bp", "x_0", "y_0", "z_0",
+      "priv_0"))).toDF("doc_id", "s"))
+    val exact = DedupQueries.prefixFilterPairs(withClone, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == Set((0L, 100L, 1.0)))
+  }
+}
