@@ -333,28 +333,52 @@ object CurationQueries {
         val k1 = 1.2
         val b = 0.75
         val docs = t(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("term"))
-        val dl = toks.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_dl"))
-        val tf = toks.filter(col("term").isin(SearchTerms: _*))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term"))
-          .agg(count(lit(1)).as("df"))
-        val avgdl = col("total_dl").cast("double") / col("n_docs")
-        val idf = log((col("n_docs") - col("df") + lit(0.5))
-          / (col("df") + lit(0.5)) + lit(1.0))
-        val score = idf * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-        tf.join(broadcast(df), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .join(broadcast(stats))
+        // ONE aggregation pass over the exploded corpus: per-doc length
+        // AND each search term's tf as pivoted columns of the same
+        // groupBy. The three consumers below (per-doc lengths, corpus
+        // stats, term frequencies) then all hang off this one subtree,
+        // so the corpus-sized exchange is planned once and REUSED
+        // (AQE stage reuse) instead of the previous three independent
+        // aggregation pipelines over the token explosion — at 100 TB
+        // the explode+shuffle over every token is the entire cost, and
+        // this does it exactly once.
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
           .groupBy(col("doc_id"))
-          .agg(floor(sum(score) * 10000).cast("long").as("score_e4"),
-            count(lit(1)).as("n_terms"))
+          .agg(count(lit(1)).as("dl"),
+            SearchTerms.map(tm =>
+              sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf_$tm")): _*)
+        // the corpus stats (doc count, total length, per-term document
+        // frequency) all fold into ONE 1-row aggregate of perDoc,
+        // broadcast back against it — no unpivot, no per-term join, no
+        // second wide shuffle; the per-doc score is then a pure
+        // column-wise map. Summation order across the ≤2 terms is
+        // fixed (term-list order) but 2-addend FP addition is
+        // commutative, so the oracle's arbitrary per-group order
+        // cannot diverge.
+        val statAggs = count(lit(1)).as("n_docs") +:
+          sum(col("dl")).as("total_dl") +:
+          SearchTerms.map(tm =>
+            sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+        val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+        val avgdl = col("total_dl").cast("double") / col("n_docs")
+        def termScore(tm: String) = {
+          val tf = col(s"tf_$tm")
+          val idf = log((col("n_docs") - col(s"df_$tm") + lit(0.5))
+            / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
+          when(tf > 0, idf * (tf * (k1 + 1)) /
+            (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+            .otherwise(lit(0.0))
+        }
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            floor(SearchTerms.map(termScore).reduce(_ + _) * 10000)
+              .cast("long").as("score_e4"),
+            SearchTerms.map(tm =>
+              when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).reduce(_ + _)
+              .as("n_terms"))
+          .filter(col("n_terms") > 0)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH toks AS (
