@@ -557,5 +557,63 @@ object CurationQueries {
       Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                      ${zorderOracleExpr("l_partkey", "l_suppkey")} AS z
               FROM lineitem WHERE l_orderkey < 300
-              ORDER BY z, l_orderkey, l_linenumber""")))
+              ORDER BY z, l_orderkey, l_linenumber""")),
+
+    // Per-group feature normalization (z-score within language): the
+    // standard preprocessing step before mixing quality signals across
+    // languages whose raw distributions differ. One window over the
+    // group key — hash-partitioned by lang at any scale, a single
+    // shuffle; mean/stddev are computed once per partition pass, not
+    // via a self-join. floor-scaling (not round) per the cross-engine
+    // FP gotcha: both engines floor the same double.
+    Spec("q_normalize_zscore",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("mu", avg(col("n_chars")).over(w))
+          .withColumn("sigma", stddev_samp(col("n_chars")).over(w))
+          .select(col("doc_id"), col("lang"),
+            (floor((col("n_chars") - col("mu")) / col("sigma") * 10000) / 10000)
+              .as("z"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+                    floor((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                          / stddev_samp(n_chars) OVER (PARTITION BY lang)
+                          * 10000) / 10000 AS z
+             FROM documents ORDER BY doc_id""")),
+
+    // Top-p (nucleus) truncation per group: keep each language's
+    // longest documents until their cumulative share of the group's
+    // total character mass reaches p — the mass-based counterpart of
+    // the count-based q_domain_topk. A running-sum window ordered by
+    // weight descending, then a filter on (cumulative − own) < p·total:
+    // the first row past the threshold is KEPT (standard nucleus
+    // semantics — the set is the smallest whose mass ≥ p). One shuffle
+    // on the group key; the per-group total rides the same window with
+    // an unbounded frame, so no extra aggregation-join pass.
+    Spec("q_top_p_per_group",
+      (s, dir) => {
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+        val ordered = byLang.orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("cum", sum(col("n_chars")).over(ordered))
+          .withColumn("total", sum(col("n_chars")).over(byLang))
+          .filter((col("cum") - col("n_chars")).cast("double") <
+            col("total") * lit(0.5))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH ranked AS (
+               SELECT doc_id, lang, n_chars,
+                      sum(n_chars) OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id) AS cum,
+                      sum(n_chars) OVER (PARTITION BY lang) AS total
+               FROM documents)
+             SELECT doc_id, lang, n_chars FROM ranked
+             WHERE CAST(cum - n_chars AS DOUBLE) < total * 0.5
+             ORDER BY lang, doc_id""")))
 }

@@ -296,18 +296,42 @@ ORDER BY d.doc_id"""
                              thr: Double): org.apache.spark.sql.DataFrame = {
     val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
     val dfTab = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // keep (set size, 1-based prefix position, df) on every prefix row:
+    // they feed the three pruning predicates below. df = 1 rows can't
+    // pair with anything and are dropped before they reach the join.
     val prefixes = inv.join(dfTab, "sh")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
         count(lit(1)).as("n"))
-      .select(col("doc_id"),
-        explode(slice(array_sort(col("ts")), lit(1),
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(array_sort(col("ts")), lit(1),
           (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int")))
-          .as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"))
-    prefixes.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+          .as(Seq("pos", "p")))
+      .filter(col("p.df") > 1)
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pp"),
+        col("p.sh").as("sh"))
+    // PPJoin pruning, applied map-side on the joined rows BEFORE the
+    // distinct shuffle (on a low-diversity vocabulary the raw bucket
+    // cartesians are the whole cost — these filters only remove pairs
+    // that provably cannot reach the threshold, so exactness holds):
+    //  - length filter: J ≥ t ⇒ |A∩B| ≤ min(nA,nB) and
+    //    |A∩B| ≥ t·max(nA,nB), so min ≥ t·max;
+    //  - positional filter: a pair witnessed at 1-based prefix
+    //    positions (pA, pB) has overlap ≤ 1 + min(nA−pA, nB−pB); the
+    //    pair's smallest-ranked common element always yields a witness
+    //    row satisfying the bound, so true pairs survive. The two
+    //    sides are canonically identical subtrees, so AQE stage reuse
+    //    executes the prefix pipeline once at runtime even though the
+    //    static plan prints it twice.
+    prefixes.select(col("doc_id").as("doc_a"), col("sh"),
+        col("n").as("na"), col("pp").as("pa"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("sh"),
+        col("n").as("nb"), col("pp").as("pb")), "sh")
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("na"), col("nb")) >=
+        greatest(col("na"), col("nb")) * lit(thr))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        greatest(col("na"), col("nb")) * lit(thr))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
