@@ -615,5 +615,36 @@ object CurationQueries {
                FROM documents)
              SELECT doc_id, lang, n_chars FROM ranked
              WHERE CAST(cum - n_chars AS DOUBLE) < total * 0.5
-             ORDER BY lang, doc_id""")))
+             ORDER BY lang, doc_id""")),
+
+    // Per-group winsorization: clip a feature at its group's 5th/95th
+    // percentile instead of dropping outlier rows — the standard
+    // robust-statistics cleanup before averaging or z-scoring. The
+    // tiny per-group percentile table (one partial+final aggregate)
+    // broadcasts back; the clip itself is a map-side
+    // least/greatest — no second shuffle of the data. At 100 TB the
+    // bounds come from approx_percentile (mergeable sketch), same as
+    // the q_quality_threshold scale note; the exact leg here is what
+    // both engines can interpolate identically over integers.
+    Spec("q_winsorize",
+      (s, dir) => {
+        val bounds = t(s, dir, "documents").groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.05d)").as("lo"),
+            expr("percentile(n_chars, 0.95d)").as("hi"))
+        t(s, dir, "documents")
+          .join(broadcast(bounds), "lang")
+          .select(col("doc_id"), col("lang"),
+            (floor(least(greatest(col("n_chars").cast("double"), col("lo")),
+              col("hi")) * 100) / 100).as("clipped"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+               SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi
+               FROM documents GROUP BY lang)
+             SELECT doc_id, d.lang,
+                    floor(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)
+                          * 100) / 100 AS clipped
+             FROM documents d JOIN b ON d.lang = b.lang
+             ORDER BY doc_id""")))
 }

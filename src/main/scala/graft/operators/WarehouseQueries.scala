@@ -149,6 +149,52 @@ object WarehouseQueries {
                     CAST(min(o_orderpriority) AS VARCHAR),
                     CAST(max(o_orderpriority) AS VARCHAR)
              FROM orders
-             ORDER BY col_name"""))
+             ORDER BY col_name""")),
+
+    // Golden-record survivorship: merge each customer's order rows
+    // into ONE record by per-field rules — modal value (most frequent,
+    // ties broken by value) for the priority, recency (max date) for
+    // the last order, max for the amount, plus a support count. This
+    // is the MDM complement of q_dedup_keep_best: that picks one
+    // SOURCE ROW per cluster, this synthesizes a new record field by
+    // field. The modal field is a count aggregate + one row_number
+    // window (deterministic tie-break), the rest ride a plain
+    // aggregate on the same key — two shuffles on the entity key
+    // total, both hash-partitioned at any scale.
+    Spec("q_golden_record",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_custkey") < 300)
+        val counts = o.groupBy(col("o_custkey"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("c").desc, col("o_orderpriority"))
+        val modal = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderpriority").as("modal_priority"))
+        o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            round(max(col("o_totalprice")), 2).as("max_price"),
+            count(lit(1)).as("n_orders"))
+          .join(modal, "o_custkey")
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH o AS (SELECT * FROM orders WHERE o_custkey < 300),
+             counts AS (
+               SELECT o_custkey, o_orderpriority, count(*) AS c
+               FROM o GROUP BY o_custkey, o_orderpriority),
+             modal AS (
+               SELECT o_custkey, o_orderpriority AS modal_priority
+               FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY c DESC, o_orderpriority) AS rn FROM counts)
+               WHERE rn = 1),
+             agg AS (
+               SELECT o_custkey, max(o_orderdate) AS last_order,
+                      round(max(o_totalprice), 2) AS max_price,
+                      count(*) AS n_orders
+               FROM o GROUP BY o_custkey)
+             SELECT a.o_custkey, a.last_order, a.max_price, a.n_orders,
+                    m.modal_priority
+             FROM agg a JOIN modal m USING (o_custkey)
+             ORDER BY a.o_custkey"""))
   )
 }
