@@ -335,6 +335,62 @@ ORDER BY d.doc_id"""
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** EXACT incremental near-dup (batch vs corpus) via prefix filtering
+    * — the deterministic counterpart of [[incrementalKeep]]'s LSH
+    * form: a batch doc is dropped iff its exact Jaccard against SOME
+    * corpus doc reaches `thr`, with zero false negatives by the same
+    * prefix theorem (any consistent total element order works; here
+    * it's (corpus df, element), batch-only elements at df 0 — they
+    * sort first but can never witness a cross match, which is
+    * harmless). At scale the corpus side is a maintained
+    * (element → doc) prefix index bucketed by element: a daily batch
+    * joins it without rescanning corpus text, exactly like the band
+    * index — but when a match must never be missed (legal/contractual
+    * dedup, benchmark decontamination), this path is the guarantee
+    * the probabilistic bands can't give. Returns the kept batch rows.
+    */
+  def prefixFilterIncremental(batch: org.apache.spark.sql.DataFrame,
+                              corpus: org.apache.spark.sql.DataFrame,
+                              thr: Double): org.apache.spark.sql.DataFrame = {
+    def withSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), shingleSetFast(col("text")).as("s"))
+    val bs = withSets(batch)
+    val cs = withSets(corpus)
+    val corpusInv = cs.select(col("doc_id"), explode(col("s")).as("sh"))
+    val dfTab = corpusInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    def prefixes(inv: org.apache.spark.sql.DataFrame) =
+      inv.join(dfTab, Seq("sh"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n"),
+          posexplode(slice(array_sort(col("ts")), lit(1),
+            (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int")))
+            .as(Seq("pos", "p")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).as("pp"),
+          col("p.sh").as("sh"))
+    val cand = prefixes(bs.select(col("doc_id"), explode(col("s")).as("sh")))
+      .select(col("doc_id").as("new_id"), col("sh"),
+        col("n").as("nb"), col("pp").as("pb"))
+      .join(prefixes(corpusInv)
+        .select(col("doc_id").as("old_id"), col("sh"),
+          col("n").as("na"), col("pp").as("pa")), "sh")
+      .filter(least(col("na"), col("nb")) >=
+        greatest(col("na"), col("nb")) * lit(thr))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        greatest(col("na"), col("nb")) * lit(thr))
+      .select(col("new_id"), col("old_id")).distinct()
+    val dropIds = cand
+      .join(bs.select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
+      .join(cs.select(col("doc_id").as("old_id"), col("s").as("sa")), "old_id")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        (size(col("sa")) + size(col("sb")) -
+          size(array_intersect(col("sa"), col("sb")))) >= thr)
+      .select(col("new_id").as("doc_id")).distinct()
+    batch.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
   /** Verified exact-threshold pairs: [[prefixFilterCandidates]] with
     * the shingle sets re-attached and exact Jaccard applied — equal by
     * theorem to the brute-force all-pairs join at the same threshold
@@ -910,6 +966,43 @@ FROM grouped ORDER BY doc_id""")),
                     round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
              FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $PrefixFilterThreshold
              ORDER BY doc_a, doc_b""")),
+
+    // The incremental (batch-vs-corpus) form of the exact join above,
+    // mirroring q_dedup_incremental's split: every 5th doc is the
+    // arriving batch, the rest the corpus. Same brute-force oracle
+    // discipline — DuckDB compares every batch doc against every
+    // corpus doc, so the gate proves the guaranteed-recall claim, not
+    // just blocking replay.
+    Spec("q_dedup_prefix_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        prefixFilterIncremental(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            PrefixFilterThreshold)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+               SELECT doc_id, list_distinct(
+                 CASE WHEN len(string_split(text,' ')) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> concat_ws(' ', string_split(text,' ')[i],
+                                            string_split(text,' ')[i+1],
+                                            string_split(text,' ')[i+2]))
+                      ELSE [text] END) AS s
+               FROM documents),
+             drops AS (
+               SELECT DISTINCT b.doc_id AS new_id
+               FROM sh b JOIN sh a
+                 ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+               WHERE CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)
+                       / (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s)))
+                     >= $PrefixFilterThreshold)
+             SELECT doc_id, lang, source FROM documents
+             WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM drops)
+             ORDER BY doc_id""")),
 
     // Verbatim-span near-dup PAIRS: the char-level complement of the
     // word n-gram Jaccard above — two docs pair when they share ≥ 20

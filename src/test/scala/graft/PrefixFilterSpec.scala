@@ -46,6 +46,42 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(cand == 20, s"expected 20 candidates, got $cand (all-pairs = 780)")
   }
 
+  test("incremental form keeps exactly the batch docs brute force keeps") {
+    // deterministic word-soup corpus over a 10-word vocabulary, with
+    // planted cross-side near-dups (batch doc 4k+1 = corpus doc 4k
+    // with a one-word tail edit -> high 3-gram overlap); the other
+    // batch docs are independent word soup and should survive
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(7)
+    def sentence() = Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(10)))
+    val base = (0 until 30).map(i => i.toLong -> sentence()).toMap
+    val texts = base.map { case (i, toks) =>
+      if (i % 4 == 1) i -> (base(i - 1).dropRight(1) :+ "omega")
+      else i -> toks
+    }
+    val df = texts.toSeq.map { case (i, toks) => (i, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val batch = df.filter($"doc_id" % 2 === 1)
+    val corp = df.filter($"doc_id" % 2 === 0)
+    val kept = graft.operators.DedupQueries
+      .prefixFilterIncremental(batch, corp, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force with the same shingling (3-gram windows, distinct)
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    def jac(a: Set[String], b: Set[String]) =
+      (a & b).size.toDouble / (a | b).size
+    val want = texts.collect { case (i, toks) if i % 2 == 1 &&
+      !texts.exists { case (j, c) =>
+        j % 2 == 0 && jac(shingles(toks), shingles(c)) >= 0.5 } => i
+    }.toSet
+    assert(want.nonEmpty && want.size < 15,
+      s"fixture should drop some but not all batch docs (kept ${want.size}/15)")
+    assert(kept == want)
+  }
+
   test("threshold 1.0 degenerates to single-element prefixes, still exact") {
     val got = DedupQueries.prefixFilterPairs(corpus, 1.0).count()
     assert(got == 0) // twins differ in one element each, J = 0.6 < 1
