@@ -195,6 +195,59 @@ object WarehouseQueries {
              SELECT a.o_custkey, a.last_order, a.max_price, a.n_orders,
                     m.modal_priority
              FROM agg a JOIN modal m USING (o_custkey)
-             ORDER BY a.o_custkey"""))
+             ORDER BY a.o_custkey""")),
+
+    // k-anonymity audit: every quasi-identifier combination whose
+    // group is smaller than k identifies its members to within
+    // k−1 candidates — the release-gating check before publishing a
+    // dataset keyed on (lang, source, length band). One hash
+    // aggregate + HAVING; at 100 TB this is exactly the same
+    // partial+final shape as any count rollup, and the flagged set is
+    // by definition the small tail. Complements q_text_redact (which
+    // scrubs direct identifiers; this catches the indirect ones).
+    Spec("q_k_anonymity",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_band"))
+          .agg(count(lit(1)).as("group_size"))
+          .filter(col("group_size") < 5)
+          .orderBy(col("lang"), col("source"), col("len_band")),
+      Some("""SELECT lang, source, n_chars // 100 AS len_band,
+                    count(*) AS group_size
+             FROM documents
+             GROUP BY lang, source, n_chars // 100
+             HAVING count(*) < 5
+             ORDER BY lang, source, len_band""")),
+
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // the maintained per-key aggregate table absorbs a delta batch by
+    // UNION + re-aggregate of two ALREADY-AGGREGATED frames — the
+    // corpus is never rescanned, the merge shuffles only per-key
+    // partials (sum/count are the mergeable states; avg derives from
+    // them at read time). The oracle recomputes from scratch over the
+    // full table: the gate is merge == recompute, the algebraic
+    // property incremental view maintenance rests on.
+    Spec("q_incremental_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val base = li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+        val delta = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("l_returnflag"))
+            .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+        partials(base).unionAll(partials(delta))
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("s")), 2).as("sum_qty"),
+            sum(col("c")).as("n_rows"))
+          .withColumn("avg_qty",
+            floor(col("sum_qty") / col("n_rows") * 10000) / 10000)
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                    count(*) AS n_rows,
+                    floor(round(sum(l_quantity), 2) / count(*) * 10000)
+                      / 10000 AS avg_qty
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
