@@ -32,11 +32,18 @@ case class RollingMinFingerprintExpr(child: Expression, k: Int = 8)
     // mirror greatest(length - (k-1), 1): at least one (possibly short)
     // gram so empty/short docs still fingerprint
     val grams = math.max(n - (k - 1), 1)
+    // same ASCII fast path as WinnowSetExpr: hash byte slices in place
+    // instead of quadratic UTF8String.substring walks
+    val ascii = text.numBytes() == n
+    val bytes = if (ascii) text.getBytes else null
     var min: Array[Byte] = null
     var i = 0
     while (i < grams) {
       md.reset()
-      val d = md.digest(text.substring(i, i + k).getBytes)
+      val d = if (ascii) {
+        md.update(bytes, i, math.min(k, n - i))
+        md.digest()
+      } else md.digest(text.substring(i, i + k).getBytes)
       if (min == null || RollingMinFingerprintExpr.unsignedLess(d, min)) min = d
       i += 1
     }
@@ -98,12 +105,23 @@ case class WinnowSetExpr(child: Expression, k: Int = 8, w: Int = 4)
     val md = RollingMinFingerprintExpr.md5Local.get()
     // window-min over raw digests (unsigned byte order == hex string
     // order), hex-converting only the SELECTED mins — no per-gram
-    // String allocation
+    // String allocation. ASCII fast path: one byte in UTF-8 per char,
+    // so the k-char gram IS the byte slice [i, i+k) — hash it in place
+    // (UTF8String.substring re-walks the string from position 0 on
+    // EVERY call, which made gram extraction quadratic per document
+    // and dominated the whole contamination scan).
+    val ascii = text.numBytes() == n
+    val bytes = if (ascii) text.getBytes else null
     val grams = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
       md.reset()
-      grams(i) = md.digest(text.substring(i, i + k).getBytes)
+      if (ascii) {
+        md.update(bytes, i, k)
+        grams(i) = md.digest()
+      } else {
+        grams(i) = md.digest(text.substring(i, i + k).getBytes)
+      }
       i += 1
     }
     val out = new java.util.LinkedHashSet[String]()

@@ -52,6 +52,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty == 0)
   }
 
+  test("winnow set matches a host-side reference on ASCII and multi-byte text") {
+    // pins BOTH code paths of WinnowSetExpr (ASCII byte-slice fast
+    // path and the UTF8String.substring fallback) to the char-gram
+    // semantics the DuckDB oracle replays with substr()
+    def ref(text: String, k: Int = 8, w: Int = 4): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nGrams = text.length - k + 1
+      if (nGrams < w) return Seq.empty
+      val grams = (0 until nGrams).map { i =>
+        md.reset()
+        md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      (0 to nGrams - w).map(j => grams.slice(j, j + w).min).distinct
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "café déjà vu über naïve — un café über tout déjà",
+      "ascii and ünïcode mixed in the same document body")
+    val got = texts.toDF("text").select(TF.winnowSetFast(col("text")))
+      .as[Seq[String]].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"winnow diverged on: ${t.take(30)}")
+    }
+  }
+
   test("shingles: word 3-grams; short docs collapse to whole text") {
     val df = Seq("a b c d e", "a b").toDF("text")
       .select(TF.shingles(col("text")).as("s"))
