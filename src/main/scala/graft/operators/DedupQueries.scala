@@ -316,13 +316,17 @@ ORDER BY d.doc_id"""
     // that provably cannot reach the threshold, so exactness holds):
     //  - length filter: J ≥ t ⇒ |A∩B| ≤ min(nA,nB) and
     //    |A∩B| ≥ t·max(nA,nB), so min ≥ t·max;
-    //  - positional filter: a pair witnessed at 1-based prefix
+    //  - positional filter with the TIGHT overlap bound:
+    //    J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(nA+nB) (exact algebra of
+    //    J = I/(nA+nB−I)), which dominates t·max for every
+    //    length-surviving pair; a pair witnessed at 1-based prefix
     //    positions (pA, pB) has overlap ≤ 1 + min(nA−pA, nB−pB); the
     //    pair's smallest-ranked common element always yields a witness
     //    row satisfying the bound, so true pairs survive. The two
     //    sides are canonically identical subtrees, so AQE stage reuse
     //    executes the prefix pipeline once at runtime even though the
     //    static plan prints it twice.
+    val tight = thr / (1.0 + thr)
     prefixes.select(col("doc_id").as("doc_a"), col("sh"),
         col("n").as("na"), col("pp").as("pa"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("sh"),
@@ -331,7 +335,7 @@ ORDER BY d.doc_id"""
       .filter(least(col("na"), col("nb")) >=
         greatest(col("na"), col("nb")) * lit(thr))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        greatest(col("na"), col("nb")) * lit(thr))
+        (col("na") + col("nb")) * lit(tight))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
@@ -379,7 +383,7 @@ ORDER BY d.doc_id"""
       .filter(least(col("na"), col("nb")) >=
         greatest(col("na"), col("nb")) * lit(thr))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        greatest(col("na"), col("nb")) * lit(thr))
+        (col("na") + col("nb")) * lit(thr / (1.0 + thr)))
       .select(col("new_id"), col("old_id")).distinct()
     val dropIds = cand
       .join(bs.select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
