@@ -365,6 +365,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept.size < batchDocs.count())
   }
 
+  test("EXACT incremental dedup (prefix filter) runs per micro-batch via foreachBatch") {
+    // same production shape as the LSH test above, but through the
+    // guaranteed-recall prefix-filter operator: because each micro-
+    // batch is deduped against the static corpus independently and the
+    // operator is deterministic, batch boundaries cannot change the
+    // keep-set
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("pfincstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    batchDocs.filter(col("doc_id") < 150).write.mode("overwrite").parquet(in)
+    batchDocs.filter(col("doc_id") >= 150).write.mode("append").parquet(in)
+
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.DedupQueries.prefixFilterIncremental(mb, corpus, 0.5)
+          .select("doc_id").collect().foreach(r => sink.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamedKept = sink.asScala.toSet
+    val batchKept = graft.operators.DedupQueries
+      .prefixFilterIncremental(batchDocs, corpus, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sink.size == streamedKept.size, "a doc was kept twice")
+    assert(streamedKept == batchKept,
+      s"missing=${(batchKept -- streamedKept).take(5)} " +
+        s"extra=${(streamedKept -- batchKept).take(5)}")
+    assert(batchKept.size < batchDocs.count())
+  }
+
   test("availableNow drains new files, archives them, never re-reads") {
     val root = Files.createTempDirectory("stream")
     val in = Files.createDirectories(root.resolve("in"))
