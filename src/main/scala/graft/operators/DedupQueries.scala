@@ -299,6 +299,9 @@ ORDER BY d.doc_id"""
     // keep (set size, 1-based prefix position, df) on every prefix row:
     // they feed the three pruning predicates below. df = 1 rows can't
     // pair with anything and are dropped before they reach the join.
+    // (collect_list + array_sort + posexplode measured FASTER than the
+    // two-window row_number/count alternative: one object aggregate vs
+    // two window passes inside the same exchange.)
     val prefixes = inv.join(dfTab, "sh")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
