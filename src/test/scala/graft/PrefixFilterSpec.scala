@@ -82,6 +82,19 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(kept == want)
   }
 
+  test("incremental form: empty corpus keeps the whole batch, empty batch yields empty") {
+    val batch = Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"))
+      .toDF("doc_id", "text")
+    val none = batch.filter($"doc_id" < 0)
+    val keptAll = graft.operators.DedupQueries
+      .prefixFilterIncremental(batch, none, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L))
+    val keptNone = graft.operators.DedupQueries
+      .prefixFilterIncremental(none, batch, 0.5).count()
+    assert(keptNone == 0)
+  }
+
   test("threshold 1.0 degenerates to single-element prefixes, still exact") {
     val got = DedupQueries.prefixFilterPairs(corpus, 1.0).count()
     assert(got == 0) // twins differ in one element each, J = 0.6 < 1
