@@ -300,8 +300,10 @@ ORDER BY d.doc_id"""
     // they feed the three pruning predicates below. df = 1 rows can't
     // pair with anything and are dropped before they reach the join.
     // (collect_list + array_sort + posexplode measured FASTER than the
-    // two-window row_number/count alternative: one object aggregate vs
-    // two window passes inside the same exchange.)
+    // two-window row_number/count alternative — one object aggregate vs
+    // two window passes inside the same exchange — and than a packed
+    // zero-padded-string sort key, whose concat/lpad allocation cost
+    // more than the struct ordering saved.)
     val prefixes = inv.join(dfTab, "sh")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
