@@ -47,6 +47,15 @@ object PrefixFilterProbe {
     val nPairs = time("verified pairs")(pairs.count())
     println(s"[probe] n_pairs = $nPairs")
     time("full query 2nd run")(pairs.count())
+    // threshold sensitivity: prefix length, candidate volume, and cost
+    // all scale with (1 - t) — the knob a user tunes
+    for (thr <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val t0 = System.nanoTime()
+      val c = DedupQueries.prefixFilterCandidates(docs, thr).count()
+      val p = DedupQueries.prefixFilterPairs(docs, thr).count()
+      println(f"[probe] thr=$thr%.1f candidates=$c%8d pairs=$p%6d " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+    }
     spark.stop()
   }
 }
