@@ -167,14 +167,21 @@ object EtlQueries {
     // drives a real on-disk CSV through CsvIngest.read — header skip,
     // arity drop, and per-element lenient coercion all land in the
     // typed array column. The oracle replays the raw lines as VALUES
-    // and the identical parse in DuckDB list functions.
+    // and the identical parse in DuckDB list functions. The gate
+    // PROJECTION scalarizes the array (joined string + length): the
+    // driver's pandas-based compare sorts result columns and cannot
+    // hash a raw list cell (r5: "unhashable type: numpy.ndarray"); the
+    // typed ArrayType column is still what these derivations consume,
+    // and is asserted directly in CsvIngestSpec.
     Spec("q_csv_repeated_e2e",
       (s, _) => {
         val (csv, sch) = repeatedFixture
         val schema = graft.sources.SchemaIO.parseFile(sch)
         graft.sources.CsvIngest.read(s, csv, schema)
           .select(col("ID").as("id"), col("NAME").as("name"),
-            col("VALS").as("vals"))
+            array_join(col("VALS").cast("array<string>"), "|").as("vals_str"),
+            when(col("VALS").isNull, lit(null).cast("bigint"))
+              .otherwise(size(col("VALS")).cast("bigint")).as("n_vals"))
           .orderBy(col("id"))
       },
       Some("""WITH lines(line) AS (VALUES
@@ -182,13 +189,17 @@ object EtlQueries {
                ('3;delta;7'), ('junk-row-wrong-arity'), ('4;epsilon;8|9')),
              cells AS (
                SELECT string_split(line, ';') AS c FROM lines
-               WHERE len(string_split(line, ';')) = 3)
-             SELECT CAST(c[1] AS BIGINT) AS id, c[2] AS name,
-                    CASE WHEN c[3] = '' THEN NULL
-                         ELSE list_transform(string_split(c[3], '|'),
-                                             x -> TRY_CAST(x AS BIGINT))
-                    END AS vals
-             FROM cells ORDER BY id""")),
+               WHERE len(string_split(line, ';')) = 3),
+             parsed AS (
+               SELECT CAST(c[1] AS BIGINT) AS id, c[2] AS name,
+                      CASE WHEN c[3] = '' THEN NULL
+                           ELSE list_transform(string_split(c[3], '|'),
+                                               x -> TRY_CAST(x AS BIGINT))
+                      END AS vals
+               FROM cells)
+             SELECT id, name, array_to_string(vals, '|') AS vals_str,
+                    CAST(len(vals) AS BIGINT) AS n_vals
+             FROM parsed ORDER BY id""")),
 
     // F2 — lenient INTEGER coercion (`main.py:111-115`): mixed
     // valid-int / alphabetic strings; unparseable → NULL. (Decimal
