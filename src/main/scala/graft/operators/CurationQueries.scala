@@ -573,15 +573,23 @@ object CurationQueries {
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .withColumn("mu", avg(col("n_chars")).over(w))
           .withColumn("sigma", stddev_samp(col("n_chars")).over(w))
+          // sigma = 0 (constant group) guard: Spark's non-ANSI Divide
+          // returns NULL on /0 but DuckDB's IEEE float division returns
+          // NaN/inf — a data-dependent oracle divergence. Both engines
+          // now emit NULL for degenerate groups (single-row groups give
+          // sigma NULL and agree already).
           .select(col("doc_id"), col("lang"),
-            (floor((col("n_chars") - col("mu")) / col("sigma") * 10000) / 10000)
+            when(col("sigma") > 0,
+              floor((col("n_chars") - col("mu")) / col("sigma") * 10000) / 10000)
               .as("z"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, lang,
-                    floor((n_chars - avg(n_chars) OVER (PARTITION BY lang))
-                          / stddev_samp(n_chars) OVER (PARTITION BY lang)
-                          * 10000) / 10000 AS z
+                    CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY lang) > 0
+                         THEN floor((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                              / stddev_samp(n_chars) OVER (PARTITION BY lang)
+                              * 10000) / 10000
+                    END AS z
              FROM documents ORDER BY doc_id""")),
 
     // Top-p (nucleus) truncation per group: keep each language's

@@ -28,6 +28,17 @@ object DedupQueries {
     * into BOTH the Spark prefix length and the brute-force oracle. */
   private val PrefixFilterThreshold = 0.5
 
+  /** Downward slack for the prefix-filter boundary arithmetic:
+    * double(thr)·n can exceed the rational product by a few ulps
+    * (0.55·20 = 11.000000000000002), which would shorten the prefix /
+    * tighten the prunes past the theorem's bound and drop TRUE pairs.
+    * 1e-7 dominates the rounding error (≈ 1.1e-16·n, i.e. < 1e-9 even
+    * at a billion shingles per doc) while staying far below the
+    * 1-integer quantum the bounds are compared against, so it only
+    * ever ADMITS borderline candidates — the exact verify step removes
+    * any that don't truly reach thr. */
+  private val BoundEps = 1e-7
+
   /** DuckDB replay of the md5-derived 60-bit SimHash signature — same
     * per-token hash, votes, and bit assembly as
     * [[graft.plans.SimHashSigExpr]]. */
@@ -304,13 +315,21 @@ ORDER BY d.doc_id"""
     // two window passes inside the same exchange — and than a packed
     // zero-padded-string sort key, whose concat/lpad allocation cost
     // more than the struct ordering saved.)
+    // FP-safe boundary arithmetic: double(thr)·n can land a hair ABOVE
+    // the rational value (thr=0.55, n=20 → 11.000000000000002), making
+    // ceil one too big and the prefix one element too SHORT — a missed
+    // true pair. Subtracting a small epsilon before ceil can only
+    // lengthen the prefix (false positives, removed by the exact
+    // verify), never shorten it, so the zero-false-negative theorem
+    // holds for arbitrary user thresholds, not just binary-exact ones.
     val prefixes = inv.join(dfTab, "sh")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
         count(lit(1)).as("n"))
       .select(col("doc_id"), col("n"),
         posexplode(slice(array_sort(col("ts")), lit(1),
-          (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int")))
+          (col("n") - ceil(col("n") * lit(thr) - lit(BoundEps)) + 1)
+            .cast("int")))
           .as(Seq("pos", "p")))
       .filter(col("p.df") > 1)
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("pp"),
@@ -331,6 +350,11 @@ ORDER BY d.doc_id"""
     //    sides are canonically identical subtrees, so AQE stage reuse
     //    executes the prefix pipeline once at runtime even though the
     //    static plan prints it twice.
+    // both prunes slackened by the same epsilon: at J exactly equal to
+    // thr the double product can exceed the rational bound (min=11,
+    // max=20, thr=0.55 → 11 < 11.000000000000002 would prune a TRUE
+    // pair); the slack admits only provably-borderline candidates and
+    // the exact-Jaccard verify discards any that don't reach thr.
     val tight = thr / (1.0 + thr)
     prefixes.select(col("doc_id").as("doc_a"), col("sh"),
         col("n").as("na"), col("pp").as("pa"))
@@ -338,9 +362,9 @@ ORDER BY d.doc_id"""
         col("n").as("nb"), col("pp").as("pb")), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("na"), col("nb")) >=
-        greatest(col("na"), col("nb")) * lit(thr))
+        greatest(col("na"), col("nb")) * lit(thr) - lit(BoundEps))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        (col("na") + col("nb")) * lit(tight))
+        (col("na") + col("nb")) * lit(tight) - lit(BoundEps))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
@@ -374,8 +398,10 @@ ORDER BY d.doc_id"""
         .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
           count(lit(1)).as("n"))
         .select(col("doc_id"), col("n"),
+          // same FP-safe epsilon as prefixFilterCandidates
           posexplode(slice(array_sort(col("ts")), lit(1),
-            (col("n") - ceil(col("n") * lit(thr)) + 1).cast("int")))
+            (col("n") - ceil(col("n") * lit(thr) - lit(BoundEps)) + 1)
+              .cast("int")))
             .as(Seq("pos", "p")))
         .select(col("doc_id"), col("n"), (col("pos") + 1).as("pp"),
           col("p.sh").as("sh"))
@@ -386,9 +412,9 @@ ORDER BY d.doc_id"""
         .select(col("doc_id").as("old_id"), col("sh"),
           col("n").as("na"), col("pp").as("pa")), "sh")
       .filter(least(col("na"), col("nb")) >=
-        greatest(col("na"), col("nb")) * lit(thr))
+        greatest(col("na"), col("nb")) * lit(thr) - lit(BoundEps))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        (col("na") + col("nb")) * lit(thr / (1.0 + thr)))
+        (col("na") + col("nb")) * lit(thr / (1.0 + thr)) - lit(BoundEps))
       .select(col("new_id"), col("old_id")).distinct()
     val dropIds = cand
       .join(bs.select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
@@ -397,7 +423,12 @@ ORDER BY d.doc_id"""
         (size(col("sa")) + size(col("sb")) -
           size(array_intersect(col("sa"), col("sb")))) >= thr)
       .select(col("new_id").as("doc_id")).distinct()
-    batch.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    // no broadcast hint: the drop set is proportional to the batch's
+    // duplicate count, and a highly-duplicated batch can exceed the
+    // broadcast limit and fail the job. A shuffled left_anti on doc_id
+    // is safe at any drop-set size; AQE still picks broadcast at
+    // runtime when the set is actually small.
+    batch.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** Verified exact-threshold pairs: [[prefixFilterCandidates]] with

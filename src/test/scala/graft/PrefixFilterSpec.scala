@@ -95,6 +95,26 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(keptNone == 0)
   }
 
+  test("boundary threshold 0.55: J-exactly-at-threshold pair survives FP rounding") {
+    // double(0.55)*20 = 11.000000000000002 > the rational 11: without
+    // the epsilon slack the length filter prunes a TRUE pair (min=11 <
+    // 20*double(0.55)) and the prefix of the 20-element doc is one
+    // element too short. Fixture: B's 11 elements are a subset of A's
+    // 20 -> J = 11/20 = 0.55 exactly; filler docs give the shared
+    // elements df > 1 variety so the prefix ordering is exercised.
+    val docs = Seq(
+      (0L, (0 until 20).map(i => s"e_$i")),
+      (1L, (0 until 11).map(i => s"e_$i")),
+      (2L, Seq("e_0", "q_1", "q_2", "q_3")),
+      (3L, Seq("e_19", "r_1", "r_2", "r_3"))
+    ).toDF("doc_id", "s")
+    val got = DedupQueries.prefixFilterPairs(docs, 0.55)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((0L, 1L, 0.55)),
+      s"pair at J == thr must survive the boundary arithmetic, got $got")
+  }
+
   test("threshold 1.0 degenerates to single-element prefixes, still exact") {
     val got = DedupQueries.prefixFilterPairs(corpus, 1.0).count()
     assert(got == 0) // twins differ in one element each, J = 0.6 < 1
