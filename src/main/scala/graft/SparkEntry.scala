@@ -25,7 +25,8 @@ object SparkEntry {
       MultimodalQueries.specs ++
       VectorQueries.specs ++
       CurationQueries.specs ++
-      WarehouseQueries.specs
+      WarehouseQueries.specs ++
+      GraphQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

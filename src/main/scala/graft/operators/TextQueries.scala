@@ -116,6 +116,47 @@ object TextQueries {
       .withColumn("keep", col("score") >= 0.5)
   }
 
+  /** Segment width / distinct-doc-frequency cap for the boilerplate
+    * scrub gate — interpolated into BOTH engines. At sf0.01 the 4-token
+    * unit yields ~340 cross-document duplicate segments (~770 dropped
+    * instances), so the drop path is genuinely exercised. (Declared
+    * before `specs`: the oracle SQL interpolates them eagerly.) */
+  val ScrubSegTokens = 4
+  val ScrubDfCap = 1L
+
+  /** Cross-document duplicate-segment removal. Returns one row per doc:
+    * (doc_id, text_clean, n_kept, n_total). Segments whose corpus-wide
+    * distinct-document frequency exceeds `dfCap` are removed; surviving
+    * segments are re-joined in original order. Exact counterpart of the
+    * C4 line-dedup rule with `split('\n')` swapped for fixed token
+    * blocks (this corpus is newline-free). */
+  def scrubBoilerplate(docs: org.apache.spark.sql.DataFrame,
+                       segTokens: Int,
+                       dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(col("toks")) - 1) / segTokens).cast("int")),
+          i => array_join(
+            slice(col("toks"), i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("dg", md5(col("seg")))
+    // distinct-doc df on the 128-bit digest: the shuffle ships
+    // (digest, doc_id), never segment text
+    val segDf = segs.select(col("dg"), col("doc_id")).distinct()
+      .groupBy(col("dg")).agg(count(lit(1)).as("df"))
+    segs.join(segDf, "dg")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("df") <= dfCap, struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_clean"),
+        count(when(col("df") <= dfCap, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_total"))
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
@@ -635,6 +676,46 @@ object TextQueries {
                     list_min(list_transform(
                       generate_series(1, greatest(length(text) - 7, 1)),
                       i -> md5(substr(text, i, 8)))) AS winnow_fp
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // Cross-document boilerplate scrub (the C4/CCNet "remove lines
+    // duplicated across documents" pass): segment every doc, count
+    // each segment's distinct-document frequency corpus-wide, drop
+    // segments shared by more than `ScrubDfCap` docs, and reassemble
+    // the survivors in original order. The corpus has no newlines, so
+    // the segmentation unit is a deterministic 4-token block — on real
+    // web text the splitter is `split(text, '\n')` and everything else
+    // is unchanged. 100 TB: the df shuffle ships (16 B digest, doc_id)
+    // pairs, never segment text; the join back is a plain equi-join on
+    // the digest whose key cardinality grows with the corpus; the
+    // reassembly is one aggregate on doc_id. Per-doc audit counts ride
+    // the same aggregate.
+    Spec("q_text_scrub_boilerplate",
+      (s, dir) => scrubBoilerplate(
+        spread(s, t(s, dir, "documents")), ScrubSegTokens, ScrubDfCap)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               segs AS (
+                 SELECT doc_id, i AS seg_idx,
+                        array_to_string(
+                          t[(i*$ScrubSegTokens+1):(i*$ScrubSegTokens+$ScrubSegTokens)],
+                          ' ') AS seg
+                 FROM toks,
+                      UNNEST(range(0, CAST(ceil(len(t)/$ScrubSegTokens.0) AS BIGINT))) AS u(i)),
+               seg_df AS (
+                 SELECT md5(seg) AS dg, COUNT(DISTINCT doc_id) AS df
+                 FROM segs GROUP BY 1),
+               j AS (
+                 SELECT s.doc_id, s.seg_idx, s.seg, f.df
+                 FROM segs s JOIN seg_df f ON md5(s.seg) = f.dg)
+               SELECT doc_id,
+                      COALESCE(array_to_string(list_transform(
+                        list_sort(list({'seg_idx': seg_idx, 'seg': seg})
+                                  FILTER (df <= $ScrubDfCap)),
+                        x -> x.seg), ' '), '') AS text_clean,
+                      COUNT(*) FILTER (df <= $ScrubDfCap) AS n_kept,
+                      COUNT(*) AS n_total
+               FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

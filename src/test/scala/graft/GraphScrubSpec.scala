@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{GraphQueries, TextQueries}
+
+/** Unit specs for the round-6 operators: integer-exact PageRank
+  * (hand-computed recurrence on a path graph + a random-graph
+  * driver-side replay) and the cross-document boilerplate scrub
+  * (planted shared segment, full-boilerplate doc, untouched doc).
+  */
+class GraphScrubSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed integer recurrence on a path graph") {
+    // undirected path 1—2—3: deg(1)=deg(3)=1, deg(2)=2
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val after2 = GraphQueries.pageRank(e, 2)
+      .as[(Long, Long)].collect().toMap
+    // iter1: r(1)=r(3)=150000+(500000*85)//100=575000
+    //        r(2)=150000+(2000000*85)//100=1850000
+    // iter2: r(1)=r(3)=150000+(925000*85)//100=936250
+    //        r(2)=150000+(1150000*85)//100=1127500
+    assert(after2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("pageRank equals a driver-side integer replay on a random graph") {
+    val rng = new scala.util.Random(11)
+    val n = 40
+    val dir = (0 until 120).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val und = (dir ++ dir.map(_.swap)).distinct
+    val got = GraphQueries.pageRank(und.toDF("src", "dst"), 4)
+      .as[(Long, Long)].collect().toMap
+    // driver-side replay of the exact same integer recurrence
+    val adjIn = und.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    val deg = und.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4)
+      r = adjIn.map { case (node, ins) =>
+        node -> (150000L + ins.map(m => r(m) / deg(m)).sum * 85L / 100L)
+      }
+    assert(got == r)
+  }
+
+  test("scrubBoilerplate drops only cross-document segments, keeps order") {
+    val docs = Seq(
+      (0L, "a b c d x1 x2 x3 x4"), // "a b c d" shared with doc 1
+      (1L, "a b c d y1 y2 y3 y4"),
+      (2L, "z1 z2 z3 z4"),         // unique, untouched
+      (3L, "a b c d")              // all boilerplate -> empty
+    ).toDF("doc_id", "text")
+    val got = TextQueries.scrubBoilerplate(docs, 4, 1L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "x1 x2 x3 x4", 1L, 2L),
+      (1L, "y1 y2 y3 y4", 1L, 2L),
+      (2L, "z1 z2 z3 z4", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("scrubBoilerplate reassembles multi-segment survivors in original order") {
+    // doc 0: boilerplate at segment 1 of 3 — survivors must re-join as
+    // segment0 then segment2
+    val docs = Seq(
+      (0L, "k1 k2 k3 k4 a b c d m1 m2 m3 m4"),
+      (1L, "a b c d q1 q2 q3 q4")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.scrubBoilerplate(docs, 4, 1L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "k1 k2 k3 k4 m1 m2 m3 m4", 2L, 3L),
+      (1L, "q1 q2 q3 q4", 1L, 2L)))
+  }
+}
