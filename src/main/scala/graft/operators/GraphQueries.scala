@@ -37,16 +37,21 @@ object GraphQueries {
     * aggregate (sum by dst) — at a 100 TB edge list this is the
     * standard iterative-join PageRank: the degree table is computed
     * once and reused, only (node, rank) pairs (16 B) travel per round,
-    * and AQE handles hub-node skew on the dst aggregate. For iteration
-    * counts beyond the gate's 3, truncate lineage every few rounds with
-    * `localCheckpoint` exactly as [[DedupQueries.connectedComponents]]
-    * does (`checkEvery`).
+    * and AQE handles hub-node skew on the dst aggregate. Edges and
+    * degrees are materialized ONCE (`localCheckpoint`, the
+    * [[DedupQueries.connectedComponents]] pattern) — without it every
+    * iteration's plan re-derives the edge subtree, tripling the scan
+    * work at 3 rounds and growing without bound beyond; ranks are
+    * likewise checkpointed every few rounds so deep runs don't carry
+    * the whole join lineage.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+  def pageRank(edges: DataFrame, iters: Int,
+               checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       ranks = e.join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst"), expr("r div d").as("c"))
@@ -54,6 +59,8 @@ object GraphQueries {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(s * 85) div 100")).as("r"))
+      if (k % checkpointEvery == 0 && k < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
