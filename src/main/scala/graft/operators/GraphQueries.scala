@@ -86,8 +86,12 @@ object GraphQueries {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst"))
           .distinct()
+        // no distinct after symmetrizing: the supplier offset makes
+        // src < 1e6 < dst on every e0 row and the reverse on every
+        // swapped row, so the two halves are disjoint by construction
+        // — the union is already duplicate-free and the extra
+        // 2|E|-row shuffle would be pure waste
         val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
         pageRank(e, PageRankIters)
           .orderBy(col("r").desc, col("node"))
           .limit(100)
@@ -97,7 +101,7 @@ object GraphQueries {
                  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
                e AS (SELECT src, dst FROM e0
-                     UNION SELECT dst, src FROM e0),
+                     UNION ALL SELECT dst, src FROM e0),
                deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
                r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
                ${prIterSql("r0", "r1")},
