@@ -86,11 +86,12 @@ object GraphQueries {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst"))
           .distinct()
-        // no distinct after symmetrizing: the supplier offset makes
-        // src < 1e6 < dst on every e0 row and the reverse on every
-        // swapped row, so the two halves are disjoint by construction
-        // — the union is already duplicate-free and the extra
-        // 2|E|-row shuffle would be pure waste
+        // no distinct after symmetrizing: customer ids and offset
+        // supplier ids live in disjoint key spaces (also under the
+        // ScaleUp replica's per-copy shifts), so a forward row can
+        // never equal a swapped row — the union is already
+        // duplicate-free and the extra 2|E|-row shuffle would be
+        // pure waste
         val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         pageRank(e, PageRankIters)
           .orderBy(col("r").desc, col("node"))
