@@ -130,10 +130,12 @@ object TextQueries {
     * segments are re-joined in original order. Exact counterpart of the
     * C4 line-dedup rule with `split('\n')` swapped for fixed token
     * blocks (this corpus is newline-free). */
-  def scrubBoilerplate(docs: org.apache.spark.sql.DataFrame,
-                       segTokens: Int,
-                       dfCap: Long): org.apache.spark.sql.DataFrame = {
-    val segs = docs
+  /** (doc_id, seg_idx, seg, dg): fixed-token-block segmentation with a
+    * 128-bit digest per segment — shared by the whole-corpus and
+    * incremental scrub forms. */
+  private def segments(docs: org.apache.spark.sql.DataFrame,
+                       segTokens: Int): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -143,11 +145,11 @@ object TextQueries {
             slice(col("toks"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
       .withColumn("dg", md5(col("seg")))
-    // distinct-doc df on the 128-bit digest: the shuffle ships
-    // (digest, doc_id), never segment text
-    val segDf = segs.select(col("dg"), col("doc_id")).distinct()
-      .groupBy(col("dg")).agg(count(lit(1)).as("df"))
-    segs.join(segDf, "dg")
+
+  /** Survivor reassembly + audit counts, one aggregate on doc_id. */
+  private def reassemble(joined: org.apache.spark.sql.DataFrame,
+                         dfCap: Long): org.apache.spark.sql.DataFrame =
+    joined
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(
@@ -155,6 +157,40 @@ object TextQueries {
           x => x.getField("seg")), " ").as("text_clean"),
         count(when(col("df") <= dfCap, lit(1))).as("n_kept"),
         count(lit(1)).as("n_total"))
+
+  def scrubBoilerplate(docs: org.apache.spark.sql.DataFrame,
+                       segTokens: Int,
+                       dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val segs = segments(docs, segTokens)
+    // distinct-doc df on the 128-bit digest: the shuffle ships
+    // (digest, doc_id), never segment text
+    val segDf = segs.select(col("dg"), col("doc_id")).distinct()
+      .groupBy(col("dg")).agg(count(lit(1)).as("df"))
+    reassemble(segs.join(segDf, "dg"), dfCap)
+  }
+
+  /** Incremental scrub: clean a batch against a MAINTAINED corpus
+    * segment-frequency index — the batch-vs-corpus counterpart of
+    * [[scrubBoilerplate]], same shape as the incremental dedup family
+    * ([[DedupQueries.incrementalKeep]] et al.). A batch segment is
+    * dropped iff its distinct-document frequency IN THE CORPUS exceeds
+    * `dfCap`; segments the corpus has never seen always survive
+    * (df = 0 via the left join). At scale the df table is the
+    * maintained state — bucketed by digest, updated per batch with a
+    * merge of the batch's own (digest, count) partials — so daily runs
+    * never rescan corpus text. */
+  def scrubIncremental(batch: org.apache.spark.sql.DataFrame,
+                       corpus: org.apache.spark.sql.DataFrame,
+                       segTokens: Int,
+                       dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val corpusDf = segments(corpus, segTokens)
+      .select(col("dg"), col("doc_id")).distinct()
+      .groupBy(col("dg")).agg(count(lit(1)).as("df"))
+    reassemble(
+      segments(batch, segTokens)
+        .join(corpusDf, Seq("dg"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L))),
+      dfCap)
   }
 
   val specs: Seq[Spec] = Seq(
@@ -715,6 +751,47 @@ object TextQueries {
                                   FILTER (df <= $ScrubDfCap)),
                         x -> x.seg), ' '), '') AS text_clean,
                       COUNT(*) FILTER (df <= $ScrubDfCap) AS n_kept,
+                      COUNT(*) AS n_total
+               FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Incremental scrub: every 5th doc is the arriving batch, the rest
+    // are the corpus whose segment-df index is the maintained state.
+    // Batch segments the corpus already carries (df > cap) are
+    // boilerplate and dropped; corpus-unseen segments survive (df = 0
+    // through the left join). dfCap = 0 here: ANY corpus occurrence
+    // marks a batch segment as boilerplate — the natural policy when
+    // the index aggregates the full history.
+    Spec("q_text_scrub_incremental",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents"))
+        scrubIncremental(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          ScrubSegTokens, 0L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               segs AS (
+                 SELECT doc_id, i AS seg_idx,
+                        array_to_string(
+                          t[(i*$ScrubSegTokens+1):(i*$ScrubSegTokens+$ScrubSegTokens)],
+                          ' ') AS seg
+                 FROM toks,
+                      UNNEST(range(0, CAST(ceil(len(t)/$ScrubSegTokens.0) AS BIGINT))) AS u(i)),
+               corpus_df AS (
+                 SELECT md5(seg) AS dg, COUNT(DISTINCT doc_id) AS df
+                 FROM segs WHERE doc_id % 5 <> 0 GROUP BY 1),
+               j AS (
+                 SELECT s.doc_id, s.seg_idx, s.seg, COALESCE(f.df, 0) AS df
+                 FROM segs s LEFT JOIN corpus_df f ON md5(s.seg) = f.dg
+                 WHERE s.doc_id % 5 = 0)
+               SELECT doc_id,
+                      COALESCE(array_to_string(list_transform(
+                        list_sort(list({'seg_idx': seg_idx, 'seg': seg})
+                                  FILTER (df <= 0)),
+                        x -> x.seg), ' '), '') AS text_clean,
+                      COUNT(*) FILTER (df <= 0) AS n_kept,
                       COUNT(*) AS n_total
                FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )

@@ -61,6 +61,22 @@ class GraphScrubSpec extends AnyFunSuite {
       (3L, "", 0L, 1L)))
   }
 
+  test("scrubIncremental drops corpus-seen segments, keeps corpus-unseen ones") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "a b c d z1 z2 z3 z4")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "a b c d n1 n2 n3 n4"), // "a b c d" known to corpus -> dropped
+      (1L, "p1 p2 p3 p4")          // corpus-unseen -> untouched (df = 0)
+    ).toDF("doc_id", "text")
+    val got = TextQueries.scrubIncremental(batch, corpus, 4, 0L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "n1 n2 n3 n4", 1L, 2L),
+      (1L, "p1 p2 p3 p4", 1L, 1L)))
+  }
+
   test("scrubBoilerplate reassembles multi-segment survivors in original order") {
     // doc 0: boilerplate at segment 1 of 3 — survivors must re-join as
     // segment0 then segment2
