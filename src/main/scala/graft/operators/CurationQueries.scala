@@ -128,6 +128,33 @@ object CurationQueries {
       (lt, ot)
     })
 
+  /** Hosts dropped by the q_url_canonical blocklist filter (map-side;
+    * broadcast the set when it outgrows a literal). */
+  val UrlBlocklist = Seq("src3.example.com", "src7.example.com")
+
+  /** Crawl-style URL canonicalization as a pure codegen'd column
+    * transform (no UDF): lowercase → strip fragment → strip "www." →
+    * strip default :443/:80 ports → drop utm_* tracking params →
+    * normalize "/?"→"?", dangling "?"/"&" and trailing slash → fold
+    * http→https (canonical-URL dedup policy). Every step is a string
+    * primitive both engines implement identically, so the whole chain
+    * is DuckDB-replayable (see the q_url_canonical oracle). */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var u = lower(url)
+    u = regexp_replace(u, "#.*$", "")
+    u = replace(u, lit("://www."), lit("://"))
+    u = replace(replace(u, lit(":443/"), lit("/")), lit(":80/"), lit("/"))
+    u = regexp_replace(u, "utm_[a-z]+=[^&]*&?", "")
+    u = replace(u, lit("/?"), lit("?"))
+    u = regexp_replace(u, "[?&]+$", "")
+    u = regexp_replace(u, "/$", "")
+    replace(u, lit("http://"), lit("https://"))
+  }
+
+  /** Host of a canonicalized URL (scheme already folded to https). */
+  def urlHost(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(u, "^https://([^/]+)", 1)
+
   val specs: Seq[Spec] = Seq(
 
     // The co-located join as a GATE row: both fact sides persisted
@@ -654,5 +681,85 @@ object CurationQueries {
                     floor(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)
                           * 100) / 100 AS clipped
              FROM documents d JOIN b ON d.lang = b.lang
-             ORDER BY doc_id""")))
+             ORDER BY doc_id""")),
+
+    // URL canonicalization + domain blocklist + canonical-URL dedup —
+    // the web-crawl curation front door (CommonCrawl-style pipelines
+    // dedup fetches by canonical URL before any content pass). The
+    // corpus carries no URL column, so a messy URL is SYNTHESIZED
+    // deterministically per doc (three case/port/tracking-param/
+    // fragment variants over the same logical target) and then pushed
+    // through the canonicalizer both engines replay step for step:
+    // lowercase → strip fragment → strip "www." → strip default ports
+    // → drop utm_* tracking params → normalize "/?"→"?", dangling
+    // separators and trailing slash → fold http→https (dedup policy).
+    // Docs sharing a logical target collapse to ONE canonical row.
+    // 100 TB: the chain is a map-only per-row projection (codegen'd
+    // string ops, no UDF); the dedup is one groupBy on the canonical
+    // string — at crawl scale group on md5(canonical) so the shuffle
+    // ships 16 B keys; the blocklist is a map-side filter (broadcast
+    // set when it outgrows a literal).
+    Spec("q_url_canonical",
+      (s, dir) => {
+        val messy = when(col("doc_id") % 3 === 0,
+            concat(lit("HTTPS://WWW."), col("source"),
+              lit(".Example.COM:443/Doc/"),
+              expr("CAST(doc_id div 7 AS STRING)"),
+              lit("/?utm_source=feed&utm_medium=rss#top")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("http://"), col("source"), lit(".example.com:80/doc/"),
+              expr("CAST(doc_id div 7 AS STRING)"), lit("?utm_campaign=x")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+              expr("CAST(doc_id div 7 AS STRING)"), lit("/?id="),
+              expr("CAST(doc_id % 5 AS STRING)")))
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), canonicalizeUrl(messy).as("u"))
+          .filter(!urlHost(col("u")).isin(UrlBlocklist: _*))
+          .groupBy(col("u").as("canonical_url"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH messy AS (
+               SELECT doc_id,
+                      lower(CASE
+                        WHEN doc_id % 3 = 0 THEN
+                          'HTTPS://WWW.' || source || '.Example.COM:443/Doc/'
+                          || CAST(doc_id // 7 AS VARCHAR)
+                          || '/?utm_source=feed&utm_medium=rss#top'
+                        WHEN doc_id % 3 = 1 THEN
+                          'http://' || source || '.example.com:80/doc/'
+                          || CAST(doc_id // 7 AS VARCHAR) || '?utm_campaign=x'
+                        ELSE
+                          'https://' || source || '.example.com/doc/'
+                          || CAST(doc_id // 7 AS VARCHAR) || '/?id='
+                          || CAST(doc_id % 5 AS VARCHAR)
+                      END) AS u
+               FROM documents),
+             canon AS (
+               SELECT doc_id,
+                      replace(
+                        regexp_replace(
+                          regexp_replace(
+                            replace(
+                              regexp_replace(
+                                replace(replace(
+                                  replace(
+                                    regexp_replace(u, '#.*$', '', 'g'),
+                                    '://www.', '://'),
+                                  ':443/', '/'), ':80/', '/'),
+                                'utm_[a-z]+=[^&]*&?', '', 'g'),
+                              '/?', '?'),
+                            '[?&]+$', '', 'g'),
+                          '/$', '', 'g'),
+                        'http://', 'https://') AS u
+               FROM messy)
+             SELECT u AS canonical_url,
+                    min(doc_id) AS keeper_doc_id,
+                    count(*) AS n_variants
+             FROM canon
+             WHERE regexp_extract(u, '^https://([^/]+)', 1)
+                   NOT IN ('src3.example.com', 'src7.example.com')
+             GROUP BY u ORDER BY u""")))
 }

@@ -124,6 +124,18 @@ object TextQueries {
   val ScrubSegTokens = 4
   val ScrubDfCap = 1L
 
+  /** Gopher-rule battery knobs (q_gopher_rules) — interpolated into
+    * BOTH engines. Duplicate-block/top-bigram caps sit inside the
+    * corpus's observed sf0.01 distribution (dup-block fraction reaches
+    * 27.6 %, top-bigram 16.7 %) so keep AND drop are both exercised;
+    * the word-length band is Gopher's published [3, 10]. */
+  val GopherBlockTokens = 2
+  val GopherMinTokens = 50L
+  val GopherMeanWlenLoPpm = 3000000L
+  val GopherMeanWlenHiPpm = 10000000L
+  val GopherDupBlockCapPpm = 100000L
+  val GopherTopBigramCapPpm = 50000L
+
   /** Cross-document duplicate-segment removal. Returns one row per doc:
     * (doc_id, text_clean, n_kept, n_total). Segments whose corpus-wide
     * distinct-document frequency exceeds `dfCap` are removed; surviving
@@ -191,6 +203,48 @@ object TextQueries {
         .join(corpusDf, Seq("dg"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L))),
       dfCap)
+  }
+
+  /** Gopher-style within-document repetition/quality rule battery:
+    * per doc (doc_id, text) → (doc_id, n_tokens, mean_wlen_ppm,
+    * dup_block_ppm, top_bigram_ppm, keep). Ratios are floor-scaled
+    * integer millionths (bit-exact cross-engine); `keep` ANDs the
+    * min-token, word-length-band, duplicate-block and top-bigram
+    * rules. Both repetition legs shuffle (doc_id, 16 B digest) pairs,
+    * never text, and fold back to one row per doc. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.bigramsFast
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (length(col("text")) - size(split(col("text"), " ")) + 1)
+        .cast("long").as("sum_wlen"))
+    val dup = segments(docs, GopherBlockTokens)
+      .groupBy(col("doc_id"), col("dg"))
+      .agg(count(lit(1)).as("c"),
+        max(size(split(col("seg"), " ")).cast("long")).as("st"))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") * col("st"))), lit(0L))
+        .as("dup_tokens"))
+    val topbg = docs
+      .select(col("doc_id"), explode(bigramsFast(col("text"))).as("b"))
+      .groupBy(col("doc_id"), md5(col("b")).as("bh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    base
+      .join(dup, Seq("doc_id"), "left")
+      .join(topbg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_wlen * 1000000 div n_tokens").as("mean_wlen_ppm"),
+        expr("coalesce(dup_tokens, 0) * 1000000 div n_tokens")
+          .as("dup_block_ppm"),
+        expr("coalesce(top_c, 0) * 1000000 div greatest(coalesce(n_bg, 0), 1)")
+          .as("top_bigram_ppm"))
+      .withColumn("keep",
+        col("n_tokens") >= GopherMinTokens &&
+          col("mean_wlen_ppm").between(GopherMeanWlenLoPpm, GopherMeanWlenHiPpm) &&
+          col("dup_block_ppm") <= GopherDupBlockCapPpm &&
+          col("top_bigram_ppm") <= GopherTopBigramCapPpm)
   }
 
   val specs: Seq[Spec] = Seq(
@@ -793,6 +847,77 @@ object TextQueries {
                         x -> x.seg), ' '), '') AS text_clean,
                       COUNT(*) FILTER (df <= 0) AS n_kept,
                       COUNT(*) AS n_total
-               FROM j GROUP BY doc_id ORDER BY doc_id"""))
+               FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Gopher-style repetition/quality rule battery (WITHIN-document —
+    // the complement of the cross-document scrub above): per doc,
+    //   (1) duplicate-block token fraction — tokens inside 2-token
+    //       blocks that occur more than once in the SAME doc (the
+    //       duplicate-line-fraction rule; this corpus is newline-free
+    //       so the line unit is a fixed token block),
+    //   (2) top-bigram fraction — share of bigram positions occupied
+    //       by the doc's most frequent bigram (the top-n-gram rule),
+    //   (3) mean word length in [3, 10] (Gopher's real bound), and
+    //   (4) a minimum token count.
+    // All ratios are floor-scaled integer millionths (ppm) so both
+    // engines agree bit-for-bit; `keep` ANDs the four rules. The
+    // caps sit inside this corpus's observed distribution so both
+    // branches are exercised (245/500 keep at sf0.01).
+    // 100 TB: base metrics are map-only; the two repetition legs
+    // shuffle (doc_id, 16 B digest) pairs — never text — and
+    // aggregate back to one row per doc keyed by doc_id, so reducer
+    // work is bounded by document length, not corpus size.
+    Spec("q_gopher_rules",
+      (s, dir) => gopherRules(spread(s, t(s, dir, "documents")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t,
+                        length(text) AS L
+                 FROM documents),
+               base AS (
+                 SELECT doc_id, len(t) AS n_tokens,
+                        (L - len(t) + 1) AS sum_wlen
+                 FROM toks),
+               segs AS (
+                 SELECT doc_id,
+                        md5(array_to_string(
+                          t[(i*$GopherBlockTokens+1):(i*$GopherBlockTokens+$GopherBlockTokens)],
+                          ' ')) AS dg,
+                        len(t[(i*$GopherBlockTokens+1):(i*$GopherBlockTokens+$GopherBlockTokens)]) AS st
+                 FROM toks,
+                      UNNEST(range(0, CAST(ceil(len(t)/$GopherBlockTokens.0) AS BIGINT))) AS u(i)),
+               g AS (
+                 SELECT doc_id, dg, count(*) AS c, max(st) AS st
+                 FROM segs GROUP BY 1, 2),
+               dup AS (
+                 SELECT doc_id,
+                        CAST(COALESCE(sum(CASE WHEN c > 1 THEN c*st END), 0) AS BIGINT)
+                          AS dup_tokens
+                 FROM g GROUP BY 1),
+               bg AS (
+                 SELECT doc_id, md5(t[i] || ' ' || t[i+1]) AS bh
+                 FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+               bc AS (SELECT doc_id, bh, count(*) AS c FROM bg GROUP BY 1, 2),
+               top AS (
+                 SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+                        CAST(sum(c) AS BIGINT) AS n_bg
+                 FROM bc GROUP BY 1),
+               m AS (
+                 SELECT b.doc_id, b.n_tokens,
+                        b.sum_wlen * 1000000 // b.n_tokens AS mean_wlen_ppm,
+                        COALESCE(d.dup_tokens, 0) * 1000000 // b.n_tokens
+                          AS dup_block_ppm,
+                        COALESCE(tp.top_c, 0) * 1000000
+                          // greatest(COALESCE(tp.n_bg, 0), 1) AS top_bigram_ppm
+                 FROM base b
+                 LEFT JOIN dup d USING (doc_id)
+                 LEFT JOIN top tp USING (doc_id))
+               SELECT doc_id, n_tokens, mean_wlen_ppm, dup_block_ppm,
+                      top_bigram_ppm,
+                      (n_tokens >= $GopherMinTokens
+                       AND mean_wlen_ppm BETWEEN $GopherMeanWlenLoPpm AND $GopherMeanWlenHiPpm
+                       AND dup_block_ppm <= $GopherDupBlockCapPpm
+                       AND top_bigram_ppm <= $GopherTopBigramCapPpm) AS keep
+               FROM m ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CurationQueries, TextQueries}
+
+/** Unit specs for the round-6 curation operators: crawl-style URL
+  * canonicalization (variant collapse, tracking-param stripping,
+  * blocklist host extraction) and the Gopher within-document
+  * repetition/quality rule battery (hand-computed ppm metrics).
+  */
+class CurationRulesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(CurationQueries.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl collapses case/port/www/fragment/tracking variants") {
+    val got = canon(
+      "HTTPS://WWW.src0.Example.COM:443/Doc/3/?utm_source=feed&utm_medium=rss#top",
+      "http://src0.example.com:80/doc/3?utm_campaign=x",
+      "https://src0.example.com/doc/3/")
+    assert(got == Seq.fill(3)("https://src0.example.com/doc/3"))
+  }
+
+  test("canonicalizeUrl keeps real params, drops interleaved utm params") {
+    assert(canon("https://h.example.com/p?utm_source=a&id=7&utm_term=b") ==
+      Seq("https://h.example.com/p?id=7"))
+    // param survives with its value intact; '/?' folds into '?'
+    assert(canon("https://h.example.com/p/?id=7&x=B#frag") ==
+      Seq("https://h.example.com/p?id=7&x=b"))
+  }
+
+  test("urlHost extracts the blocklist key from a canonical url") {
+    val hosts = Seq("https://src3.example.com/doc/1?id=2",
+      "https://src9.example.com/doc/4")
+      .toDF("u").select(CurationQueries.urlHost(col("u")))
+      .as[String].collect().toSeq
+    assert(hosts == Seq("src3.example.com", "src9.example.com"))
+  }
+
+  test("gopherRules hand-computed metrics on planted repetition") {
+    // doc 0: "a b a b c" — dup 2-block "a b"×2 → 4 of 5 tokens;
+    //   bigrams (a b, b a, a b, b c) → top 2 of 4 positions
+    // doc 1: clean 60-token doc of 4-char words → keep
+    val clean = (0 until 60).map(i => f"w${i}%03d").mkString(" ")
+    val docs = Seq((0L, "a b a b c"), (1L, clean)).toDF("doc_id", "text")
+    val got = TextQueries.gopherRules(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // doc 0: sum_wlen = 9 - 4 = 5 → mean 1000000; dup 4*1e6/5 = 800000;
+    //   top bigram 2*1e6/4 = 500000; fails min-tokens + all caps
+    assert(got(0) == (0L, 5L, 1000000L, 800000L, 500000L, false))
+    // doc 1: 60 tokens, mean word length 4 → 4000000 ppm, no repeated
+    //   2-block, every bigram unique → top = 1 of 59 positions
+    assert(got(1) == (1L, 60L, 4000000L, 0L, 1000000L / 59L, true))
+  }
+
+  test("gopherRules exercises both keep branches on the gate corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keeps = TextQueries.gopherRules(docs)
+      .groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0)
+  }
+}
