@@ -683,6 +683,44 @@ object CurationQueries {
              FROM documents d JOIN b ON d.lang = b.lang
              ORDER BY doc_id""")),
 
+    // Domain-level wholesale quality filtering — crawl pipelines drop
+    // entire LOW-QUALITY DOMAINS, not just individual documents (a
+    // domain whose aggregate signal is spam poisons even its
+    // better-looking pages). Per-host mean doc length in floor-scaled
+    // integer ppm is the quality proxy (swap in any per-doc score);
+    // hosts below the cutoff are dropped WHOLESALE and every doc rides
+    // its host's verdict. 100 TB: the host-stats table is ∝ #domains
+    // (millions of rows, KB–MB — broadcastable), built by ONE
+    // partial+final aggregate keyed on host; the verdict joins back
+    // map-side via broadcast, so corpus rows never shuffle. The
+    // 290e6 ppm cutoff sits inside the sf0.01 distribution
+    // (12/20 hosts keep → 300/500 docs).
+    Spec("q_domain_quality_filter",
+      (s, dir) => {
+        val host = concat(col("source"), lit(".example.com"))
+        val docs = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_chars"), host.as("host"))
+        val stats = docs.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"))
+          .select(col("host"), col("n_docs"),
+            expr("sc * 1000000 div n_docs").as("host_mean_ppm"))
+        docs.join(broadcast(stats), "host")
+          .select(col("doc_id"), col("host"), col("host_mean_ppm"),
+            (col("host_mean_ppm") >= 290000000L).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH stats AS (
+               SELECT source || '.example.com' AS host,
+                      count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*)
+                        AS host_mean_ppm
+               FROM documents GROUP BY 1)
+             SELECT doc_id, host, host_mean_ppm,
+                    host_mean_ppm >= 290000000 AS kept
+             FROM documents d
+             JOIN stats s ON d.source || '.example.com' = s.host
+             ORDER BY doc_id""")),
+
     // URL canonicalization + domain blocklist + canonical-URL dedup —
     // the web-crawl curation front door (CommonCrawl-style pipelines
     // dedup fetches by canonical URL before any content pass). The

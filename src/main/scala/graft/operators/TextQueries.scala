@@ -565,6 +565,62 @@ object TextQueries {
                                   ELSE 100 END) * t.T * 1000
              GROUP BY d.lang ORDER BY d.lang""")),
 
+    // Temperature-scaled source mixing (τ = 0.5) — the multilingual
+    // sampling rule (weights ∝ p^τ flatten the source distribution so
+    // low-resource classes are upsampled relative to their share;
+    // τ = 0.5 is the published multilingual default). Unlike
+    // q_mix_sources' LITERAL weights, the weights here derive from the
+    // data: w_c = floor(sqrt(toks_c)·1000) — IEEE sqrt is correctly
+    // rounded, so floor-scaling it to integer micros makes every
+    // downstream product/compare integer-exact cross-engine (general
+    // τ needs pow(), which is NOT correctly rounded — pinning τ = 0.5
+    // is what keeps the rule oracle-replayable). keep iff
+    // bucket·Σw·toks_c < B·w_c·1e6 with budget B = T/2 — same
+    // deterministic md5-threshold machinery as the balancer. Two tiny
+    // broadcast aggregates + one map-only corpus pass; products stay
+    // < 2^63 far past gate scale (promote to decimal(38) beyond).
+    Spec("q_mix_temperature",
+      (s, dir) => {
+        val bucket = conv(substring(md5(concat(lit("mixt|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 1000000L
+        val tok = size(split(col("text"), " ")).cast("long")
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy(col("lang"))
+          .agg(sum(tok).as("toks_lang"))
+          .withColumn("w",
+            floor(sqrt(col("toks_lang").cast("double")) * 1000).cast("long"))
+        val scalars = counts.agg(sum(col("toks_lang")).as("T"),
+          sum(col("w")).as("sw"))
+        docs.withColumn("tok", tok)
+          .join(broadcast(counts), "lang")
+          .crossJoin(broadcast(scalars))
+          .filter(bucket * col("sw") * col("toks_lang") * 2L <
+            col("T") * col("w") * 1000000L)
+          .groupBy(col("lang"))
+          .agg(max(col("w")).as("w"),
+            count(lit(1)).as("n_kept"), sum(col("tok")).as("toks_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tk AS (
+               SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+               FROM documents),
+             counts AS (
+               SELECT lang, CAST(sum(tok) AS BIGINT) AS toks_lang,
+                      CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE)) * 1000) AS BIGINT) AS w
+               FROM tk GROUP BY lang),
+             scalars AS (
+               SELECT CAST(sum(toks_lang) AS BIGINT) AS T,
+                      CAST(sum(w) AS BIGINT) AS sw
+               FROM counts)
+             SELECT d.lang, max(c.w) AS w, count(*) AS n_kept,
+                    CAST(sum(d.tok) AS BIGINT) AS toks_kept
+             FROM tk d JOIN counts c ON d.lang = c.lang CROSS JOIN scalars t
+             WHERE (CAST(('0x' || substr(md5('mixt|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) * t.sw * c.toks_lang * 2
+                   < t.T * c.w * 1000000
+             GROUP BY d.lang ORDER BY d.lang""")),
+
     // Exact-k deterministic sample per group — the complement of the
     // hash-threshold balancer when exactly k rows per class are
     // required: k smallest md5-order rows per lang through the native

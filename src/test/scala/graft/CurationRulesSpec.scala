@@ -57,6 +57,31 @@ class CurationRulesSpec extends AnyFunSuite {
     assert(got(1) == (1L, 60L, 4000000L, 0L, 1000000L / 59L, true))
   }
 
+  test("temperature mixing keeps a larger share of low-resource classes") {
+    // τ = 0.5 flattens: keep-rate_c ∝ w_c/toks_c ∝ 1/sqrt(toks_c), so
+    // the smallest class must keep a strictly higher FRACTION of its
+    // docs than the largest (both rates < 1 on this corpus).
+    val q = graft.SparkEntry.queries("q_mix_temperature")
+    val kept = q(spark, "/root/testdata/sf0.01")
+      .select(col("lang"), col("n_kept")).as[(String, Long)].collect().toMap
+    val totals = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val rate = totals.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val largest = totals.maxBy(_._2)._1 // en
+    val smallest = totals.minBy(_._2)._1
+    assert(rate(smallest) > rate(largest),
+      s"expected flattening, got rates $rate")
+  }
+
+  test("domain filter verdict is uniform within a host") {
+    val q = graft.SparkEntry.queries("q_domain_quality_filter")
+    val perHost = q(spark, "/root/testdata/sf0.01")
+      .groupBy(col("host"))
+      .agg(countDistinct(col("kept")).as("v"), countDistinct(col("host_mean_ppm")).as("m"))
+      .as[(String, Long, Long)].collect()
+    assert(perHost.nonEmpty && perHost.forall(r => r._2 == 1L && r._3 == 1L))
+  }
+
   test("gopherRules exercises both keep branches on the gate corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val keeps = TextQueries.gopherRules(docs)
