@@ -250,6 +250,39 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("url canonicalization + blocklist runs unchanged as a structured stream") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CurationQueries
+    val dir = Files.createTempDirectory("urlstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(in)
+
+    // the canonicalizer is a pure stateless projection, and the
+    // blocklist a map-side filter — both legal in append mode with no
+    // watermark (the stateful canonical-URL dedup is the downstream
+    // dropDuplicatesWithinWatermark, proven above on digests)
+    def xform(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), CurationQueries.canonicalizeUrl(
+        concat(lit("HTTP://WWW."), col("source"), lit(".Example.com:80/d/"),
+          col("doc_id").cast("string"), lit("?utm_source=x#f"))).as("u"))
+      .filter(!CurationQueries.urlHost(col("u"))
+        .isin(CurationQueries.UrlBlocklist: _*))
+
+    val q = xform(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("urlcanon")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("urlcanon").orderBy("doc_id").collect()
+    val batch = xform(docs).orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    assert(streamed.forall(_.getString(1).startsWith("https://")))
+  }
+
   test("the PII scrub transform runs unchanged as a structured stream") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("scrubstream")
