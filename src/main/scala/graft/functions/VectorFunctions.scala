@@ -41,6 +41,14 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     column(L2DistanceExpr(expression(a), expression(b)))
 
+  /** Johnson–Lindenstrauss random projection to k dims, native
+    * one-pass and integer-exact over micro-quantized elements (see
+    * [[graft.plans.JlProjectExpr]]): the standard dimensionality
+    * reduction before ANN/clustering when d is large — distances are
+    * preserved within (1 ± ε) for k = O(log n / ε²). */
+  def jlProject(v: Column, k: Int): Column =
+    column(graft.plans.JlProjectExpr(expression(v), k))
+
   /** Random-hyperplane LSH bucket (SimHash for vectors): the sign bit
     * of the dot product against each fixed hyperplane, concatenated to
     * a bucket key. Two vectors with high cosine land in the same bucket

@@ -75,6 +75,43 @@ object VectorQueries {
                          ELSE CAST(floor((v - d_min) / (d_max - d_min) * 254)
                                    - 127 AS BIGINT) END AS q
              FROM long JOIN stats USING (dim)
-             WHERE vec_id < 20 ORDER BY vec_id, dim"""))
+             WHERE vec_id < 20 ORDER BY vec_id, dim""")),
+
+    // Johnson–Lindenstrauss random projection 64 → 8 dims — the
+    // standard pre-ANN/clustering dimensionality reduction. The native
+    // expression fuses the whole matrix multiply into ONE map-only
+    // per-row pass (the relational formulation below, which the oracle
+    // replays, explodes n·d·k rows through a shuffle — correct but 8×
+    // the data in motion at corpus scale). Elements are floored to
+    // integer micros and the Rademacher signs come from md5("j|i")
+    // parity, so every addend is an integer and both engines agree
+    // bit-for-bit with no float-order hazard. Long-form output: the
+    // driver gate needs scalar cells.
+    Spec("q_vector_project",
+      (s, dir) => {
+        import graft.functions.VectorFunctions.jlProject
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(jlProject(col("embedding"), 8)).as(Seq("j0", "p")))
+          .select(col("vec_id"), col("j0").cast("long").as("j"), col("p"))
+          .orderBy(col("vec_id"), col("j"))
+      },
+      Some("""WITH long AS (
+               SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim0,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS q
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS t(i)),
+             signs AS (
+               SELECT dim0, j,
+                      CASE WHEN CAST(('0x' || substr(
+                             md5(CAST(j AS VARCHAR) || '|' || CAST(dim0 AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 2 = 0
+                           THEN 1 ELSE -1 END AS s
+               FROM (SELECT DISTINCT dim0 FROM long),
+                    UNNEST(generate_series(0, 7)) AS tt(j))
+             SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS p
+             FROM long JOIN signs USING (dim0)
+             GROUP BY vec_id, j ORDER BY vec_id, j"""))
   )
 }

@@ -190,3 +190,116 @@ case class L2DistanceExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : L2DistanceExpr = copy(left = l, right = r)
 }
+
+/** `jl_project(vec, k)` → array<long>: Johnson–Lindenstrauss random
+  * projection to k dimensions in ONE pass, over micro-quantized
+  * elements so the result is INTEGER-EXACT and oracle-replayable.
+  *
+  * Each element is widened to double, scaled by 1e6 and floored to a
+  * long (exact in both engines); output j accumulates Σᵢ qᵢ·s(j,i)
+  * with the Rademacher sign s(j,i) ∈ {+1,−1} drawn from the parity of
+  * `md5("j|i")`'s leading-15-hex-digit value — a seedable, engine-
+  * replayable sign matrix (the DuckDB oracle regenerates it with the
+  * same md5 strings). Because every addend is an integer, the sum is
+  * associative — no float-order hazard — and |q| ≤ 1e6·d·k bounds the
+  * accumulator far below 2^63 for any realistic (d, k).
+  *
+  * Scale shape: a map-only per-row projection (the relational
+  * formulation explodes n·d·k rows through a shuffle; this fuses the
+  * whole matrix multiply into one codegen'd call). The sign matrix is
+  * built once per (d) per expression instance (k·d md5s, cached in a
+  * ConcurrentHashMap — thread-safe under shared codegen references).
+  *
+  * NULL on null input; a null ELEMENT yields a null result (stricter
+  * than SQL sum-skips-null — embeddings are REQUIRED non-null; the
+  * gate corpus has none).
+  */
+case class JlProjectExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(k > 0, "jl_project needs k > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jl_project"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = super.checkInputDataTypes()
+    if (!ok.isSuccess) return ok
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case _: NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jl_project requires numeric array elements, got ${other.catalogString}")
+    }
+  }
+
+  @transient private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val checkNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  private def readD(a: ArrayData, i: Int): Double = elemType match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.get(i, d).asInstanceOf[Decimal].toDouble
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+
+  /** Parity of md5("j|i")'s leading 15 hex digits — the same draw the
+    * oracle's `('0x' || substr(md5(...), 1, 15))::BIGINT % 2` makes. */
+  private[plans] def signFor(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+  }
+
+  private def signsFor(d: Int): Array[Array[Long]] =
+    signCache.computeIfAbsent(d,
+      _ => Array.tabulate(k, d)((j, i) => signFor(j, i)))
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = a.numElements()
+    val s = signsFor(d)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < d) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val q = math.floor(readD(a, i) * 1000000d).toLong
+      var j = 0
+      while (j < k) {
+        out(j) += q * s(j)(i)
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jlProjectExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("jlOut")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $tmp = $ref.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): JlProjectExpr =
+    copy(child = c)
+}

@@ -122,4 +122,48 @@ class VectorExprSpec extends AnyFunSuite {
     assert(plan.contains("vec_cosine"), s"native expression missing in:\n$plan")
     assert(scored.count() > 0)
   }
+
+  test("jl_project matches an independent driver-side integer replay") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 50).map(id =>
+      (id.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), VectorFunctions.jlProject(col("v"), 4).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent sign replay: parity of md5("j|i")'s 15 leading hex
+    def sign(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
+    }
+    rows.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1000000d).toLong)
+      val want = (0 until 4).map(j =>
+        q.indices.map(i => q(i) * sign(j, i)).sum)
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("jl_project projections of identical vectors are identical; ks differ") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.25f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "v")
+    val ps = df.select(VectorFunctions.jlProject(col("v"), 8))
+      .as[Seq[Long]].collect()
+    assert(ps(0) == ps(1) && ps(0).length == 8)
+    val p4 = df.select(VectorFunctions.jlProject(col("v"), 4))
+      .as[Seq[Long]].collect()(0)
+    assert(p4 == ps(0).take(4)) // sign rows are j-indexed: prefix-stable
+  }
+
+  test("jl_project stays inside whole-stage codegen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = e.select(VectorFunctions.jlProject(col("embedding"), 8).as("p"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("lambdafunction"))
+    assert(plan.contains("jl_project"), s"native expression missing in:\n$plan")
+    assert(proj.count() > 0)
+  }
 }
