@@ -307,6 +307,92 @@ object ExtraSimilarityQueries {
                ON b.query_id = l.query_id AND b.vec_id = l.vec_id
              GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // Johnson–Lindenstrauss distortion audit: the lemma promises
+    // DISTANCE preservation — ‖proj(a)−proj(b)‖ ≈ √k·‖a−b‖ (in the
+    // projection's micro units) within concentration bounds — NOT
+    // top-k rank preservation; on this isotropic synthetic corpus all
+    // pairwise distances nearly coincide, so ranks are meaningless but
+    // the distance ratio concentrates exactly as theory says (k = 8 →
+    // median ratio ≈ 0.9, ~⅔ of pairs within ±50 %). Per query this
+    // row audits the ratio r = d_proj / (√8·1e6·d_orig) over every
+    // corpus pair, floor-scaled to ppm: both engines compute the two
+    // l2 legs with the SAME left-fold order and the same IEEE
+    // division/sqrt, so the doubles — and their floors — are
+    // bit-identical. At scale this is the audit you run once per
+    // (d, k) before switching ANN/clustering to the projected space;
+    // the audit itself is a broadcast-bounded brute pass.
+    Spec("q_jl_distortion",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            jlProject(col("embedding"), 8).as("pv"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("pv").as("qp"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding").as("cv"),
+            col("pv").as("cp"))
+        val rPpm = floor(
+          l2Distance(col("qp"), col("cp")) /
+            (sqrt(lit(8.0)) * lit(1000000.0) * l2Distance(col("qv"), col("cv")))
+            * 1000000).cast("long")
+        c.crossJoin(broadcast(q))
+          .select(col("query_id"), rPpm.as("r_ppm"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(r_ppm) div count(1)").as("mean_ratio_ppm"),
+            count(when(abs(col("r_ppm") - 1000000L) <= 500000L, lit(1)))
+              .as("n_within50"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH long AS (
+               SELECT vec_id, CAST(i AS BIGINT) - 1 AS dim0,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS qq
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS t(i)),
+             signs AS (
+               SELECT dim0, j,
+                      CASE WHEN CAST(('0x' || substr(
+                             md5(CAST(j AS VARCHAR) || '|' || CAST(dim0 AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 2 = 0
+                           THEN 1 ELSE -1 END AS s
+               FROM (SELECT DISTINCT dim0 FROM long),
+                    UNNEST(generate_series(0, 7)) AS tt(j)),
+             pvec AS (
+               SELECT vec_id,
+                      list(CAST(p AS DOUBLE) ORDER BY j) AS pv
+               FROM (SELECT vec_id, j, CAST(sum(qq * s) AS BIGINT) AS p
+                     FROM long JOIN signs USING (dim0)
+                     GROUP BY vec_id, j)
+               GROUP BY vec_id),
+             e AS (
+               SELECT m.vec_id, CAST(m.embedding AS DOUBLE[]) AS v, p.pv
+               FROM embeddings m JOIN pvec p ON m.vec_id = p.vec_id),
+             q AS (SELECT vec_id AS query_id, v, pv FROM e WHERE vec_id < 20),
+             c AS (SELECT vec_id, v, pv FROM e WHERE vec_id >= 20),
+             pairs AS (
+               SELECT q.query_id,
+                      CAST(floor(
+                        sqrt(list_dot_product(
+                          list_transform(list_zip(q.pv, c.pv),
+                            x -> CAST(x[1] - x[2] AS DOUBLE)),
+                          list_transform(list_zip(q.pv, c.pv),
+                            x -> CAST(x[1] - x[2] AS DOUBLE))))
+                        / ((sqrt(8.0) * 1000000.0) *
+                           sqrt(list_dot_product(
+                             list_transform(list_zip(q.v, c.v),
+                               x -> x[1] - x[2]),
+                             list_transform(list_zip(q.v, c.v),
+                               x -> x[1] - x[2]))))
+                        * 1000000) AS BIGINT) AS r_ppm
+               FROM q, c)
+             SELECT query_id, count(*) AS n_pairs,
+                    CAST(sum(r_ppm) AS BIGINT) // count(*) AS mean_ratio_ppm,
+                    count(*) FILTER (abs(r_ppm - 1000000) <= 500000)
+                      AS n_within50
+             FROM pairs GROUP BY query_id ORDER BY query_id""")),
+
     // TF-IDF: tokens exploded once; document frequency from the same
     // exploded relation; top-3 most characteristic tokens per doc.
     Spec("q_tfidf",

@@ -60,7 +60,11 @@ object GraftExtensions {
       { case Seq(s, i) => CmsEstimateExpr(s, i) }),
     ("canonical_digest",
       info("canonical_digest", "canonical_digest(text) - md5 of ASCII-canonicalized text"),
-      { case Seq(c) => CanonicalDigestExpr(c) }))
+      { case Seq(c) => CanonicalDigestExpr(c) }),
+    ("jl_project",
+      info("jl_project", "jl_project(vec, k) - integer-exact JL random projection to k dims"),
+      { case Seq(v, k) =>
+        JlProjectExpr(v, k.eval().asInstanceOf[Number].intValue()) }))
 
   /** Install into an already-built session (extensions normally apply
     * only at builder time). */

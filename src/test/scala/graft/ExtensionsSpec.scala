@@ -25,6 +25,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
   }
 
+  test("jl_project callable from SQL, equal to Column API") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, jl_project(embedding, 4) AS p FROM ext_emb ORDER BY vec_id")
+      .as[(Long, Seq[Long])].collect()
+    val viaCol = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.jlProject(col("embedding"), 4).as("p"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("cms_estimate probes a count_min_sketch binary from SQL") {
     GraftExtensions.register(spark)
     Seq("a", "a", "a", "b", "b", "c").toDF("term")
