@@ -65,6 +65,82 @@ object GraphQueries {
     ranks
   }
 
+  /** Fixed iteration count for the LPA gate row — keep in sync with
+    * the unrolled oracle CTEs. */
+  val LpaIters = 3
+
+  /** Deterministic synchronous label propagation over an `(src, dst)`
+    * edge table — community detection for domain/host clustering (the
+    * curation counterpart of PageRank's authority weighting: LPA
+    * groups, PageRank ranks).
+    *
+    * Every node starts with its own id as label; each round a node
+    * adopts the most frequent label among its neighbors, ties broken
+    * toward the SMALLEST label — with a SELF-LOOP added per node so a
+    * node's current label competes too (the standard retention variant;
+    * without it synchronous LPA provably oscillates 2-cycles on
+    * bipartite graphs, and the gate graph IS bipartite).
+    * All state is (node, label) longs — no floats, bit-identical
+    * across aggregation orders. Per round: ONE shuffle join (labels
+    * onto edges) + ONE (dst, label) count + ONE windowless arg-max
+    * per node. The arg-max packs (count, label) into a single long —
+    * `c·2³² + (2³²−1−lab)` — so it is a PRIMITIVE `max` that stays in
+    * HashAggregate with map-side partials (a `max(struct(c, -lab))`
+    * formulation is semantically identical but degrades to a
+    * SortAggregate pair per round — measured 1.6× slower on the gate
+    * graph; LpaPlanProbe pins the plan). The packing needs label ids
+    * < 2³²−1 and per-(node, label) counts < 2³¹ — checked ONCE against
+    * the materialized edges, loud throw beyond (use an unpacked
+    * variant past 4 B nodes). Edges are materialized once; labels
+    * checkpoint every few rounds ([[pageRank]]'s lineage pattern).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpointEvery: Int = 4): DataFrame = {
+    val PackShift = 4294967296L // 2^32
+    val sym = edges.select(col("src"), col("dst"))
+    val nodes = sym.select(col("src")).distinct()
+    val e = sym.union(nodes.select(col("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val bounds = e.agg(max(col("src")).as("mx"), count(lit(1)).as("n")).head()
+    require(bounds.getLong(0) >= 0 && bounds.getLong(0) < PackShift - 1 &&
+      bounds.getLong(1) < (1L << 31),
+      s"labelPropagation: node ids must fit 32 bits and |E| < 2^31 for " +
+        s"the packed arg-max (got max id ${bounds.getLong(0)}, " +
+        s"|E| ${bounds.getLong(1)})")
+    var labs = nodes.select(col("src").as("node"), col("src").as("lab"))
+    for (k <- 1 to iters) {
+      // round 1's label map is the identity (lab(n) = n), so the first
+      // round reads labels straight off the edge list instead of paying
+      // a |E| ⋈ |V| join for a no-op mapping
+      val contrib =
+        if (k == 1) e.select(col("dst"), col("src").as("lab"))
+        else e.join(labs, e("src") === labs("node"))
+          .select(col("dst"), col("lab"))
+      labs = contrib
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(col("c") * PackShift + (lit(PackShift - 1) - col("lab")))
+          .as("m"))
+        .select(col("dst").as("node"),
+          (lit(PackShift - 1) - (col("m") % PackShift)).as("lab"))
+      if (k % checkpointEvery == 0 && k < iters)
+        labs = labs.localCheckpoint()
+    }
+    labs
+  }
+
+  private def lpIterSql(prev: String, cur: String): String =
+    s"""${cur}_c AS (
+         SELECT e.dst, $prev.lab, COUNT(*) AS c
+         FROM e JOIN $prev ON e.src = $prev.node
+         GROUP BY e.dst, $prev.lab),
+       $cur AS (
+         SELECT dst AS node, min(lab) AS lab FROM (
+           SELECT dst, lab, c, max(c) OVER (PARTITION BY dst) AS mc
+           FROM ${cur}_c) x
+         WHERE c = mc GROUP BY dst)"""
+
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (
          SELECT e.dst AS node,
@@ -109,6 +185,39 @@ object GraphQueries {
                ${prIterSql("r1", "r2")},
                ${prIterSql("r2", "r3")}
                SELECT node, r AS rank FROM r3
-               ORDER BY rank DESC, node LIMIT 100"""))
+               ORDER BY rank DESC, node LIMIT 100""")),
+
+    // Label-propagation communities over the same trade graph — the
+    // grouping signal beside PageRank's ranking one. The oracle
+    // unrolls the identical integer recurrence (count → max-count →
+    // min-label) as chained CTEs; the self-loop makes the synchronous
+    // rounds stable on this bipartite graph. All-long state, so the
+    // result is bit-equal regardless of plan or aggregation order.
+    Spec("q_graph_communities",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        labelPropagation(e, LpaIters)
+          .orderBy(col("node"))
+          .select(col("node"), col("lab"))
+      },
+      Some(s"""WITH e0 AS (
+                 SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+               sym AS (SELECT src, dst FROM e0
+                       UNION ALL SELECT dst, src FROM e0),
+               e AS (SELECT src, dst FROM sym
+                     UNION ALL
+                     SELECT DISTINCT src, src FROM sym),
+               l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+               ${lpIterSql("l0", "l1")},
+               ${lpIterSql("l1", "l2")},
+               ${lpIterSql("l2", "l3")}
+               SELECT node, lab FROM l3 ORDER BY node"""))
   )
 }

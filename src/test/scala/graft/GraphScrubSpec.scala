@@ -44,6 +44,30 @@ class GraphScrubSpec extends AnyFunSuite {
     assert(got == r)
   }
 
+  test("labelPropagation finds the two triangles across a bridge") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3—4: each triangle
+    // converges to its min label; the bridge endpoints stay with their
+    // own triangle (2 same-community neighbors + self vs 1 across)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val e = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val got = GraphQueries.labelPropagation(e, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation is stable on a bipartite 4-cycle (self-loop damping)") {
+    // pure synchronous LPA 2-cycles on C4; the retention self-loop must
+    // converge it instead — everyone reaches the min label 1
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val e = (c4 ++ c4.map(_.swap)).toDF("src", "dst")
+    val l3 = GraphQueries.labelPropagation(e, 3).as[(Long, Long)].collect().toMap
+    val l4 = GraphQueries.labelPropagation(e, 4).as[(Long, Long)].collect().toMap
+    assert(l3 == l4, s"not converged: $l3 vs $l4")
+    assert(l4.values.toSet == Set(1L))
+  }
+
   test("scrubBoilerplate drops only cross-document segments, keeps order") {
     val docs = Seq(
       (0L, "a b c d x1 x2 x3 x4"), // "a b c d" shared with doc 1

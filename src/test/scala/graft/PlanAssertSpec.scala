@@ -179,7 +179,9 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_quality_threshold",  // 1-row broadcast percentile crossJoin
       "q_bm25",               // 1-row broadcast corpus-stats crossJoin
       "q_text_commonness",    // 1-row token-total crossJoin
-      "q_tfidf")              // 1-row corpus-count crossJoin
+      "q_tfidf",              // 1-row corpus-count crossJoin
+      "q_jl_distortion",      // broadcast query set vs corpus (audit row)
+      "q_mix_temperature")    // 1-row scalar (T, Σw) crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
