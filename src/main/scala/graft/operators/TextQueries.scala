@@ -247,7 +247,7 @@ object TextQueries {
           col("top_bigram_ppm") <= GopherTopBigramCapPpm)
   }
 
-  val specs: Seq[Spec] = Seq(
+  lazy val specs: Seq[Spec] = lmPerplexitySpec +: Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
     // argmax with a fixed tie order.
@@ -976,4 +976,97 @@ object TextQueries {
                        AND top_bigram_ppm <= $GopherTopBigramCapPpm) AS keep
                FROM m ORDER BY doc_id"""))
   )
+
+  /** LM-perplexity filter thresholds (natural-log nats per token) for
+    * the head/middle/tail bucketing — the CCNet split points, pinned to
+    * the scored distribution's quartile region so all three tiers are
+    * populated at every SF. Tiers are derived from the FLOORED score,
+    * so both engines bucket from the identical grid value. */
+  private val PplHeadMax = 3.40
+  private val PplMiddleMax = 3.41
+
+  /** CCNet-style perplexity filter: train a unigram LM on a held-out
+    * document split, score every other document by average negative
+    * log-likelihood per token, and bucket into head/middle/tail —
+    * the classic "keep what looks like reference text" curation pass
+    * (CCNet trains KenLM on Wikipedia; the unigram model is the same
+    * pipeline shape without the external corpus).
+    *
+    * Train/score split is the engine-replayable md5 trick from
+    * `q_train_test_split` (seeded "lm|"). Add-one smoothing:
+    * p(tok) = (cnt + 1) / (T + V) with unseen tokens at cnt = 0, so
+    * NLL(tok) = ln(T + V) − ln(cnt + 1) — all logs taken on exact
+    * integers, summed per (doc, tok) with integer multiplicities
+    * (ONE fused aggregate per doc, not one term per instance), and
+    * floored to 1e−4 so ULP-level libm differences between engines
+    * can never flip the hash.
+    *
+    * At 100 TB: the LM table is vocabulary-sized — bounded by the
+    * tokenizer, not the corpus (CCNet's SentencePiece vocab is 64 k) —
+    * so it BROADCASTS to the scoring join; the corpus-side explode
+    * never shuffles document text, and the per-doc aggregate is the
+    * only shuffle (doc_id keys, map-side combined). Scoring itself is
+    * stateless given the broadcast LM, so it runs unchanged as a
+    * stream-static join under Structured Streaming.
+    */
+  lazy val lmPerplexitySpec: Spec = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("lm|"), c.cast("string"))), 1, 15),
+        16, 10).cast("long") % 100
+    Spec("q_lm_perplexity",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents"))
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val freq = toks.where(bucket(col("doc_id")) < 50)
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val scal = freq.agg(sum(col("c")).as("T"), count(lit(1)).as("V"))
+        val perDocTok = toks.where(bucket(col("doc_id")) >= 50)
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+        val scored = perDocTok
+          .join(broadcast(freq), Seq("tok"), "left")
+          .crossJoin(broadcast(scal))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("m")).as("n_toks"),
+            sum(col("m").cast("double") *
+              (log(col("T").cast("double") + col("V").cast("double")) -
+                log(coalesce(col("c"), lit(0L)).cast("double") + 1.0d)))
+              .as("s"))
+        val avg = floor(col("s") / col("n_toks").cast("double") * 10000) / 10000
+        scored.select(col("doc_id"), col("n_toks"), avg.as("avg_nll"),
+            when(avg < PplHeadMax, "head")
+              .when(avg < PplMiddleMax, "middle")
+              .otherwise("tail").as("tier"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               freq AS (
+                 SELECT tok, COUNT(*) AS c FROM tk
+                 WHERE CAST(('0x' || substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50
+                 GROUP BY tok),
+               scal AS (SELECT CAST(SUM(c) AS BIGINT) AS T,
+                               CAST(COUNT(*) AS BIGINT) AS V FROM freq),
+               pdt AS (
+                 SELECT doc_id, tok, COUNT(*) AS m FROM tk
+                 WHERE CAST(('0x' || substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 50
+                 GROUP BY doc_id, tok),
+               sc AS (
+                 SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_toks,
+                        SUM(CAST(m AS DOUBLE) *
+                            (ln(CAST(s.T AS DOUBLE) + CAST(s.V AS DOUBLE)) -
+                             ln(CAST(COALESCE(f.c, 0) AS DOUBLE) + 1.0))) AS s
+                 FROM pdt LEFT JOIN freq f USING (tok) CROSS JOIN scal s
+                 GROUP BY doc_id),
+               fin AS (
+                 SELECT doc_id, n_toks,
+                        floor(s / CAST(n_toks AS DOUBLE) * 10000) / 10000 AS avg_nll
+                 FROM sc)
+               SELECT doc_id, n_toks, avg_nll,
+                      CASE WHEN avg_nll < $PplHeadMax THEN 'head'
+                           WHEN avg_nll < $PplMiddleMax THEN 'middle'
+                           ELSE 'tail' END AS tier
+               FROM fin ORDER BY doc_id"""))
+  }
 }

@@ -88,4 +88,40 @@ class CurationRulesSpec extends AnyFunSuite {
       .groupBy(col("keep")).count().as[(Boolean, Long)].collect().toMap
     assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0)
   }
+
+  test("lm perplexity equals a driver-side add-one unigram replay") {
+    // independent scalar replay of q_lm_perplexity on the sf0.001
+    // corpus: same md5 split, same smoothing, same 1e-4 floor
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"lm|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val freq = docs.filter(d => bucket(d._1) < 50)
+      .flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val T = freq.values.sum.toDouble
+    val V = freq.size.toDouble
+    val want = docs.filter(d => bucket(d._1) >= 50).map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val s = toks.groupBy(identity).map { case (tok, g) =>
+        g.length * (math.log(T + V) - math.log(freq.getOrElse(tok, 0L) + 1.0))
+      }.sum
+      id -> (toks.length.toLong,
+        math.floor(s / toks.length * 10000) / 10000)
+    }.toMap
+    val got = TextQueries.lmPerplexitySpec
+      .run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_toks", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, (n, a)) <- want) {
+      assert(got(id)._1 == n, s"doc $id token count")
+      assert(math.abs(got(id)._2 - a) < 1.0001e-4, s"doc $id avg_nll")
+    }
+  }
 }

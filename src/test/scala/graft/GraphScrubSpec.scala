@@ -115,4 +115,30 @@ class GraphScrubSpec extends AnyFunSuite {
       (0L, "k1 k2 k3 k4 m1 m2 m3 m4", 2L, 3L),
       (1L, "q1 q2 q3 q4", 1L, 2L)))
   }
+
+  test("triangleCounts on K4 plus a pendant edge") {
+    // K4 on {1,2,3,4}: four triangles, each node in exactly 3;
+    // pendant 5 hangs off 4 and is in none (so absent from output)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = GraphQueries.triangleCounts(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts equals the naive all-orderings count on a random graph") {
+    val rng = new scala.util.Random(7)
+    val n = 30
+    val pairs = (for (a <- 0L until n; b <- a + 1 until n
+                      if rng.nextDouble() < 0.25) yield (a, b)).toSeq
+    val eSet = pairs.toSet
+    // naive reference: every id-ordered vertex triple with all 3 edges
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+    for (a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (eSet((a, b)) && eSet((a, c)) && eSet((b, c)))
+        Seq(a, b, c).foreach(x => naive(x) = naive.getOrElse(x, 0L) + 1L)
+    val got = GraphQueries.triangleCounts(pairs.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive.toMap)
+  }
 }
