@@ -1009,34 +1009,53 @@ object TextQueries {
     * stateless given the broadcast LM, so it runs unchanged as a
     * stream-static join under Structured Streaming.
     */
+  private def lmBucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("lm|"), c.cast("string"))), 1, 15),
+      16, 10).cast("long") % 100
+
+  /** Unigram add-one LM from the md5-selected training half: per-token
+    * counts plus the (T, V) normalizer scalars. */
+  def trainUnigramLm(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val freq = docs.where(lmBucket(col("doc_id")) < 50)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    (freq, freq.agg(sum(col("c")).as("T"), count(lit(1)).as("V")))
+  }
+
+  /** Score documents against a STATIC unigram LM — per-doc independent,
+    * so it runs unchanged per micro-batch under `foreachBatch` for
+    * incremental corpus scoring (StreamingSpec proves streamed==batch
+    * bit-equal). */
+  def scoreAgainstLm(docs: org.apache.spark.sql.DataFrame,
+                     freq: org.apache.spark.sql.DataFrame,
+                     scal: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perDocTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+    val scored = perDocTok
+      .join(broadcast(freq), Seq("tok"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_toks"),
+        sum(col("m").cast("double") *
+          (log(col("T").cast("double") + col("V").cast("double")) -
+            log(coalesce(col("c"), lit(0L)).cast("double") + 1.0d)))
+          .as("s"))
+    val avg = floor(col("s") / col("n_toks").cast("double") * 10000) / 10000
+    scored.select(col("doc_id"), col("n_toks"), avg.as("avg_nll"),
+      when(avg < PplHeadMax, "head")
+        .when(avg < PplMiddleMax, "middle")
+        .otherwise("tail").as("tier"))
+  }
+
   lazy val lmPerplexitySpec: Spec = {
-    def bucket(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit("lm|"), c.cast("string"))), 1, 15),
-        16, 10).cast("long") % 100
     Spec("q_lm_perplexity",
       (s, dir) => {
         val docs = spread(s, t(s, dir, "documents"))
-        val toks = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-        val freq = toks.where(bucket(col("doc_id")) < 50)
-          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val scal = freq.agg(sum(col("c")).as("T"), count(lit(1)).as("V"))
-        val perDocTok = toks.where(bucket(col("doc_id")) >= 50)
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
-        val scored = perDocTok
-          .join(broadcast(freq), Seq("tok"), "left")
-          .crossJoin(broadcast(scal))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("m")).as("n_toks"),
-            sum(col("m").cast("double") *
-              (log(col("T").cast("double") + col("V").cast("double")) -
-                log(coalesce(col("c"), lit(0L)).cast("double") + 1.0d)))
-              .as("s"))
-        val avg = floor(col("s") / col("n_toks").cast("double") * 10000) / 10000
-        scored.select(col("doc_id"), col("n_toks"), avg.as("avg_nll"),
-            when(avg < PplHeadMax, "head")
-              .when(avg < PplMiddleMax, "middle")
-              .otherwise("tail").as("tier"))
+        val (freq, scal) = trainUnigramLm(docs)
+        scoreAgainstLm(docs.where(lmBucket(col("doc_id")) >= 50), freq, scal)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH tk AS (

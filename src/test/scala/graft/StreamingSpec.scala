@@ -477,4 +477,48 @@ class StreamingSpec extends AnyFunSuite {
     while (archivedCount < 2 && System.nanoTime() < deadline) Thread.sleep(200)
     assert(archivedCount >= 1, "expected consumed csvs under the archive dir")
   }
+
+  test("LM perplexity scoring runs per micro-batch against a static LM") {
+    // the production shape for scoring a growing corpus: the unigram
+    // LM is a fixed asset (trained once), each arriving micro-batch is
+    // scored with the full batch operator via foreachBatch. Scoring is
+    // per-doc independent, so batch boundaries cannot change a score —
+    // streamed output must equal the one-shot batch output bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("lmstream")
+    val in = dir.resolve("in").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (freq, scal) = graft.operators.TextQueries.trainUnigramLm(docs)
+    // freeze the LM the way a shipped asset would be (also keeps the
+    // stream's per-batch plans off the training subtree)
+    val freqF = freq.localCheckpoint()
+    val scalF = scal.localCheckpoint()
+    // three arrival chunks → three micro-batches
+    docs.filter(col("doc_id") < 15).write.mode("overwrite").parquet(in)
+    docs.filter(col("doc_id") >= 15 && col("doc_id") < 30)
+      .write.mode("append").parquet(in)
+    docs.filter(col("doc_id") >= 30).write.mode("append").parquet(in)
+
+    val sink =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, String)]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextQueries.scoreAgainstLm(mb, freqF, scalF)
+          .collect().foreach(r => sink.add(
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = sink.asScala.toSeq.sortBy(_._1)
+    val batch = graft.operators.TextQueries.scoreAgainstLm(docs, freqF, scalF)
+      .orderBy(col("doc_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
