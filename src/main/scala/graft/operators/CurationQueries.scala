@@ -799,5 +799,96 @@ object CurationQueries {
              FROM canon
              WHERE regexp_extract(u, '^https://([^/]+)', 1)
                    NOT IN ('src3.example.com', 'src7.example.com')
-             GROUP BY u ORDER BY u""")))
+             GROUP BY u ORDER BY u""")),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): estimate importance
+    // weights p_target/p_raw over HASHED token-bucket features — here
+    // B = 64 md5 buckets, target = the English slice, raw = everything
+    // else — and keep raw docs whose per-token log-ratio is ≥ 0 (more
+    // target-like than raw-like). The hallmark of the method is that
+    // both "LMs" are O(B) count tables REGARDLESS of corpus size:
+    // at 100 TB the two bucket tables and the (T_t, T_r) normalizers
+    // broadcast everywhere, the explode side is map-only, and the only
+    // shuffle is the per-doc aggregate on doc_id (map-side combined).
+    // Logs are taken on exact integer counts and summed per (doc,
+    // bucket) with integer multiplicities; the 1e-6 floor keeps libm
+    // ULP noise from ever flipping the cross-engine hash, and the
+    // selected flag derives from the FLOORED value so both engines
+    // bucket identically. Composes with the exact-k samplers
+    // (`q_sample_k_per_group`) for the actual resampling draw.
+    Spec("q_dsir_weights",
+      (s, dir) => dsirWeights(spread(s, t(s, dir, "documents")),
+        col("lang") === "en").orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                 SELECT doc_id, lang,
+                        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS b
+                 FROM (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents)),
+               tgt AS (SELECT b, COUNT(*) AS ct FROM tk
+                       WHERE lang = 'en' GROUP BY b),
+               raw AS (SELECT b, COUNT(*) AS cr FROM tk
+                       WHERE lang <> 'en' GROUP BY b),
+               lm AS (SELECT coalesce(t.b, r.b) AS b,
+                             coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+                      FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b),
+               scal AS (SELECT CAST(SUM(ct) AS BIGINT) AS Tt,
+                               CAST(SUM(cr) AS BIGINT) AS Tr FROM lm),
+               pdb AS (SELECT doc_id, b, COUNT(*) AS m FROM tk
+                       WHERE lang <> 'en' GROUP BY doc_id, b),
+               sc AS (
+                 SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_toks,
+                        SUM(CAST(m AS DOUBLE) *
+                            ((ln(CAST(coalesce(lm.ct, 0) AS DOUBLE) + 1.0) -
+                              ln(CAST(s.Tt AS DOUBLE) + 64.0)) -
+                             (ln(CAST(coalesce(lm.cr, 0) AS DOUBLE) + 1.0) -
+                              ln(CAST(s.Tr AS DOUBLE) + 64.0)))) AS lw
+                 FROM pdb LEFT JOIN lm USING (b) CROSS JOIN scal s
+                 GROUP BY doc_id),
+               fin AS (
+                 SELECT doc_id, n_toks,
+                        floor(lw / CAST(n_toks AS DOUBLE) * 1000000) / 1000000
+                          AS log_ratio_pt
+                 FROM sc)
+               SELECT doc_id, n_toks, log_ratio_pt,
+                      log_ratio_pt >= 0 AS selected
+               FROM fin ORDER BY doc_id""")))
+
+  /** DSIR importance weights for the raw slice (rows where `isTarget`
+    * is false) against the target slice's hashed-feature distribution;
+    * see the `q_dsir_weights` spec comment for the design. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+                  isTarget: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 64
+    val tk = docs.select(col("doc_id"), isTarget.as("tg"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("tg"), bucket(col("tok")).as("b"))
+    val tgt = tk.where(col("tg"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = tk.where(!col("tg"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val lm = tgt.join(raw, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val scal = lm.agg(sum(col("ct")).as("Tt"), sum(col("cr")).as("Tr"))
+    val perDocB = tk.where(!col("tg"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    val scored = perDocB
+      .join(broadcast(lm), Seq("b"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_toks"),
+        sum(col("m").cast("double") *
+          ((log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0d) -
+            log(col("Tt").cast("double") + 64.0d)) -
+           (log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0d) -
+            log(col("Tr").cast("double") + 64.0d)))).as("lw"))
+    val lr = floor(col("lw") / col("n_toks").cast("double") * 1000000) /
+      1000000
+    scored.select(col("doc_id"), col("n_toks"),
+      lr.as("log_ratio_pt"), (lr >= 0).as("selected"))
+  }
 }

@@ -89,6 +89,25 @@ class CurationRulesSpec extends AnyFunSuite {
     assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0)
   }
 
+  test("dsir weights select target-vocab raw docs and reject raw-vocab ones") {
+    // buckets of the four tokens are distinct mod 64 (59/43/60/63), so
+    // no hash collision muddies the semantics: doc 10 shares the
+    // target's vocabulary (positive log-ratio → selected), doc 11 uses
+    // vocabulary the target never emits (negative → rejected)
+    val docs = Seq(
+      (0L, "en", "alpha beta alpha beta alpha beta"),
+      (1L, "en", "beta alpha beta alpha"),
+      (10L, "de", "alpha beta alpha"),
+      (11L, "de", "zulu yankee zulu")
+    ).toDF("doc_id", "lang", "text")
+    val got = CurationQueries.dsirWeights(docs, col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 11L))
+    assert(got(0)._3 > 0 && got(0)._4, s"target-like doc: ${got(0)}")
+    assert(got(1)._3 < 0 && !got(1)._4, s"raw-only doc: ${got(1)}")
+  }
+
   test("lm perplexity equals a driver-side add-one unigram replay") {
     // independent scalar replay of q_lm_perplexity on the sf0.001
     // corpus: same md5 split, same smoothing, same 1e-4 floor
