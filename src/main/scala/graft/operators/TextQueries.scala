@@ -247,7 +247,8 @@ object TextQueries {
           col("top_bigram_ppm") <= GopherTopBigramCapPpm)
   }
 
-  lazy val specs: Seq[Spec] = lmPerplexitySpec +: Seq(
+  lazy val specs: Seq[Spec] =
+    Seq(lmPerplexitySpec, curationFunnelSpec) ++ Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
     // argmax with a fixed tie order.
@@ -926,7 +927,13 @@ object TextQueries {
     Spec("q_gopher_rules",
       (s, dir) => gopherRules(spread(s, t(s, dir, "documents")))
         .orderBy(col("doc_id")),
-      Some(s"""WITH toks AS (
+      Some(gopherOracleSql))
+  )
+
+  /** The q_gopher_rules oracle, factored out so `q_curation_funnel`
+    * can embed it as a subquery. */
+  private lazy val gopherOracleSql: String =
+    s"""WITH toks AS (
                  SELECT doc_id, string_split(text, ' ') AS t,
                         length(text) AS L
                  FROM documents),
@@ -974,8 +981,7 @@ object TextQueries {
                        AND mean_wlen_ppm BETWEEN $GopherMeanWlenLoPpm AND $GopherMeanWlenHiPpm
                        AND dup_block_ppm <= $GopherDupBlockCapPpm
                        AND top_bigram_ppm <= $GopherTopBigramCapPpm) AS keep
-               FROM m ORDER BY doc_id"""))
-  )
+               FROM m ORDER BY doc_id"""
 
   /** LM-perplexity filter thresholds (natural-log nats per token) for
     * the head/middle/tail bucketing — the CCNet split points, pinned to
@@ -1088,4 +1094,81 @@ object TextQueries {
                            ELSE 'tail' END AS tier
                FROM fin ORDER BY doc_id"""))
   }
+
+  /** The composed curation funnel — the C4/CCNet/Gopher pipeline order
+    * run end-to-end with per-stage survivor counts: corpus → Gopher
+    * repetition rules → LM perplexity (drop the tail tier, scored
+    * against the md5-train-half unigram LM) → exact dedup (md5 keeper).
+    * The audit row every production curation run ships with: each
+    * stage's count tells you WHERE the corpus went.
+    *
+    * Stages compose as doc_id semi-joins over the already-gated
+    * operators (`gopherRules`, `scoreAgainstLm`, the md5 keeper), so
+    * this row gates the COMPOSITION, not new logic; the oracle embeds
+    * the factored q_gopher_rules SQL as a subquery and replays the
+    * same chain as set intersections. At 100 TB each stage's id-set is
+    * corpus-sized: the semi-joins shuffle only ids, and a real run
+    * would persist each stage's survivor set instead of re-deriving
+    * the chain per stage the way this 4-count audit does.
+    */
+  lazy val curationFunnelSpec: Spec = Spec("q_curation_funnel",
+    (s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+      val s1 = gopherRules(docs).where(col("keep")).select(col("doc_id"))
+      val (freq, scal) = trainUnigramLm(docs)
+      val pplOk = scoreAgainstLm(docs, freq, scal)
+        .where(col("tier") =!= "tail").select(col("doc_id"))
+      val keeper = docs.groupBy(md5(col("text")).as("dg"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s2 = s1.join(pplOk, Seq("doc_id"), "left_semi")
+      val s3 = s2.join(keeper, Seq("doc_id"), "left_semi")
+      def stage(ord: Int, name: String,
+                df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_docs"))
+      stage(0, "corpus", docs)
+        .union(stage(1, "gopher", s1))
+        .union(stage(2, "perplexity", s2))
+        .union(stage(3, "exact_dedup", s3))
+        .orderBy(col("ord"))
+    },
+    Some(s"""WITH gph AS (
+               SELECT doc_id FROM ($gopherOracleSql) WHERE keep),
+             tk2 AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+             freq2 AS (
+               SELECT tok, COUNT(*) AS c FROM tk2
+               WHERE CAST(('0x' || substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50
+               GROUP BY tok),
+             scal2 AS (SELECT CAST(SUM(c) AS BIGINT) AS T,
+                              CAST(COUNT(*) AS BIGINT) AS V FROM freq2),
+             pdt2 AS (SELECT doc_id, tok, COUNT(*) AS m FROM tk2
+                      GROUP BY doc_id, tok),
+             sc2 AS (
+               SELECT doc_id,
+                      SUM(CAST(m AS DOUBLE) *
+                          (ln(CAST(s.T AS DOUBLE) + CAST(s.V AS DOUBLE)) -
+                           ln(CAST(COALESCE(f.c, 0) AS DOUBLE) + 1.0))) AS s,
+                      CAST(SUM(m) AS BIGINT) AS n
+               FROM pdt2 LEFT JOIN freq2 f USING (tok) CROSS JOIN scal2 s
+               GROUP BY doc_id),
+             ppl_ok AS (
+               SELECT doc_id FROM sc2
+               WHERE floor(s / CAST(n AS DOUBLE) * 10000) / 10000
+                     < $PplMiddleMax),
+             keeper AS (
+               SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY md5(text)),
+             s2 AS (SELECT doc_id FROM gph
+                    INTERSECT SELECT doc_id FROM ppl_ok),
+             s3 AS (SELECT doc_id FROM s2
+                    INTERSECT SELECT doc_id FROM keeper)
+             SELECT * FROM (
+               SELECT 0 AS ord, 'corpus' AS stage,
+                      (SELECT COUNT(*) FROM documents) AS n_docs
+               UNION ALL SELECT 1, 'gopher', (SELECT COUNT(*) FROM gph)
+               UNION ALL SELECT 2, 'perplexity', (SELECT COUNT(*) FROM s2)
+               UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM s3))
+             ORDER BY ord"""))
 }
