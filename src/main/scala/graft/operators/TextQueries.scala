@@ -248,7 +248,7 @@ object TextQueries {
   }
 
   lazy val specs: Seq[Spec] =
-    Seq(lmPerplexitySpec, curationFunnelSpec) ++ Seq(
+    Seq(lmPerplexitySpec, curationFunnelSpec, bpePairsSpec) ++ Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
     // argmax with a fixed tie order.
@@ -1094,6 +1094,48 @@ object TextQueries {
                            ELSE 'tail' END AS tier
                FROM fin ORDER BY doc_id"""))
   }
+
+  /** Corpus-scale BPE pair counting — the tokenizer-TRAINING station
+    * (Sennrich et al. 2016): weight each distinct word by its corpus
+    * frequency, append the end-of-word marker '»', and count adjacent
+    * symbol pairs; the arg-max pair is the next BPE merge.
+    *
+    * The design hallmark (and why this scales): the corpus-sized work
+    * is ONE token count (one shuffle, map-side combined) producing the
+    * vocabulary-BOUNDED word-frequency table; pair extraction and
+    * counting then run over the vocab × word-length rows — independent
+    * of corpus size. The iterative merge loop (apply merge, recount)
+    * mutates only that tiny weighted table, which is why real BPE
+    * trainers run it driver-side after exactly this distributed first
+    * count; the gate row therefore checks the corpus-scale step, top-20
+    * pairs in (count desc, pair) order.
+    */
+  lazy val bpePairsSpec: Spec = Spec("q_bpe_pairs",
+    (s, dir) => {
+      val w = spread(s, t(s, dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      val pairs = w
+        .select(concat(col("tok"), lit("»")).as("mw"), col("wc"))
+        .select(col("mw"), col("wc"),
+          explode(sequence(lit(1), length(col("mw")) - 1)).as("i"))
+        .select(expr("substring(mw, i, 2)").as("pair"), col("wc"))
+      pairs.groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH w AS (
+               SELECT tok, COUNT(*) AS wc FROM
+                 (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+               GROUP BY tok),
+             m AS (SELECT tok || '»' AS mw, wc FROM w),
+             pr AS (SELECT substr(mw, CAST(i AS INT), 2) AS pair, wc
+                    FROM m, UNNEST(range(1, len(mw))) AS u(i)),
+             agg AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+                     FROM pr GROUP BY pair)
+             SELECT pair, n FROM agg
+             ORDER BY n DESC, pair LIMIT 20"""))
 
   /** The composed curation funnel — the C4/CCNet/Gopher pipeline order
     * run end-to-end with per-stage survivor counts: corpus → Gopher
