@@ -478,6 +478,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(archivedCount >= 1, "expected consumed csvs under the archive dir")
   }
 
+  test("watermarked stream-stream attribution join matches the batch join") {
+    // the click→purchase attribution shape: two watermarked event
+    // streams inner-joined on user within a 30-minute event-time band.
+    // The 365-day watermark delay exceeds the fixture's whole time
+    // span, so state cleanup can never drop a pending match and the
+    // streamed result must equal the batch join exactly, even with
+    // multi-file micro-batches arriving in unsorted event-time order.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ssjoin")
+    val in = dir.resolve("in").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // three files → three micro-batches
+    batch.repartition(3).write.mode("overwrite").parquet(in)
+    val evSchema = batch.schema
+
+    def attributed(df: org.apache.spark.sql.DataFrame) = {
+      val ets = timestamp_micros(expr("ts div 1000"))
+      val clicks = df.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          ets.as("cts"))
+        .withWatermark("cts", "365 days")
+      val purchases = df.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          ets.as("pts"))
+        .withWatermark("pts", "365 days")
+      clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("cu").as("user_id"), col("click_id"),
+          col("purchase_id"))
+    }
+
+    val q = attributed(spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attrib")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    val expected = attributed(spark.read.parquet(in))
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    assert(streamed.nonEmpty && streamed.length == expected.length)
+    streamed.zip(expected).foreach { case (s, e) => assert(s == e) }
+  }
+
   test("LM perplexity scoring runs per micro-batch against a static LM") {
     // the production shape for scoring a growing corpus: the unigram
     // LM is a fixed asset (trained once), each arriving micro-batch is
