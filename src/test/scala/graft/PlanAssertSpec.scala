@@ -181,7 +181,10 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_text_commonness",    // 1-row token-total crossJoin
       "q_tfidf",              // 1-row corpus-count crossJoin
       "q_jl_distortion",      // broadcast query set vs corpus (audit row)
-      "q_mix_temperature")    // 1-row scalar (T, Σw) crossJoin
+      "q_mix_temperature",    // 1-row scalar (T, Σw) crossJoin
+      "q_lm_perplexity",      // 1-row broadcast (T, V) LM-normalizer crossJoin
+      "q_dsir_weights",       // 1-row broadcast (Tt, Tr) crossJoin
+      "q_curation_funnel")    // embeds the perplexity leg's crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
