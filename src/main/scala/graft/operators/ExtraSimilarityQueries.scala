@@ -336,7 +336,11 @@ object ExtraSimilarityQueries {
           l2Distance(col("qp"), col("cp")) /
             (sqrt(lit(8.0)) * lit(1000000.0) * l2Distance(col("qv"), col("cv")))
             * 1000000).cast("long")
+        // identical vectors (distance 0) carry no distortion ratio —
+        // and real corpora HAVE identical vectors (mirrored docs; the
+        // 10× replica surfaced this as an ANSI divide-by-zero)
         c.crossJoin(broadcast(q))
+          .where(l2Distance(col("qv"), col("cv")) > 0)
           .select(col("query_id"), rPpm.as("r_ppm"))
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -371,22 +375,24 @@ object ExtraSimilarityQueries {
                FROM embeddings m JOIN pvec p ON m.vec_id = p.vec_id),
              q AS (SELECT vec_id AS query_id, v, pv FROM e WHERE vec_id < 20),
              c AS (SELECT vec_id, v, pv FROM e WHERE vec_id >= 20),
-             pairs AS (
+             pairs0 AS (
                SELECT q.query_id,
-                      CAST(floor(
-                        sqrt(list_dot_product(
-                          list_transform(list_zip(q.pv, c.pv),
-                            x -> CAST(x[1] - x[2] AS DOUBLE)),
-                          list_transform(list_zip(q.pv, c.pv),
-                            x -> CAST(x[1] - x[2] AS DOUBLE))))
-                        / ((sqrt(8.0) * 1000000.0) *
-                           sqrt(list_dot_product(
-                             list_transform(list_zip(q.v, c.v),
-                               x -> x[1] - x[2]),
-                             list_transform(list_zip(q.v, c.v),
-                               x -> x[1] - x[2]))))
+                      sqrt(list_dot_product(
+                        list_transform(list_zip(q.pv, c.pv),
+                          x -> CAST(x[1] - x[2] AS DOUBLE)),
+                        list_transform(list_zip(q.pv, c.pv),
+                          x -> CAST(x[1] - x[2] AS DOUBLE)))) AS dp,
+                      sqrt(list_dot_product(
+                        list_transform(list_zip(q.v, c.v),
+                          x -> x[1] - x[2]),
+                        list_transform(list_zip(q.v, c.v),
+                          x -> x[1] - x[2]))) AS dorig
+               FROM q, c),
+             pairs AS (
+               SELECT query_id,
+                      CAST(floor(dp / ((sqrt(8.0) * 1000000.0) * dorig)
                         * 1000000) AS BIGINT) AS r_ppm
-               FROM q, c)
+               FROM pairs0 WHERE dorig > 0)
              SELECT query_id, count(*) AS n_pairs,
                     CAST(sum(r_ppm) AS BIGINT) // count(*) AS mean_ratio_ppm,
                     count(*) FILTER (abs(r_ppm - 1000000) <= 500000)
