@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** The LLM-training-data pipeline, composed end-to-end from the
-  * operator battery: PII scrub → repetition quality filter → near-dup
-  * dedup (keep set) → leakage-aware split → sequence packing →
+  * operator battery: PII scrub → repetition quality filter → domain
+  * wholesale filter → LM-perplexity tail drop → DSIR target selection
+  * → near-dup dedup (keep set) → leakage-aware split →
+  * temperature-scaled source mixing → sequence packing →
   * sliding-window chunking. Each stage is the same code the oracle
   * gate verifies query-by-query; this main proves they compose into
   * the pipeline a user would actually run, and prints one JSON line of
@@ -63,6 +65,37 @@ object CorpusPipelineDemo {
       .select("doc_id")
     val nDomainCapped = domainCapped.count()
 
+    // 2d. domain-level WHOLESALE quality: drop every doc of a host
+    //     whose aggregate signal is below the bar (host stats are one
+    //     keyed aggregate, broadcast back — corpus rows never shuffle)
+    val domainOk = q("q_domain_quality_filter")(spark, sfDir)
+      .filter(col("kept")).select("doc_id")
+    val nDomainOk = domainOk.count()
+
+    // 2e. CCNet-style LM-perplexity filter: train the unigram LM on
+    //     the md5 half, score EVERY doc (the LM broadcasts), drop the
+    //     worst tier — model-based selection after the rule-based cuts
+    val (lmFreq, lmScal) = graft.operators.TextQueries.trainUnigramLm(docs)
+    val lmOk = graft.operators.TextQueries
+      .scoreAgainstLm(docs, lmFreq, lmScal)
+      .filter(col("tier") =!= "tail").select("doc_id")
+    val nLmOk = lmOk.count()
+
+    // 2f. DSIR importance selection toward the target domain (en):
+    //     target docs ride through; raw docs survive iff their hashed
+    //     n-gram log-ratio says they look like the target
+    val dsirOk = docs.filter(col("lang") === "en").select("doc_id")
+      .union(graft.operators.CurationQueries
+        .dsirWeights(docs, col("lang") === "en")
+        .filter(col("selected")).select("doc_id"))
+    val nDsirOk = dsirOk.count()
+
+    // audit: the crawl front door — canonical-URL dedup collapses
+    // fetch variants before any content pass (reported, not joined:
+    // the demo corpus synthesizes URL variants, so the collapse is a
+    // front-door audit rather than a semantic filter on these docs)
+    val nCanonicalUrls = q("q_url_canonical")(spark, sfDir).count()
+
     // 3. dedup keep set (MinHash → verify → clusters → canonical)
     val keepIds = q("q_dedup_corpus")(spark, sfDir).select("doc_id")
 
@@ -74,6 +107,9 @@ object CorpusPipelineDemo {
       .join(qualityIds, Seq("doc_id"))
       .join(canonKeep, Seq("doc_id"))
       .join(domainCapped, Seq("doc_id"))
+      .join(domainOk, Seq("doc_id"))
+      .join(lmOk, Seq("doc_id"))
+      .join(dsirOk, Seq("doc_id"))
       .join(keepIds, Seq("doc_id"))
       .join(splits, Seq("doc_id"))
     val nSurviving = surviving.count()
@@ -89,10 +125,31 @@ object CorpusPipelineDemo {
     val nArrivalsKept = graft.operators.DedupQueries
       .incrementalKeep(arrivals, corpusSide).count()
 
-    // 5. pack the surviving training docs into ~512-token sequences
+    // 4c. temperature-scaled mixing (τ = 0.5) of the TRAIN split:
+    //     weights derive from the survivors' own per-lang token mass
+    //     (w ∝ sqrt(toks), budget T/2) — the multilingual upsampling
+    //     rule applied where it belongs, on what is about to be packed
+    val train = surviving.filter(col("split") === "train")
+    val tok = size(split(col("text"), " ")).cast("long")
+    val mixCounts = train.groupBy(col("lang"))
+      .agg(sum(tok).as("toks_lang"))
+      .withColumn("w",
+        floor(sqrt(col("toks_lang").cast("double")) * 1000).cast("long"))
+    val mixScal = mixCounts.agg(sum(col("toks_lang")).as("T"),
+      sum(col("w")).as("sw"))
+    val mixBucket = conv(substring(md5(concat(lit("mixt|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val trainMixed = train
+      .join(broadcast(mixCounts), "lang")
+      .crossJoin(broadcast(mixScal))
+      .filter(mixBucket * col("sw") * col("toks_lang") * 2L <
+        col("T") * col("w") * 1000000L)
+      .select(train.columns.map(col): _*)
+    val nTrainMixed = trainMixed.count()
+
+    // 5. pack the mixed training docs into ~512-token sequences
     val packs = graft.operators.TextQueries
-      .packSequences(surviving.filter(col("split") === "train"),
-        graft.operators.TextQueries.PackShardWidth)
+      .packSequences(trainMixed, graft.operators.TextQueries.PackShardWidth)
     val nPacks = packs.select(col("lang"), col("pack_id")).distinct().count()
 
     // 6. chunk every surviving doc for the retrieval index
@@ -103,7 +160,7 @@ object CorpusPipelineDemo {
     //    small files), then compact to ~1 MiB outputs — the
     //    operational final step of every incremental corpus
     val out = java.nio.file.Files.createTempDirectory("corpus_out")
-    surviving.filter(col("split") === "train")
+    trainMixed
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/train_raw")
     val nFiles = graft.operators.ScaleOps.compactFiles(spark,
@@ -111,10 +168,14 @@ object CorpusPipelineDemo {
 
     s"""{"n_docs":$nDocs,"n_redactions":$nRedactions,""" +
       s""""after_canonical":$nCanon,"after_domain_cap":$nDomainCapped,""" +
-      s""""after_quality":$nQuality,"after_dedup_and_split":$nSurviving,""" +
+      s""""after_quality":$nQuality,"after_domain_quality":$nDomainOk,""" +
+      s""""after_lm_ppl":$nLmOk,"after_dsir":$nDsirOk,""" +
+      s""""canonical_urls":$nCanonicalUrls,""" +
+      s""""after_dedup_and_split":$nSurviving,""" +
       s""""train":${perSplit.getOrElse("train", 0L)},""" +
       s""""val":${perSplit.getOrElse("val", 0L)},""" +
       s""""test":${perSplit.getOrElse("test", 0L)},""" +
+      s""""train_mixed":$nTrainMixed,""" +
       s""""arrivals_kept":$nArrivalsKept,""" +
       s""""train_packs":$nPacks,"chunks":$nChunks,""" +
       s""""train_files":$nFiles}"""

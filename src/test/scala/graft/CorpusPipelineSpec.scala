@@ -15,9 +15,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
     assert(kv("n_docs") > 0)
     assert(kv("after_quality") <= kv("n_docs"))
+    // each selection station is a subset of the corpus, and the
+    // intersection funnel can only shrink further
+    assert(kv("after_domain_quality") <= kv("n_docs"))
+    assert(kv("after_lm_ppl") <= kv("n_docs"))
+    assert(kv("after_dsir") <= kv("n_docs"))
+    assert(kv("canonical_urls") > 0 && kv("canonical_urls") <= kv("n_docs"))
     assert(kv("after_dedup_and_split") <= kv("after_quality"))
+    assert(kv("after_dedup_and_split") <= kv("after_domain_quality"))
+    assert(kv("after_dedup_and_split") <= kv("after_lm_ppl"))
+    assert(kv("after_dedup_and_split") <= kv("after_dsir"))
     assert(kv("train") + kv("val") + kv("test") == kv("after_dedup_and_split"))
-    assert(kv("train") > 0 && kv("train_packs") > 0)
+    // the temperature mixer resamples WITHIN the train split
+    assert(kv("train_mixed") <= kv("train"))
+    assert(kv("train_mixed") > 0 && kv("train_packs") > 0)
     // every surviving doc yields at least one retrieval chunk
     assert(kv("chunks") >= kv("after_dedup_and_split"))
   }
