@@ -112,6 +112,174 @@ object VectorQueries {
                     UNNEST(generate_series(0, 7)) AS tt(j))
              SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS p
              FROM long JOIN signs USING (dim0)
-             GROUP BY vec_id, j ORDER BY vec_id, j"""))
+             GROUP BY vec_id, j ORDER BY vec_id, j""")),
+
+    // Product quantization (PQ) — the compression half of the
+    // canonical IVF-PQ stack (Jégou et al. 2011): split each 64-dim
+    // vector into M=8 contiguous 8-dim subvectors and replace each
+    // subvector with the id of its nearest sub-centroid, turning a
+    // 256-byte float vector into an M-byte code. Codebook = fixed
+    // deterministic init (the subvectors of the first 16 corpus
+    // vectors — the same init convention the IVF trainer refines).
+    // The arg-min is a PARTIAL AGGREGATE (min over a (dist, code)
+    // struct — lexicographic, ties on code), not a window: per-vector
+    // state never leaves the mapper. 100 TB: the codebook is M×Ks
+    // subvectors (KBs, broadcast); assignment is one map-side pass +
+    // one (vec_id, m)-keyed agg whose output is M small ints per
+    // vector — the corpus floats are read once and never shuffle.
+    Spec("q_vector_pq",
+      (s, dir) => {
+        val sub = t(s, dir, "embeddings").select(col("vec_id"), expr(
+          """inline(transform(sequence(0, 7), mi -> named_struct(
+               'm', CAST(mi AS BIGINT),
+               'sv', slice(CAST(embedding AS ARRAY<DOUBLE>), mi*8+1, 8))))"""))
+        val cb = sub.filter(col("vec_id") < 16)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        val d = graft.functions.VectorFunctions.dot _
+        sub.join(broadcast(cb), col("m") === col("cb_m"))
+          .withColumn("__d",
+            d(col("sv"), col("sv")) - lit(2) * d(col("sv"), col("cv"))
+              + d(col("cv"), col("cv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("__d").as("d"), col("code").as("c"))).as("mn"))
+          .select(col("vec_id"), col("m"), col("mn.c").as("code"))
+          .orderBy(col("vec_id"), col("m"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                    WHERE vec_id < 16),
+             d AS (SELECT s.vec_id, s.m, cb.code,
+                          list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, cb.cv)
+                            + list_dot_product(cb.cv, cb.cv) AS dist
+                   FROM sub s JOIN cb ON s.m = cb.m),
+             r AS (SELECT vec_id, m, code, row_number() OVER (
+                     PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+                   FROM d)
+             SELECT vec_id, m, code FROM r WHERE rn = 1
+             ORDER BY vec_id, m""")),
+
+    // PQ asymmetric-distance (ADC) recall audit: score every corpus
+    // vector from its M-byte code against each query's precomputed
+    // lookup table (per-query: M×Ks partial squared distances), then
+    // compare the ADC top-k with the exact-L2 top-k — the metric that
+    // prices the compression. Per-subspace distances are floor-scaled
+    // to integer micros BEFORE the per-(query, vector) sum, so the sum
+    // is order-free and bit-exact cross-engine (a double sum would
+    // depend on Spark's partial-aggregation order). 100 TB: the LUT is
+    // queries × M × Ks rows (broadcast); the corpus side joins it
+    // map-side by (m, code) and the only shuffle is the
+    // (query, vector)-keyed integer sum; both top-k legs ride the
+    // native TopKPerKey. In the full stack this composes with
+    // q_ann_ivf's cell routing so each query scores only its probed
+    // cells, not the whole corpus.
+    Spec("q_ann_pq_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        def subs(df: org.apache.spark.sql.DataFrame, idAs: String) =
+          df.select(col("vec_id").as(idAs), expr(
+            """inline(transform(sequence(0, 7), mi -> named_struct(
+                 'm', CAST(mi AS BIGINT),
+                 'sv', slice(CAST(embedding AS ARRAY<DOUBLE>), mi*8+1, 8))))"""))
+        val d = graft.functions.VectorFunctions.dot _
+        def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          d(a, a) - lit(2) * d(a, b) + d(b, b)
+        val corpusSub = subs(e.filter(col("vec_id") >= 20), "vec_id")
+        val cb = corpusSub.filter(col("vec_id") < 36)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        val codes = corpusSub
+          .join(broadcast(cb), col("m") === col("cb_m"))
+          .withColumn("__d", sqd(col("sv"), col("cv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("__d").as("d"), col("code").as("c"))).as("mn"))
+          .select(col("vec_id"), col("m"), col("mn.c").as("code"))
+        val lut = subs(e.filter(col("vec_id") < 20), "query_id")
+          .join(broadcast(cb), col("m") === col("cb_m"))
+          .select(col("query_id"), col("m"), col("code"),
+            floor(sqd(col("sv"), col("cv")) * 1000000).cast("long").as("pd"))
+        val adc = codes.join(broadcast(lut), Seq("m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+        val pqTop = ScaleOps.topKPerKey(adc,
+            Seq(col("query_id")), Seq(col("adc"), col("vec_id")), 5)
+          .select(col("query_id").as("query_id_p"), col("vec_id").as("vec_id_p"))
+        val qraw = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+        val brute = ScaleOps.topKPerKey(
+            craw.crossJoin(broadcast(qraw))
+              .select(col("query_id"), col("vec_id"),
+                sqd(col("qv"), col("cv")).as("d2")),
+            Seq(col("query_id")), Seq(col("d2"), col("vec_id")), 5)
+          .select(col("query_id"), col("vec_id"))
+        brute.join(pqTop,
+            col("query_id") === col("query_id_p") &&
+              col("vec_id") === col("vec_id_p"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_p")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                    WHERE vec_id >= 20 AND vec_id < 36),
+             codes AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv), cb.code) AS rn
+                 FROM sub s JOIN cb ON s.m = cb.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             lut AS (
+               SELECT s.vec_id AS query_id, s.m, cb.code,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                        AS BIGINT) AS pd
+               FROM sub s JOIN cb ON s.m = cb.m
+               WHERE s.vec_id < 20),
+             adc AS (
+               SELECT l.query_id, c.vec_id, sum(l.pd) AS adc
+               FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+               GROUP BY l.query_id, c.vec_id),
+             pq AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+                 FROM adc) y WHERE rn <= 5),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER (
+                     PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(c.v, c.v)
+                         - 2 * list_dot_product(q.v, c.v)
+                         + list_dot_product(q.v, q.v), c.vec_id) AS rn
+                 FROM e q CROSS JOIN e c
+                 WHERE q.vec_id < 20 AND c.vec_id >= 20) z WHERE rn <= 5)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(p.vec_id) AS n_recovered,
+                    round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 4)
+                      AS recall
+             FROM brute b LEFT JOIN pq p
+               ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id"""))
   )
 }
