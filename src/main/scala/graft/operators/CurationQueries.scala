@@ -155,6 +155,77 @@ object CurationQueries {
   def urlHost(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract(u, "^https://([^/]+)", 1)
 
+  /** BM25 (Robertson k1 = 1.2, b = 0.75) scores for [[SearchTerms]]:
+    * ONE aggregation pass over the exploded corpus builds per-doc
+    * length AND each term's tf as pivoted columns of the same groupBy,
+    * so the three consumers (lengths, corpus stats, term frequencies)
+    * hang off one reused exchange; the corpus stats fold into a 1-row
+    * broadcast and the final score is a map-side expression. Summation
+    * order across the ≤2 terms is fixed (term-list order) but
+    * 2-addend FP addition is commutative, so the oracle's arbitrary
+    * per-group order cannot diverge. Shared by `q_bm25` (full scored
+    * list) and `q_rrf_fusion` (sparse leg of the hybrid fusion). */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = t(s, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        SearchTerms.map(tm =>
+          sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf_$tm")): _*)
+    val statAggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("total_dl") +:
+      SearchTerms.map(tm =>
+        sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    def termScore(tm: String) = {
+      val tf = col(s"tf_$tm")
+      val idf = log((col("n_docs") - col(s"df_$tm") + lit(0.5))
+        / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
+      when(tf > 0, idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(SearchTerms.map(termScore).reduce(_ + _) * 10000)
+          .cast("long").as("score_e4"),
+        SearchTerms.map(tm =>
+          when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).reduce(_ + _)
+          .as("n_terms"))
+      .filter(col("n_terms") > 0)
+  }
+
+  /** DuckDB replay of [[bm25Scores]] — a complete SELECT (no trailing
+    * ORDER BY) so it drops into a WITH-clause as-is. */
+  private val Bm25Sql: String =
+    s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN (${SearchTerms.map("'" + _ + "'").mkString(", ")})
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT tf.doc_id,
+             CAST(floor(sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                     + 0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+               ) * 10000) AS BIGINT) AS score_e4,
+             count(*) AS n_terms
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id"""
+
   val specs: Seq[Spec] = Seq(
 
     // The co-located join as a GATE row: both fact sides persisted
@@ -356,79 +427,70 @@ object CurationQueries {
     // arithmetic exactly. At corpus scale this is the classic
     // sparse-retrieval scorer next to the ANN dense path (q_ann_*).
     Spec("q_bm25",
+      (s, dir) => bm25Scores(s, dir).orderBy(col("doc_id")),
+      Some(s"$Bm25Sql ORDER BY tf.doc_id")),
+
+    // Reciprocal-rank fusion (k = 60, the published constant) — the
+    // standard hybrid-retrieval combiner: take the sparse (BM25) and
+    // dense (embedding-cosine) top-50 lists for the same query and
+    // score each doc by Σ 1/(60 + rank), summing only the lists the
+    // doc appears on. Both input lists arrive ALREADY BOUNDED (each
+    // leg is an orderBy+limit → TakeOrdered, no global sort), so the
+    // rank window runs over ≤50 rows by construction — at corpus
+    // scale the lists come straight from the retrieval operators
+    // (q_bm25 / q_ann_*) and fusion cost is O(k), independent of
+    // corpus size. The fused score is floor-scaled from exactly two
+    // addends (two-term FP addition is order-free), so the hash is
+    // engine-stable.
+    Spec("q_rrf_fusion",
       (s, dir) => {
-        val k1 = 1.2
-        val b = 0.75
-        val docs = t(s, dir, "documents")
-        // ONE aggregation pass over the exploded corpus: per-doc length
-        // AND each search term's tf as pivoted columns of the same
-        // groupBy. The three consumers below (per-doc lengths, corpus
-        // stats, term frequencies) then all hang off this one subtree,
-        // so the corpus-sized exchange is planned once and REUSED
-        // (AQE stage reuse) instead of the previous three independent
-        // aggregation pipelines over the token explosion — at 100 TB
-        // the explode+shuffle over every token is the entire cost, and
-        // this does it exactly once.
-        val perDoc = docs
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("term"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("dl"),
-            SearchTerms.map(tm =>
-              sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf_$tm")): _*)
-        // the corpus stats (doc count, total length, per-term document
-        // frequency) all fold into ONE 1-row aggregate of perDoc,
-        // broadcast back against it — no unpivot, no per-term join, no
-        // second wide shuffle; the per-doc score is then a pure
-        // column-wise map. Summation order across the ≤2 terms is
-        // fixed (term-list order) but 2-addend FP addition is
-        // commutative, so the oracle's arbitrary per-group order
-        // cannot diverge.
-        val statAggs = count(lit(1)).as("n_docs") +:
-          sum(col("dl")).as("total_dl") +:
-          SearchTerms.map(tm =>
-            sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
-        val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-        val avgdl = col("total_dl").cast("double") / col("n_docs")
-        def termScore(tm: String) = {
-          val tf = col(s"tf_$tm")
-          val idf = log((col("n_docs") - col(s"df_$tm") + lit(0.5))
-            / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
-          when(tf > 0, idf * (tf * (k1 + 1)) /
-            (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
-            .otherwise(lit(0.0))
-        }
-        perDoc.crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            floor(SearchTerms.map(termScore).reduce(_ + _) * 10000)
-              .cast("long").as("score_e4"),
-            SearchTerms.map(tm =>
-              when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).reduce(_ + _)
-              .as("n_terms"))
-          .filter(col("n_terms") > 0)
-          .orderBy(col("doc_id"))
+        import org.apache.spark.sql.expressions.Window
+        val sw = Window.orderBy(col("score_e4").desc, col("doc_id"))
+        val sparse = bm25Scores(s, dir)
+          .orderBy(col("score_e4").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(sw).cast("long").as("r_s"))
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val dw = Window.orderBy(col("cos").desc, col("doc_id"))
+        val dense = e.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.VectorFunctions.cosine(col("embedding"), col("qv"))
+              .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(dw).cast("long").as("r_d"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_s"), col("r_d"),
+            floor((coalesce(lit(1.0) / (lit(60.0) + col("r_s")), lit(0.0)) +
+                   coalesce(lit(1.0) / (lit(60.0) + col("r_d")), lit(0.0)))
+              * 1000000).cast("long").as("rrf_e6"))
+          .orderBy(col("rrf_e6").desc, col("doc_id")).limit(10)
       },
-      Some(s"""WITH toks AS (
-                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-                FROM documents),
-              dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-              stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
-              tf AS (
-                SELECT doc_id, term, count(*) AS tf FROM toks
-                WHERE term IN (${SearchTerms.map("'" + _ + "'").mkString(", ")})
-                GROUP BY doc_id, term),
-              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-              SELECT tf.doc_id,
-                     CAST(floor(sum(
-                       ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                         * (tf.tf * (1.2 + 1))
-                         / (tf.tf + 1.2 * (1.0 - 0.75
-                             + 0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
-                       ) * 10000) AS BIGINT) AS score_e4,
-                     count(*) AS n_terms
-              FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-              CROSS JOIN stats s
-              GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+      Some(s"""WITH bm AS ($Bm25Sql),
+              sparse AS (
+                SELECT doc_id, r_s FROM (
+                  SELECT doc_id, row_number() OVER (
+                    ORDER BY score_e4 DESC, doc_id) AS r_s FROM bm) x
+                WHERE r_s <= 50),
+              e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+              qv AS (SELECT v AS q FROM e2 WHERE vec_id = 0),
+              dns AS (SELECT vec_id AS doc_id,
+                             list_dot_product(v, q)
+                               / (sqrt(list_dot_product(v, v))
+                                  * sqrt(list_dot_product(q, q))) AS cos
+                      FROM e2 CROSS JOIN qv),
+              dense AS (
+                SELECT doc_id, r_d FROM (
+                  SELECT doc_id, row_number() OVER (
+                    ORDER BY cos DESC, doc_id) AS r_d FROM dns) y
+                WHERE r_d <= 50)
+              SELECT doc_id, r_s, r_d,
+                     CAST(floor((coalesce(1.0 / (60 + r_s), 0)
+                                 + coalesce(1.0 / (60 + r_d), 0)) * 1000000)
+                       AS BIGINT) AS rrf_e6
+              FROM sparse FULL OUTER JOIN dense USING (doc_id)
+              ORDER BY rrf_e6 DESC, doc_id LIMIT 10""")),
 
     // X-family percentile-threshold filtering ("keep the top 30 % by
     // quality"): the exact quantile leg exists for the gate — both

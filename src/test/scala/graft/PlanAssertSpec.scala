@@ -179,6 +179,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_heavy_hitters",      // 1-row broadcast sketch crossJoin
       "q_quality_threshold",  // 1-row broadcast percentile crossJoin
       "q_bm25",               // 1-row broadcast corpus-stats crossJoin
+      "q_rrf_fusion",         // bm25 stats + 1-row query-vector crossJoins
       "q_text_commonness",    // 1-row token-total crossJoin
       "q_tfidf",              // 1-row corpus-count crossJoin
       "q_jl_distortion",      // broadcast query set vs corpus (audit row)
