@@ -26,7 +26,8 @@ object SparkEntry {
       VectorQueries.specs ++
       CurationQueries.specs ++
       WarehouseQueries.specs ++
-      GraphQueries.specs
+      GraphQueries.specs ++
+      AnalyticsQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

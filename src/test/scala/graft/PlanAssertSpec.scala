@@ -186,7 +186,9 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_mix_temperature",    // 1-row scalar (T, Σw) crossJoin
       "q_lm_perplexity",      // 1-row broadcast (T, V) LM-normalizer crossJoin
       "q_dsir_weights",       // 1-row broadcast (Tt, Tr) crossJoin
-      "q_curation_funnel")    // embeds the perplexity leg's crossJoin
+      "q_curation_funnel",    // embeds the perplexity leg's crossJoin
+      "q_chi_square",         // class-margin (|langs| rows) broadcast × vocab grid
+      "q_rolling_distinct")   // 1-row broadcast max-day crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
