@@ -228,6 +228,44 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally merged sketch must equal the one-shot batch sketch")
   }
 
+  test("hll sketches maintained across micro-batches estimate identically to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("hllstream")
+    val in = dir.resolve("in").toString
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"))
+    ev.repartition(4).write.mode("overwrite").parquet(in) // 4 micro-batches
+
+    // q_hll_union's maintenance story end-to-end: each micro-batch
+    // builds its own HLL binary; the union of the per-batch sketches
+    // must carry the same registers as the one-shot batch sketch
+    // (register-max is associative), so the estimates match EXACTLY,
+    // independent of batch boundaries and arrival order
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        perBatch += batch.selectExpr("hll_sketch_agg(user_id) AS sk")
+          .collect().head.getAs[Array[Byte]](0)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.size > 1, "expected multiple micro-batches")
+
+    import spark.implicits._
+    val mergedEst = perBatch.toSeq.toDF("sk")
+      .selectExpr("hll_sketch_estimate(hll_union_agg(sk)) AS est")
+      .as[Long].head()
+    val batchEst = ev
+      .selectExpr("hll_sketch_estimate(hll_sketch_agg(user_id)) AS est")
+      .as[Long].head()
+    assert(mergedEst == batchEst,
+      s"merged micro-batch estimate $mergedEst != batch estimate $batchEst")
+  }
+
   test("the canonical-digest transform runs unchanged as a structured stream") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("canonstream")
