@@ -445,6 +445,120 @@ object ExtraSimilarityQueries {
                FROM scored)
              SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
                     round(tfidf, 4) AS tfidf
-             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Maximal-marginal-relevance diversified top-k (Carbonell &
+    // Goldstein 1998) — the retrieval-side answer to near-duplicate
+    // result lists: after the corpus-scale relevance pass prunes to a
+    // BOUNDED candidate set per query (native TopKPerKey, ≤8 rows),
+    // K−1 greedy rounds re-rank by λ·rel − (1−λ)·max sim-to-selected.
+    // All scoring is integer (floor(cos·10⁴) longs, λ = 0.7 as 7/3
+    // integer weights), ties broken on vec_id, so the greedy chain is
+    // engine-replayable — the oracle unrolls all three selection
+    // rounds as CTEs. Scale: the greedy rounds touch only the
+    // candidate table (queries × 8 rows); corpus cost is exactly the
+    // one brute/ANN relevance leg, whatever index supplies it.
+    Spec("q_mmr_diversify",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qraw = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding").as("cv"))
+        val cand = ScaleOps.topKPerKey(
+          craw.crossJoin(broadcast(qraw))
+            .select(col("query_id"), col("vec_id"), col("cv"),
+              floor(cosine(col("qv"), col("cv")) * 10000).cast("long")
+                .as("rel")),
+          Seq(col("query_id")), Seq(col("rel").desc, col("vec_id")), 8)
+        val wPick = Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr_scaled").desc, col("vec_id"))
+        var selected = cand
+          .withColumn("mmr_scaled", col("rel") * 7)
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(1L).as("rank"), col("vec_id"),
+            col("cv"), col("mmr_scaled"))
+        var remaining = cand.join(
+          selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        for (r <- 2 to 3) {
+          val sims = remaining
+            .join(selected.select(col("query_id"), col("cv").as("sv")),
+              "query_id")
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(max(floor(cosine(col("cv"), col("sv")) * 10000)
+              .cast("long")).as("maxsim"))
+          val pick = remaining.join(sims, Seq("query_id", "vec_id"))
+            .withColumn("mmr_scaled",
+              col("rel") * 7 - col("maxsim") * 3)
+            .withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), lit(r.toLong).as("rank"),
+              col("vec_id"), col("cv"), col("mmr_scaled"))
+          selected = selected.unionByName(pick)
+          remaining = remaining.join(
+            pick.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_anti")
+        }
+        selected
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            col("mmr_scaled"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                   WHERE vec_id >= 8 AND vec_id < 13),
+             c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 20),
+             sc AS (SELECT query_id, vec_id, cv,
+                      CAST(floor(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv)))
+                        * 10000) AS BIGINT) AS rel
+                    FROM q CROSS JOIN c),
+             cand AS (SELECT query_id, vec_id, cv, rel FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, vec_id) AS rn FROM sc) x
+                      WHERE rn <= 8),
+             s1 AS (SELECT query_id, vec_id, cv, rel,
+                           7 * rel AS mmr_scaled FROM (
+                      SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, vec_id) AS rn FROM cand) x
+                    WHERE rn = 1),
+             m2 AS (SELECT cand.query_id, cand.vec_id, cand.cv, cand.rel,
+                           7 * cand.rel - 3 * CAST(floor(
+                             list_dot_product(cand.cv, s1.cv)
+                             / (sqrt(list_dot_product(cand.cv, cand.cv))
+                                * sqrt(list_dot_product(s1.cv, s1.cv)))
+                             * 10000) AS BIGINT) AS mmr_scaled
+                    FROM cand JOIN s1 ON cand.query_id = s1.query_id
+                      AND cand.vec_id <> s1.vec_id),
+             s2 AS (SELECT query_id, vec_id, cv, rel, mmr_scaled FROM (
+                      SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr_scaled DESC, vec_id) AS rn FROM m2) x
+                    WHERE rn = 1),
+             sel12 AS (SELECT query_id, vec_id, cv FROM s1
+                       UNION ALL SELECT query_id, vec_id, cv FROM s2),
+             m3 AS (SELECT cand.query_id, cand.vec_id, cand.rel,
+                           max(CAST(floor(list_dot_product(cand.cv, s.cv)
+                             / (sqrt(list_dot_product(cand.cv, cand.cv))
+                                * sqrt(list_dot_product(s.cv, s.cv)))
+                             * 10000) AS BIGINT)) AS maxsim
+                    FROM cand JOIN sel12 s ON cand.query_id = s.query_id
+                    WHERE NOT EXISTS (SELECT 1 FROM sel12 z
+                      WHERE z.query_id = cand.query_id
+                        AND z.vec_id = cand.vec_id)
+                    GROUP BY cand.query_id, cand.vec_id, cand.rel),
+             s3 AS (SELECT query_id, vec_id,
+                           7 * rel - 3 * maxsim AS mmr_scaled FROM (
+                      SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY 7 * rel - 3 * maxsim DESC, vec_id) AS rn
+                      FROM m3) x WHERE rn = 1)
+             SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, mmr_scaled
+             FROM s1
+             UNION ALL SELECT query_id, 2, vec_id, mmr_scaled FROM s2
+             UNION ALL SELECT query_id, 3, vec_id, mmr_scaled FROM s3
+             ORDER BY query_id, rank"""))
   )
 }

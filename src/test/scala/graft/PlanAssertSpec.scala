@@ -188,6 +188,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_dsir_weights",       // 1-row broadcast (Tt, Tr) crossJoin
       "q_curation_funnel",    // embeds the perplexity leg's crossJoin
       "q_chi_square",         // class-margin (|langs| rows) broadcast × vocab grid
+      "q_mmr_diversify",      // broadcast query set vs corpus (relevance leg)
       "q_rolling_distinct")   // 1-row broadcast max-day crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
