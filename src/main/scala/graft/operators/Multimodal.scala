@@ -52,6 +52,39 @@ object Multimodal {
         sampleRateHz = 16000)
     }
 
+    /** Average-hash (aHash) perceptual fingerprint over the payload:
+      * 64 evenly-spaced byte samples (position `i·len div 64`), bit i
+      * set iff sample i exceeds the integer-floor mean of the 64
+      * samples. Packed as two unsigned 32-bit halves in Longs so SQL
+      * engines can replay XOR/bit_count without sign traps. On a real
+      * deployment the samples are the 8×8 downscaled grayscale pixels
+      * (the classic aHash); the sampling/threshold/packing mechanics —
+      * the part that matters for the dedup join — are identical. */
+    def aHash64(payload: Array[Byte]): (Long, Long) = {
+      val len = payload.length
+      require(len > 0, "aHash64 needs a non-empty payload")
+      val samples = new Array[Int](64)
+      var i = 0
+      var sum = 0L
+      while (i < 64) {
+        samples(i) = payload((i * len) / 64) & 0xff
+        sum += samples(i)
+        i += 1
+      }
+      val mean = sum / 64
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (samples(i) > mean) {
+          if (i < 32) hi |= 1L << (31 - i)
+          else lo |= 1L << (63 - i)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+
     /** STUB: fixed-length feature vector from payload bytes (stands in
       * for a real embedding model / mel-spectrogram). */
     def features(payload: Array[Byte], dim: Int = 8): Array[Double] = {

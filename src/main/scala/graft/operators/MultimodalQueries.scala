@@ -110,6 +110,75 @@ object MultimodalQueries {
       Some("""SELECT doc_id,
                     array_to_string(list_transform(generate_series(0, 3),
                       i -> upper(hex(substr(text, i * 64 + 1, 16)))), '|') AS frames
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // Perceptual-hash (aHash) image dedup: the multimodal counterpart
+    // of the text near-dup tier. Hashes are computed through the REAL
+    // pipeline shape — binary payloads through the per-partition codec
+    // context ([[Multimodal.MediaCodec.aHash64]]: 64 evenly-spaced
+    // byte samples, mean threshold, two unsigned-32-bit halves) — then
+    // dedup is a prefix-bucket equi-join on the top half plus a
+    // bit_count(XOR) Hamming verify on the bottom half, exactly the
+    // q_dedup_simhash_pairs join geometry: candidate volume scales
+    // with bucket occupancy, never |corpus|². The corpus has no
+    // natural byte-identical media, so the query synthesizes one
+    // variant per 50th doc with the LAST byte replaced — provably
+    // never sampled when len > 64 (max sample index (63·len) div 64 <
+    // len−1) — i.e., perceptually identical twins with different md5,
+    // the exact case content-hash dedup misses and pHash exists for.
+    Spec("q_mm_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+          .filter(octet_length(col("text")) > 0)
+          .select(col("doc_id"), col("text"))
+        val variants = base
+          .filter(col("doc_id") % 50 === 0 && octet_length(col("text")) > 64)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(expr("substring(text, 1, octet_length(text) - 1)"),
+              lit("~")).as("text"))
+        val media = Multimodal.asMediaTable(
+          base.unionByName(variants), "doc_id", "text")
+        val hashes = media.mapPartitions { it =>
+          it.map { r =>
+            val (hi, lo) = Multimodal.MediaCodec.aHash64(r.payload)
+            (r.id, hi, lo)
+          }
+        }.toDF("doc_id", "hi", "lo")
+        val a = hashes
+          .select(col("doc_id").as("doc_a"), col("hi"), col("lo").as("lo_a"))
+        val b = hashes.select(col("doc_id").as("doc_b"),
+          col("hi").as("hi_b"), col("lo").as("lo_b"))
+        a.join(b, col("hi") === col("hi_b") && col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("bit_count(lo_a ^ lo_b)").cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH u AS (
+               SELECT doc_id, text FROM documents WHERE strlen(text) > 0
+               UNION ALL
+               SELECT doc_id + 1000000, substr(text, 1, strlen(text) - 1) || '~'
+               FROM documents WHERE doc_id % 50 = 0 AND strlen(text) > 64),
+             d AS (SELECT doc_id, text, strlen(text) AS len FROM u),
+             s AS (SELECT doc_id, i,
+                          ord(substr(text,
+                            CAST((i * len) // 64 AS INTEGER) + 1, 1)) AS smp
+                   FROM d, (SELECT unnest(generate_series(0, 63)) AS i)),
+             m AS (SELECT doc_id, CAST(sum(smp) // 64 AS BIGINT) AS mean
+                   FROM s GROUP BY doc_id),
+             h AS (SELECT s.doc_id,
+                          CAST(sum(CASE WHEN smp > mean AND i < 32
+                            THEN (CAST(1 AS BIGINT) << (31 - i))
+                            ELSE 0 END) AS BIGINT) AS hi,
+                          CAST(sum(CASE WHEN smp > mean AND i >= 32
+                            THEN (CAST(1 AS BIGINT) << (63 - i))
+                            ELSE 0 END) AS BIGINT) AS lo
+                   FROM s JOIN m USING (doc_id) GROUP BY s.doc_id)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.lo, b.lo)) <= 6
+             ORDER BY doc_a, doc_b"""))
   )
 }

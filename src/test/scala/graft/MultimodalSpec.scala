@@ -50,6 +50,22 @@ class MultimodalSpec extends AnyFunSuite {
       s"$nonAscii docs contain non-ASCII text — the byte-fold oracle breaks")
   }
 
+  test("aHash64: last-byte edits are invisible above 64 bytes; halves stay unsigned-32-bit") {
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(200)((rnd.nextInt(94) + 32).toByte)
+    val (hi, lo) = Multimodal.MediaCodec.aHash64(payload)
+    // packed halves are unsigned 32-bit values — no sign traps in SQL XOR
+    assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    // max sample index (63*len) div 64 < len-1 for len > 64, so a
+    // last-byte edit can never reach a sample: perceptually identical
+    val edited = payload.clone(); edited(199) = '~'.toByte
+    assert(Multimodal.MediaCodec.aHash64(edited) == ((hi, lo)))
+    // a mid-payload burst IS visible (some sampled position changes)
+    val burst = payload.clone()
+    (90 until 110).foreach(i => burst(i) = 0x7e.toByte)
+    assert(Multimodal.MediaCodec.aHash64(burst) != ((hi, lo)))
+  }
+
   test("sampleFrames: positional slices, stride/frameLen honored") {
     val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
       maxFrames = 3).orderBy("id").collect()
