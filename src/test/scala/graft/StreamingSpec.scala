@@ -228,6 +228,60 @@ class StreamingSpec extends AnyFunSuite {
       "incrementally merged sketch must equal the one-shot batch sketch")
   }
 
+  test("stateful streaming funnel equals the batch staged-minima funnel") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulFunnel
+    import StatefulFunnel.{Ev, FunnelRow}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("funnelstream")
+    val in = dir.resolve("in").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+      .orderBy("ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // four sequential event-time slices — the in-order log-shipping
+    // shape the parity contract assumes (within a batch the transition
+    // sorts, so intra-file order is irrelevant)
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).foreach { rows =>
+      rows.toSeq.toDF("user_id", "ts_us", "event_type").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+
+    val schema = spark.read.parquet(in).schema
+    val q = StatefulFunnel.funnel(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in).as[Ev])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // update mode emits one row per touched user per batch: the LAST
+    // row per user is the final frontier (monotone fills)
+    val got = spark.table("funnel_stream").as[FunnelRow].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.reached) }
+    val batch = SparkEntry.queries("q_event_funnel")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map { r =>
+        def g(c: String): Long =
+          Option(r.getAs[Any](c)).map(_.asInstanceOf[Long]).getOrElse(-1L)
+        r.getAs[Long]("user_id") ->
+          (g("t_signup"), g("t_view"), g("t_click"), g("t_purchase"),
+            r.getAs[Long]("reached"))
+      }.toMap
+    assert(got.keySet == batch.keySet,
+      s"user sets differ: ${got.keySet.diff(batch.keySet)} / ${batch.keySet.diff(got.keySet)}")
+    got.foreach { case (u, fr) =>
+      assert((fr.t_signup, fr.t_view, fr.t_click, fr.t_purchase, fr.reached)
+        == batch(u), s"user $u: stream $fr vs batch ${batch(u)}")
+    }
+  }
+
   test("hll sketches maintained across micro-batches estimate identically to the batch sketch") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("hllstream")
