@@ -158,6 +158,36 @@ class PlanAssertSpec extends AnyFunSuite {
       s"text crosses the shuffle:\n$p")
   }
 
+  test("q_event_funnel rides one user_id partitioning: every hash exchange is keyed on it") {
+    val p = plan("q_event_funnel")
+    // the staged-minima chain claims a single reusable partitioning —
+    // any hashpartitioning exchange that is NOT on user_id would mean a
+    // stage re-keyed the stream (at small SF AQE broadcasts the 1-row-
+    // per-user stage tables instead, which is strictly better)
+    val badKeys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning("))
+      .filterNot(_.contains("user_id"))
+      .toList
+    assert(badKeys.isEmpty, s"non-user_id hash exchange:\n${badKeys.mkString("\n")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stage chain fell to sort-merge:\n$p")
+  }
+
+  test("q_mm_phash_dedup shuffles hash halves, never payload bytes") {
+    val p = plan("q_mm_phash_dedup")
+    // after the codec pass the bucket join is keyed on the top hash
+    // half and moves only (doc_id, hi, lo) longs — at gate SF the hash
+    // table broadcasts (BuildRight on hi), at scale it hash-shuffles;
+    // either way no text/payload column may reach a join or exchange
+    val joinish = p.linesIterator
+      .filter(l => l.contains("Join [hi") || l.contains("Join Inner")
+        || l.contains("Exchange hashpartitioning(")).toList
+    assert(joinish.exists(l => l.contains("[hi")),
+      s"bucket join is not keyed on the hash half:\n$p")
+    joinish.foreach(l =>
+      assert(!l.contains("text#") && !l.contains("payload"),
+        s"payload crosses the join/shuffle: $l"))
+  }
+
   test("battery-wide join-shape sweep: no cartesian products anywhere; " +
     "nested loops only where a side is broadcast-bounded") {
     // queries whose SEMANTICS are non-equi (theta/cross) against a
