@@ -299,6 +299,98 @@ object AnalyticsQueries {
                     AS BIGINT) END AS chi2_x10k
              FROM g ORDER BY lang, tok""")),
 
+    // Robust per-group outlier detection via median absolute deviation
+    // — the outlier gate that, unlike the z-score (q_normalize_zscore),
+    // a few extreme documents cannot drag: median and MAD have 50 %
+    // breakdown points. Exact medians at gate scale (every arithmetic
+    // step lands on the dyadic .25 grid, so the two engines' doubles
+    // are bit-identical); the 100 TB path swaps approx_percentile into
+    // the same two tiny per-group tables, both broadcast back —
+    // corpus rows never shuffle.
+    Spec("q_mad_outliers",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val med = d.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+        val dev = d.join(broadcast(med), "lang")
+          .withColumn("dev", abs(col("n_chars") - col("med")))
+        val mad = dev.groupBy(col("lang"))
+          .agg(expr("percentile(dev, 0.5D)").as("mad"))
+        dev.join(broadcast(mad), "lang")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+              .as("is_outlier"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                        FROM documents GROUP BY lang),
+             d AS (SELECT doc_id, documents.lang, n_chars,
+                          abs(n_chars - med) AS dev
+                   FROM documents JOIN m ON documents.lang = m.lang),
+             md AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                    FROM d GROUP BY lang)
+             SELECT doc_id, d.lang, n_chars,
+                    dev > 3.0 * 1.4826 * mad AS is_outlier
+             FROM d JOIN md ON d.lang = md.lang ORDER BY doc_id""")),
+
+    // Bigram lift (the monotone integer core of PMI): how much more
+    // often a token pair co-occurs adjacently than independence
+    // predicts — collocation mining / tokenizer-merge evidence over
+    // the corpus. lift = P(ab) / (P(a)·P(b)) = c_ab·N² / (B·c_a·c_b),
+    // emitted as floor(lift·10⁶) in DECIMAL(38,0)/HUGEINT arithmetic
+    // (one integral division — PMI's log is monotone in this ratio, so
+    // ranking/thresholding needs no float math at all). Corpus passes:
+    // one token count + one native-bigram count; the unigram margin is
+    // vocab-bounded and broadcast, totals are 1-row scalars.
+    Spec("q_pmi_bigrams",
+      (s, dir) => {
+        import graft.functions.TextFunctions.bigramsFast
+        val toks = spread(s, t(s, dir, "documents"))
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+        val nTok = toks.agg(count(lit(1)).as("n_tok"))
+        val bi = spread(s, t(s, dir, "documents"))
+          .select(explode(bigramsFast(col("text"))).as("bigram"))
+        val bcnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val nBi = bi.agg(count(lit(1)).as("n_bi"))
+        bcnt
+          .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+          .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+          .join(broadcast(uni.select(col("tok").as("tok_a"),
+            col("c_tok").as("c_a"))), "tok_a")
+          .join(broadcast(uni.select(col("tok").as("tok_b"),
+            col("c_tok").as("c_b"))), "tok_b")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+          .withColumn("lift_ppm", expr(
+            """CAST((CAST(c_ab AS DECIMAL(38,0)) * n_tok * n_tok * 1000000)
+                   div (CAST(n_bi AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)"""))
+          .select(col("tok_a"), col("tok_b"), col("c_ab"), col("lift_ppm"))
+          .orderBy(col("tok_a"), col("tok_b"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+             uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_tok
+                     FROM tk GROUP BY tok),
+             nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tk),
+             b AS (SELECT unnest(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> concat_ws(' ', string_split(text, ' ')[i],
+                                    string_split(text, ' ')[i + 1]))) AS bigram
+                   FROM documents),
+             bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+                    FROM b GROUP BY bigram HAVING count(*) >= 5)
+             SELECT string_split(bigram, ' ')[1] AS tok_a,
+                    string_split(bigram, ' ')[2] AS tok_b, c_ab,
+                    CAST((CAST(c_ab AS HUGEINT) * n_tok * n_tok * 1000000)
+                         // (CAST((SELECT count(*) FROM b) AS HUGEINT)
+                            * ua.c_tok * ub.c_tok) AS BIGINT) AS lift_ppm
+             FROM bc CROSS JOIN nt
+             JOIN uni ua ON ua.tok = string_split(bigram, ' ')[1]
+             JOIN uni ub ON ub.tok = string_split(bigram, ' ')[2]
+             ORDER BY tok_a, tok_b""")),
+
     // Join-preserving PII pseudonymization: user ids are replaced by a
     // salted-hash token that is DETERMINISTIC (the same user maps to
     // the same token in every table and every run, so joins and

@@ -99,6 +99,34 @@ class AnalyticsSpec extends AnyFunSuite {
       r.getAs[String]("metric"))).forall(_._2.length == 1))
   }
 
+  test("mad outliers: constant group flags only the planted extreme value") {
+    val docs = (0L until 4L).map(i => (i, "xx", "t", "s", 10L)) :+
+      (4L, "xx", "t", "s", 100L)
+    val df = docs.toDF("doc_id", "lang", "text", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("madtest").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // median 10, deviations [0,0,0,0,90], MAD 0 → only the 90 exceeds
+    val out = SparkEntry.queries("q_mad_outliers")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> false, 4L -> true))
+  }
+
+  test("pmi bigram lift matches the hand-computed ratio") {
+    // "a b"×5 adjacent, "b a"×4; tokens a=5 b=5 N=10, bigrams B=9:
+    // lift(a b) = 5·10²·10⁶ / (9·5·5) = 2222222.2 → 2222222
+    val df = Seq((0L, "xx", ("a b " * 5).trim, "s", 1L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("pmitest").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_pmi_bigrams")(spark, tmp).collect()
+      .map(r => ((r.getAs[String]("tok_a"), r.getAs[String]("tok_b")),
+        (r.getAs[Long]("c_ab"), r.getAs[Long]("lift_ppm")))).toMap
+    // "b a" occurs 4 < 5 times and is filtered
+    assert(out == Map(("a", "b") -> ((5L, 2222222L))))
+  }
+
   test("hll sketch-table union stays inside the gated error bound") {
     assert(run("q_hll_union").collect().forall(_.getAs[Boolean]("union_ok")))
   }

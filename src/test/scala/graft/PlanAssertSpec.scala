@@ -219,6 +219,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_curation_funnel",    // embeds the perplexity leg's crossJoin
       "q_chi_square",         // class-margin (|langs| rows) broadcast × vocab grid
       "q_mmr_diversify",      // broadcast query set vs corpus (relevance leg)
+      "q_pmi_bigrams",        // 1-row token-total and bigram-total crossJoins
       "q_rolling_distinct")   // 1-row broadcast max-day crossJoin
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
