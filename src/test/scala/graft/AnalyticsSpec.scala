@@ -130,4 +130,11 @@ class AnalyticsSpec extends AnyFunSuite {
   test("hll sketch-table union stays inside the gated error bound") {
     assert(run("q_hll_union").collect().forall(_.getAs[Boolean]("union_ok")))
   }
+
+  test("the composed analytics demo runs its audits green") {
+    // the demo's internal require()s are the assertions: token
+    // bijectivity, funnel narrowing, cohort diagonal, sketch bound
+    val json = graft.examples.AnalyticsDemo.run(spark, sfDir)
+    assert(json.contains("\"sketch_ok\":true"), json)
+  }
 }
