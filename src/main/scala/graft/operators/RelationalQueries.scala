@@ -395,6 +395,44 @@ object RelationalQueries {
     // ── window functions ─────────────────────────────────────────────
     // Ranking window: top-3 orders per market segment. row_number over
     // a total order (price desc, key asc) keeps it deterministic.
+    // Distribution window functions (§2.6 completion next to the rank
+    // family): percent_rank / cume_dist plus the positional
+    // first/last/nth values over an explicit full-partition frame.
+    // The window ORDER BY is total (acctbal then custkey), so rank is
+    // tie-free and both engines evaluate ONE integer division per
+    // distribution value — a single IEEE-correctly-rounded op, safe to
+    // compare raw (no accumulation order exists to diverge).
+    Spec("q_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wFull = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first_value(col("c_custkey")).over(wFull).as("first_key"),
+            last_value(col("c_custkey")).over(wFull).as("last_key"),
+            nth_value(col("c_custkey"), 2).over(wFull).as("second_key"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+                    percent_rank() OVER w AS pct_rank,
+                    cume_dist() OVER w AS cume,
+                    first_value(c_custkey) OVER wf AS first_key,
+                    last_value(c_custkey) OVER wf AS last_key,
+                    nth_value(c_custkey, 2) OVER wf AS second_key
+             FROM customer WHERE c_custkey <= 200
+             WINDOW w AS (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey),
+                    wf AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+             ORDER BY c_custkey""")),
+
     Spec("q_window_rank",
       (s, dir) => {
         val w = Window.partitionBy(col("c_mktsegment"))
