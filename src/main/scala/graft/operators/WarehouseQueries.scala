@@ -220,6 +220,31 @@ object WarehouseQueries {
              HAVING count(*) < 5
              ORDER BY lang, source, len_band""")),
 
+    // l-diversity release audit — k-anonymity's standard companion
+    // (Machanavajjhala et al. 2007): a quasi-identifier group can be
+    // large (k-anonymous) yet still leak if its SENSITIVE attribute is
+    // near-constant. Flags (event_type, value-band) groups whose rows
+    // trace back to < 3 distinct users. One grouped exact
+    // count-distinct — two hash aggregates on the same key at scale;
+    // the audit table is group-cardinality-sized, never row-sized.
+    Spec("q_l_diversity",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("CAST(floor(value / 25) AS BIGINT)").as("value_band"))
+          .agg(count(lit(1)).as("group_size"),
+            countDistinct(col("user_id")).as("diversity"))
+          .filter(col("diversity") < 3)
+          .orderBy(col("event_type"), col("value_band")),
+      Some("""SELECT event_type,
+                    CAST(floor(value / 25) AS BIGINT) AS value_band,
+                    CAST(count(*) AS BIGINT) AS group_size,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS diversity
+             FROM events
+             GROUP BY event_type, CAST(floor(value / 25) AS BIGINT)
+             HAVING count(DISTINCT user_id) < 3
+             ORDER BY event_type, value_band""")),
+
     // Incremental aggregate maintenance (materialized-view refresh):
     // the maintained per-key aggregate table absorbs a delta batch by
     // UNION + re-aggregate of two ALREADY-AGGREGATED frames — the
