@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // testdata events.ts is TIMESTAMP(NANOS) parquet, unreadable by
-      // Spark's converter unless mapped to long
+      // kept for TIMESTAMP(NANOS)-generation testdata (maps it to a
+      // nanos Long); current timestamp[us] testdata is unaffected, and
+      // operators adapt to either via Q.tsUs (EventTimeSchemaSpec)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -8,10 +8,11 @@ import org.apache.spark.sql.expressions.Window
   * as-of join, sessionization, pivot, explode (UDTF analog), exact
   * percentiles, ordered collect, range join.
   *
-  * Timestamps: events.ts is nanosecond parquet, read as a nanos-since-
-  * epoch long (`nanosAsLong`); DuckDB reads the same column at µs
-  * precision, so every cross-engine comparison happens in µs
-  * (`ts div 1000` ↔ `epoch_us(ts)`).
+  * Timestamps: every cross-engine comparison happens in integer epoch
+  * µs via the schema-adaptive [[Q.tsUs]] accessor (events.ts may be
+  * TIMESTAMP(NANOS) parquet read as a nanos Long under `nanosAsLong`,
+  * or timestamp[us] parquet read as Timestamp/NTZ); DuckDB reads the
+  * same column at µs precision (`epoch_us(ts)`).
   *
   * Scale notes: the as-of join is the union + last-non-null
   * carry-forward formulation — ONE shuffle on the key, a linear
@@ -23,8 +24,6 @@ import org.apache.spark.sql.expressions.Window
 object AdvancedQueries {
   import Q._
 
-  private val tsUs = expr("ts div 1000")
-
   val specs: Seq[Spec] = Seq(
 
     // Event-time tumbling-window aggregation in BATCH via the same
@@ -33,13 +32,15 @@ object AdvancedQueries {
     // so the cell is scalar and engine-neutral. window() is a plain
     // projection + hash aggregate — partial+final, one shuffle.
     Spec("q_time_window_agg",
-      (s, dir) => t(s, dir, "events")
-        .withColumn("ets", timestamp_micros(tsUs))
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.withColumn("ets", timestamp_micros(tsUs(ev)))
         .groupBy(window(col("ets"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .select(unix_micros(col("window.start")).as("bucket_us"),
           col("event_type"), col("n"), col("total"))
-        .orderBy(col("bucket_us"), col("event_type")),
+        .orderBy(col("bucket_us"), col("event_type"))
+      },
       Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
                     event_type, count(*) AS n, round(sum(value), 2) AS total
              FROM events
@@ -119,10 +120,10 @@ object AdvancedQueries {
       (s, dir) => {
         val ev = t(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+          .select(col("event_id"), col("user_id"), tsUs(ev).as("ts_us"))
         val signups = ev.filter(col("event_type") === "signup")
-          .select(col("user_id").as("s_user"), tsUs.as("s_ts"),
-            tsUs.as("signup_ts_us"))
+          .select(col("user_id").as("s_user"), tsUs(ev).as("s_ts"),
+            tsUs(ev).as("signup_ts_us"))
         ScaleOps.asofJoin(clicks, signups,
             Seq("user_id"), Seq("s_user"), "ts_us", "s_ts",
             Seq("signup_ts_us"))
@@ -193,9 +194,10 @@ object AdvancedQueries {
     Spec("q_gap_fill",
       (s, dir) => {
         val BucketUs = 6L * 3600 * 1000000
-        val agg = t(s, dir, "events")
+        val ev = t(s, dir, "events")
+        val agg = ev
           .filter(col("user_id") < 50)
-          .select(col("user_id"), expr(s"(ts div 1000) div $BucketUs").as("bucket"),
+          .select(col("user_id"), tsUsDiv(ev, BucketUs).as("bucket"),
             col("value"))
           .groupBy(col("user_id"), col("bucket"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
@@ -233,10 +235,10 @@ object AdvancedQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
           .rangeBetween(-6, 0)
-        t(s, dir, "events")
-          .filter(col("user_id") < 50)
+        val ev = t(s, dir, "events")
+        ev.filter(col("user_id") < 50)
           .select(col("event_id"), col("user_id"),
-            expr("(ts div 1000) div 3600000000").as("hr"), col("value"))
+            tsUsDiv(ev, 3600000000L).as("hr"), col("value"))
           .withColumn("rolling_6h",
             floor(sum(col("value")).over(w) * 100) / 100)
           .select(col("event_id"), col("user_id"), col("hr"), col("rolling_6h"))
@@ -259,8 +261,8 @@ object AdvancedQueries {
         val wOrder = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("event_id"))
         val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, dir, "events")
-          .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+        val ev = t(s, dir, "events")
+        ev.select(col("event_id"), col("user_id"), tsUs(ev).as("ts_us"))
           .withColumn("gap",
             when(col("ts_us") - lag(col("ts_us"), 1).over(wOrder)
               > 30L * 60 * 1000000, 1L).otherwise(0L))
@@ -387,8 +389,9 @@ object AdvancedQueries {
       (s, dir) => {
         val BinUs = 6L * 3600 * 1000000   // 6-hour bins
         val WindowUs = 24L * 3600 * 1000000 // 1-day attribution window
-        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
-          col("event_type"), tsUs.as("ts_us"))
+        val ev0 = t(s, dir, "events")
+        val ev = ev0.select(col("event_id"), col("user_id"),
+          col("event_type"), tsUs(ev0).as("ts_us"))
         val signups = ev.filter(col("event_type") === "signup")
           .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
           .withColumn("s_end", col("s_ts") + WindowUs)

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * Spark plan with the scale design stated per operator).
   *
   * Cross-engine determinism rules follow the battery conventions:
-  * time arithmetic is integer µs/days (`ts div 1000`, floor division —
-  * events.ts arrives as a nanos Long via `nanosAsLong`), distinct
+  * time arithmetic is integer µs/days via the schema-adaptive
+  * [[Q.tsUs]]/[[Q.tsDay]] accessors (events.ts may arrive as a nanos
+  * Long via `nanosAsLong` or as parquet timestamp[us]), distinct
   * counting that must hash-match is exact, sketch paths are gated as
   * bounded-error booleans, and the χ² statistic is computed entirely
   * in DECIMAL(38,0)/HUGEINT integer arithmetic with ONE integral
@@ -18,11 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
   import Q._
-
-  /** events.ts (nanos Long) → epoch microseconds. */
-  private val tsUs = expr("ts div 1000")
-  /** events.ts → epoch day (floor; all testdata timestamps are post-epoch). */
-  private val tsDay = expr("ts div 1000 div 86400000000")
 
   def specs: Seq[Spec] = Seq(
 
@@ -70,8 +66,9 @@ object AnalyticsQueries {
     // event history in one task; this shape never does.
     Spec("q_event_funnel",
       (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+        val e0 = t(s, dir, "events")
+        val e = e0.select(col("user_id"), col("event_type"),
+          tsUs(e0).as("ts_us"))
         def stage(prev: org.apache.spark.sql.DataFrame, prevT: String,
                   typ: String, outT: String) =
           e.join(prev.select(col("user_id"), col(prevT)), "user_id")
@@ -127,8 +124,9 @@ object AnalyticsQueries {
     // one row per user and joins back on the same user_id hashing.
     Spec("q_cohort_retention",
       (s, dir) => {
-        val uw = t(s, dir, "events")
-          .select(col("user_id"), (tsDay / 7).cast("long").as("w"))
+        val ev = t(s, dir, "events")
+        val uw = ev
+          .select(col("user_id"), (tsDay(ev) / 7).cast("long").as("w"))
           .distinct()
         val cohort = uw.groupBy(col("user_id"))
           .agg(min(col("w")).as("cohort_w"))
@@ -158,8 +156,9 @@ object AnalyticsQueries {
     // q_hll_union's pattern; this one is the exact leg.
     Spec("q_rolling_distinct",
       (s, dir) => {
-        val ud = t(s, dir, "events")
-          .select(col("user_id"), tsDay.as("d")).distinct()
+        val ev = t(s, dir, "events")
+        val ud = ev
+          .select(col("user_id"), tsDay(ev).as("d")).distinct()
         val maxd = ud.agg(max(col("d")).as("max_d"))
         ud.select(col("user_id"),
             explode(sequence(col("d"), col("d") + 6)).as("wday"))
@@ -193,7 +192,7 @@ object AnalyticsQueries {
     Spec("q_hll_union",
       (s, dir) => {
         val e = t(s, dir, "events")
-        val daily = e.select(col("event_type"), tsDay.as("d"), col("user_id"))
+        val daily = e.select(col("event_type"), tsDay(e).as("d"), col("user_id"))
           .groupBy(col("event_type"), col("d"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
         val merged = daily.groupBy(col("event_type"))

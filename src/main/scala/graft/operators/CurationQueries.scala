@@ -441,7 +441,11 @@ object CurationQueries {
     // (q_bm25 / q_ann_*) and fusion cost is O(k), independent of
     // corpus size. The fused score is floor-scaled from exactly two
     // addends (two-term FP addition is order-free), so the hash is
-    // engine-stable.
+    // engine-stable. Spark logs "No Partition Defined for Window …
+    // single partition" for the two rank windows below — expected and
+    // harmless HERE because each input is already TakeOrdered to 50
+    // rows; a production variant ranking per query_id would partition
+    // the window by query_id and never see a global frame.
     Spec("q_rrf_fusion",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -526,9 +530,9 @@ object CurationQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("ts_us"), col("event_id"))
-        t(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"))
+        val ev = t(s, dir, "events")
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+            tsUs(ev).as("ts_us"))
           .withColumn("__prev", lag(col("ts_us"), 1).over(w))
           .filter(col("__prev").isNull ||
             col("ts_us") - col("__prev") > 300L * 1000000L)

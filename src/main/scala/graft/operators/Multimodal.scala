@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * struct. The Spark-side plumbing — schema, partition sizing, batched
   * per-partition decode, output shape — is real and tested; only the
   * codec call itself is stubbed (this container ships no image/audio
-  * libraries), behind [[MediaCodec.decode]], with a deterministic fake
-  * so tests are reproducible.
+  * libraries), behind the [[Codec]] trait, with [[MediaCodec]] as the
+  * deterministic fake so tests are reproducible. Every pipeline stage
+  * takes a `codec: Codec = MediaCodec` parameter — a real
+  * libjpeg/ffmpeg/JNI implementation drops in without touching any
+  * stage (seam proven by MultimodalSpec's custom-codec test).
   *
   * Scale notes: decode is a mapPartitions pass (one codec context per
   * partition, not per row — the per-row-UDF anti-pattern would
@@ -33,11 +36,35 @@ object Multimodal {
 
   final case class Feature(id: Long, featureId: Int, value: Double)
 
-  /** The codec boundary. A real deployment plugs libjpeg/ffmpeg/etc. in
-    * here; the container has none, so decode is a clearly-marked
-    * deterministic fake over the payload bytes (NOT a real decode).
+  /** The codec seam: everything the pipeline needs from a real media
+    * stack, and nothing else. A deployment drops in a libjpeg/ffmpeg/
+    * JNI implementation of THIS trait and every pipeline stage below
+    * (`asMediaTable`, `extractFeatures`, `resize`) works unchanged —
+    * the stages take a `codec` parameter defaulting to the stub.
+    *
+    * Contract for implementors: instances ship to executors inside
+    * `mapPartitions` closures, so they must be Serializable and must
+    * defer any native-context initialization to first use on the
+    * executor (lazy JNI handle per JVM, NOT per row — the pipeline
+    * calls you once per row but constructs you once per closure).
     */
-  object MediaCodec {
+  trait Codec extends Serializable {
+    /** Parse container headers → typed metadata. */
+    def decode(payload: Array[Byte]): MediaMeta
+    /** Fixed-dim feature vector (embedding / mel-spectrogram). */
+    def features(payload: Array[Byte], dim: Int): Array[Double]
+    /** Downscale the payload by `factor`, returning the new payload. */
+    def resizePayload(payload: Array[Byte], factor: Int): Array[Byte]
+    /** 64-bit perceptual hash packed as two unsigned 32-bit halves. */
+    def aHash64(payload: Array[Byte]): (Long, Long)
+  }
+
+  /** STUB [[Codec]]. The container ships no image/audio libraries, so
+    * decode is a clearly-marked deterministic fake over the payload
+    * bytes (NOT a real decode); the sampling/threshold/packing
+    * mechanics of aHash64 are real.
+    */
+  object MediaCodec extends Codec {
     /** STUB: deterministic pseudo-decode. Real impl would parse the
       * container format; this derives stable "dimensions" from content
       * bytes so the pipeline shape is testable end-to-end. */
@@ -87,7 +114,7 @@ object Multimodal {
 
     /** STUB: fixed-length feature vector from payload bytes (stands in
       * for a real embedding model / mel-spectrogram). */
-    def features(payload: Array[Byte], dim: Int = 8): Array[Double] = {
+    def features(payload: Array[Byte], dim: Int): Array[Double] = {
       val out = new Array[Double](dim)
       var i = 0
       while (i < payload.length) {
@@ -96,12 +123,22 @@ object Multimodal {
       }
       out
     }
+
+    /** STUB resize: byte-stride downsampling standing in for real
+      * resampling (a real codec decodes, scales, re-encodes). */
+    def resizePayload(payload: Array[Byte], factor: Int): Array[Byte] = {
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    }
   }
 
   /** Wrap any table with a binary payload column into the media schema:
     * (id, payload binary, meta struct). Deterministic fake payloads
     * from a text column when no real media exists. */
-  def asMediaTable(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String,
+                   codec: Codec = MediaCodec): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
@@ -111,34 +148,34 @@ object Multimodal {
         // one "codec context" per partition — the batch shape that
         // matters at scale
         it.map { case (id, payload) =>
-          MediaRow(id, payload, MediaCodec.decode(payload)) }
+          MediaRow(id, payload, codec.decode(payload)) }
       }
   }
 
   /** Batched feature extraction: payload → fixed-dim feature rows
     * (exploded long-form, the layout similarity search consumes). */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[Feature] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
+                      codec: Codec = MediaCodec): Dataset[Feature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { row =>
-        MediaCodec.features(row.payload, dim).iterator.zipWithIndex.map {
+        codec.features(row.payload, dim).iterator.zipWithIndex.map {
           case (v, i) => Feature(row.id, i, v) }
       }
     }
   }
 
-  /** STUB resize: byte-stride downsampling standing in for image
-    * resampling (real impl would go through the codec). Keeps the
-    * map-only, payload-in/payload-out shape a resize stage has. */
-  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+  /** Resize stage: map-only, payload-in/payload-out, resampling
+    * delegated to the [[Codec]] seam (stub = byte-stride
+    * downsampling; real impl = decode → scale → re-encode). */
+  def resize(media: Dataset[MediaRow], factor: Int,
+             codec: Codec = MediaCodec): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val out = new Array[Byte]((row.payload.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = row.payload(i * factor); i += 1 }
+        val out = codec.resizePayload(row.payload, factor)
         row.copy(payload = out,
           meta = row.meta.copy(nBytes = out.length,
             width = math.max(1, row.meta.width / factor),

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Shared plumbing for the harness query battery (SURVEY §7 step 5).
   *
@@ -33,4 +35,29 @@ object Q {
     * only, never values. */
   def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** SQL fragment yielding `events.ts` as epoch MICROSECONDS, adaptive
+    * to both generations of driver testdata: TIMESTAMP(NANOS) parquet
+    * surfaced as a nanos Long (`spark.sql.legacy.parquet.nanosAsLong`)
+    * or timestamp[us] parquet surfaced as Timestamp/TIMESTAMP_NTZ.
+    * Session timezone is UTC battery-wide, so the NTZ→Timestamp cast
+    * is micros-identity and both branches match the DuckDB oracles'
+    * `epoch_us(ts)` exactly. Integer `div` everywhere — no float. */
+  private def tsUsSql(df: DataFrame, c: String): String =
+    df.schema(c).dataType match {
+      case LongType => s"($c div 1000)"
+      case _        => s"unix_micros(cast($c as timestamp))"
+    }
+
+  /** events.ts → epoch µs (schema-adaptive; see [[tsUsSql]]). */
+  def tsUs(df: DataFrame, c: String = "ts"): Column = expr(tsUsSql(df, c))
+
+  /** events.ts → epoch µs floor-divided by `divisor` (bucket index),
+    * kept as a single integer-`div` expression on either schema. */
+  def tsUsDiv(df: DataFrame, divisor: Long, c: String = "ts"): Column =
+    expr(s"${tsUsSql(df, c)} div $divisor")
+
+  /** events.ts → epoch day (floor; testdata timestamps are post-epoch). */
+  def tsDay(df: DataFrame, c: String = "ts"): Column =
+    tsUsDiv(df, 86400000000L, c)
 }

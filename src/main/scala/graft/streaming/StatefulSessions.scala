@@ -88,15 +88,17 @@ object StatefulSessions {
   }
 
   /** Events parquet/stream → watermarked Dataset[Ev]. `ts` is the
-    * TIMESTAMP(NANOS)-as-long column of the events table. */
+    * events-table time column on either testdata generation (nanos
+    * Long under `nanosAsLong`, or parquet timestamp[us] read as
+    * Timestamp/NTZ) — resolved via the schema-adaptive [[Q.tsUs]]. */
   def toEvents(df: DataFrame, watermarkDelay: String = "1 minute")(
       implicit spark: SparkSession): Dataset[Ev] = {
     import spark.implicits._
     // `ets` stays in the frame (projected out by the typed view) so the
     // EventTimeWatermark node sits upstream of the stateful operator
     df.select(col("user_id"),
-        expr("ts div 1000").as("ts_us"),
-        timestamp_micros(expr("ts div 1000")).as("ets"),
+        graft.operators.Q.tsUs(df).as("ts_us"),
+        timestamp_micros(graft.operators.Q.tsUs(df)).as("ets"),
         col("value"))
       .withWatermark("ets", watermarkDelay)
       .as[Ev]

@@ -46,8 +46,9 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("rolling 7-day distinct matches a brute-force per-day recount") {
-    val ud = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("d"))
+    val ud0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val ud = ud0
+      .select(col("user_id"), graft.operators.Q.tsDay(ud0).as("d"))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val brute = ud.map(_._2).distinct.sorted.map { day =>

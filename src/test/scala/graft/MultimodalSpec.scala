@@ -38,6 +38,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(0).meta.width >= 1 && r(0).meta.height >= 1)
   }
 
+  test("codec seam: a custom Codec drops into every stage without touching the pipeline") {
+    // stands in for a JNI/ffmpeg impl: fixed metadata, constant
+    // features, identity resize — recognizably different from the stub
+    object FakeRealCodec extends Multimodal.Codec {
+      def decode(payload: Array[Byte]) =
+        Multimodal.MediaMeta("image", payload.length.toLong, 1920, 1080, 0)
+      def features(payload: Array[Byte], dim: Int) = Array.fill(dim)(0.5)
+      def resizePayload(payload: Array[Byte], factor: Int) = payload
+      def aHash64(payload: Array[Byte]) = (0L, 0L)
+    }
+    val df = Seq((1L, "hello world payload")).toDF("id", "text")
+    val m = Multimodal.asMediaTable(df, "id", "text", FakeRealCodec)
+    val rows = m.collect()
+    assert(rows.head.meta == Multimodal.MediaMeta("image", 19L, 1920, 1080, 0))
+    val f = Multimodal.extractFeatures(m, dim = 4, codec = FakeRealCodec).collect()
+    assert(f.length == 4 && f.forall(_.value == 0.5))
+    val r = Multimodal.resize(m, factor = 4, codec = FakeRealCodec).collect()
+    assert(r.head.payload sameElements rows.head.payload)
+  }
+
   test("documents fixture is pure ASCII (the q_mm_features oracle " +
     "equates ord(char) with the payload byte)") {
     import org.apache.spark.sql.functions._

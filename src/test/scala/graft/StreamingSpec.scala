@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     val evSchema = batch.schema
 
     def windowed(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", timestamp_micros(graft.operators.Q.tsUs(df)))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
@@ -55,10 +55,17 @@ class StreamingSpec extends AnyFunSuite {
     batch.write.mode("overwrite").parquet(in)
     // sentinel far beyond every real event: advancing the watermark
     // past lastEvent + gap closes every real session via its timer
-    val maxTs = batch.agg(max(col("ts"))).as[Long].head()
+    // (built in the SAME ts type as the source so the appended file's
+    // parquet schema matches on either testdata generation)
+    val maxUs = batch.agg(max(graft.operators.Q.tsUs(batch))).as[Long].head()
+    val sentinelUs = maxUs + 10L * 24 * 3600 * 1000000L
+    val sentinelTs = batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L)
+      case t => timestamp_micros(lit(sentinelUs)).cast(t)
+    }
     batch.limit(1)
       .withColumn("user_id", lit(-1L))
-      .withColumn("ts", lit(maxTs + 10L * 24 * 3600 * 1000000000L))
+      .withColumn("ts", sentinelTs)
       .write.mode("append").parquet(in)
 
     val q = StatefulSessions.sessionize(
@@ -80,7 +87,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch oracle: the same fold, host-side
     val gapUs = gapMin * 60L * 1000000L
     val evs = batch.select(col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        graft.operators.Q.tsUs(batch).as("ts_us"), col("value"))
       .as[Ev].collect()
     val expected = evs.groupBy(_.user_id).flatMap { case (uid, es) =>
       val sorted = es.sortBy(e => (e.ts_us, e.value))
@@ -237,8 +244,9 @@ class StreamingSpec extends AnyFunSuite {
 
     val dir = Files.createTempDirectory("funnelstream")
     val in = dir.resolve("in").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = ev0
+      .select(col("user_id"), graft.operators.Q.tsUs(ev0).as("ts_us"),
         col("event_type"))
       .orderBy("ts_us").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -586,7 +594,7 @@ class StreamingSpec extends AnyFunSuite {
     val evSchema = batch.schema
 
     def attributed(df: org.apache.spark.sql.DataFrame) = {
-      val ets = timestamp_micros(expr("ts div 1000"))
+      val ets = timestamp_micros(graft.operators.Q.tsUs(df))
       val clicks = df.where(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("event_id").as("click_id"),
           ets.as("cts"))
