@@ -661,7 +661,9 @@ object RelationalQueries {
              FROM orders ORDER BY o_orderkey""")),
 
     Spec("q_scalar_math",
-      (s, dir) => t(s, dir, "lineitem")
+      // spread() first: 600k rows of per-row math would otherwise all
+      // evaluate on the single-row-group scan task before the sort
+      (s, dir) => spread(s, t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(abs(col("l_extendedprice") * lit(-1)), 2).as("abs_price"),
           floor(col("l_quantity")).cast("long").as("fl"),
@@ -669,7 +671,11 @@ object RelationalQueries {
           round(sqrt(col("l_extendedprice")), 4).as("root"),
           pmod(col("l_orderkey"), lit(7)).as("k_mod"),
           round(ln(col("l_extendedprice") + 1), 4).as("log_price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data, so the ORDER BY covers every output column — rows that
+        // still tie are full duplicates, interchangeable under any hash
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_price"),
+          col("fl"), col("disc_pct"), col("root"), col("log_price")),
       Some("""SELECT l_orderkey, l_linenumber,
                     round(abs(l_extendedprice * -1), 2) AS abs_price,
                     CAST(floor(l_quantity) AS BIGINT) AS fl,
@@ -677,11 +683,17 @@ object RelationalQueries {
                     round(sqrt(l_extendedprice), 4) AS root,
                     l_orderkey % 7 AS k_mod,
                     round(ln(l_extendedprice + 1), 4) AS log_price
-             FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+             FROM lineitem
+             ORDER BY l_orderkey, l_linenumber, abs_price, fl, disc_pct,
+                      root, log_price""")),
 
     // JSON extraction over the events.props column.
     Spec("q_scalar_json",
-      (s, dir) => t(s, dir, "events")
+      // spread() first: the per-row Jackson parse is the cost here, and
+      // a single-row-group events file would otherwise serialize every
+      // parse onto one scan task (projections evaluate in the scan
+      // stage, before the sort exchange)
+      (s, dir) => spread(s, t(s, dir, "events"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .orderBy(col("event_id")),
