@@ -36,13 +36,22 @@ object AdvancedQueries {
         val ev = t(s, dir, "events")
         ev.withColumn("ets", timestamp_micros(tsUs(ev)))
         .groupBy(window(col("ets"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        // sum in exact decimal, not double: double accumulation is
+        // order-dependent, and partition layout changes the order —
+        // the per-element decimal cast is deterministic, the decimal
+        // sum is exact, so the rounded total is layout-proof
+        // (InputOrderInvarianceSpec guards this class battery-wide)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(20,10)")), 2)
+            .cast("double").as("total"))
         .select(unix_micros(col("window.start")).as("bucket_us"),
           col("event_type"), col("n"), col("total"))
         .orderBy(col("bucket_us"), col("event_type"))
       },
       Some("""SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
-                    event_type, count(*) AS n, round(sum(value), 2) AS total
+                    event_type, count(*) AS n,
+                    CAST(round(sum(CAST(value AS DECIMAL(20,10))), 2)
+                         AS DOUBLE) AS total
              FROM events
              GROUP BY bucket_us, event_type
              ORDER BY bucket_us, event_type""")),
@@ -200,21 +209,27 @@ object AdvancedQueries {
           .select(col("user_id"), tsUsDiv(ev, BucketUs).as("bucket"),
             col("value"))
           .groupBy(col("user_id"), col("bucket"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+          // exact decimal sum → integer cents: double accumulation is
+          // order-dependent and input layout changes the order; cents
+          // as a BIGINT divided by 100.0 is layout-proof on both engines
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,10)")).as("v"))
         val grid = agg.groupBy(col("user_id"))
           .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
           .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
         grid.join(agg, Seq("user_id", "bucket"), "left")
           .select(col("user_id"), col("bucket"),
             coalesce(col("n"), lit(0L)).as("n_events"),
-            (floor(coalesce(col("v"), lit(0.0)) * 100) / 100).as("total"))
+            (floor(coalesce(col("v"), lit(0)) * 100).cast("long") / 100.0)
+              .as("total"))
           .orderBy(col("user_id"), col("bucket"))
       },
       Some("""WITH e AS (
                SELECT user_id, epoch_us(ts) // CAST(21600000000 AS BIGINT) AS bucket, value
                FROM events WHERE user_id < 50),
              a AS (
-               SELECT user_id, bucket, count(*) AS n, sum(value) AS v
+               SELECT user_id, bucket, count(*) AS n,
+                      sum(CAST(value AS DECIMAL(20,10))) AS v
                FROM e GROUP BY user_id, bucket),
              s AS (
                SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
@@ -223,7 +238,7 @@ object AdvancedQueries {
                SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM s)
              SELECT g.user_id, g.bucket,
                     coalesce(a.n, 0) AS n_events,
-                    floor(coalesce(a.v, 0) * 100) / 100 AS total
+                    CAST(floor(coalesce(a.v, 0) * 100) AS BIGINT) / 100.0 AS total
              FROM g LEFT JOIN a USING (user_id, bucket)
              ORDER BY g.user_id, g.bucket""")),
 
@@ -239,8 +254,11 @@ object AdvancedQueries {
         ev.filter(col("user_id") < 50)
           .select(col("event_id"), col("user_id"),
             tsUsDiv(ev, 3600000000L).as("hr"), col("value"))
+          // exact decimal window sum → integer cents (order-free; the
+          // frame's accumulation order follows input layout otherwise)
           .withColumn("rolling_6h",
-            floor(sum(col("value")).over(w) * 100) / 100)
+            floor(sum(col("value").cast("decimal(20,10)")).over(w) * 100)
+              .cast("long") / 100.0)
           .select(col("event_id"), col("user_id"), col("hr"), col("rolling_6h"))
           .orderBy(col("event_id"))
       },
@@ -249,9 +267,10 @@ object AdvancedQueries {
                       epoch_us(ts) // 3600000000 AS hr, value
                FROM events WHERE user_id < 50)
              SELECT event_id, user_id, hr,
-                    floor(sum(value) OVER (PARTITION BY user_id ORDER BY hr
-                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) / 100
-                      AS rolling_6h
+                    CAST(floor(sum(CAST(value AS DECIMAL(20,10)))
+                        OVER (PARTITION BY user_id ORDER BY hr
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 100)
+                      AS BIGINT) / 100.0 AS rolling_6h
              FROM e ORDER BY event_id""")),
 
     // Sessionization: a new session starts after a >30 min gap; the

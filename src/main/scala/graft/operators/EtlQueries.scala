@@ -112,14 +112,18 @@ object EtlQueries {
     // threshold) over lineitem. Filter + pruned projection both push to
     // the parquet scan.
     Spec("q_flagship_filter",
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+      // so the ORDER BY covers the projected price too — total order on
+      // every emitted column (InputOrderInvarianceSpec caught the tie)
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_returnflag") === "A" && col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
              FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 45
-             ORDER BY l_orderkey, l_linenumber""")),
+             ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
 
     // S6+S8 E2E — the reference's delegated-SQL centerpiece
     // (`functions/load_query/main.py:47-57`) as a gate row: a
