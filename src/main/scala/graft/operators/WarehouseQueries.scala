@@ -58,6 +58,54 @@ object WarehouseQueries {
              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
+    // when a shuffle join's build side carries a selective predicate,
+    // the optimizer plants bloom_filter_agg(build keys) as a scalar
+    // subquery and wraps the probe side in might_contain(...), so probe
+    // rows that cannot match are dropped BEFORE the shuffle — at 100 TB
+    // that's the difference between shuffling the whole fact table and
+    // shuffling only the fraction that can join. Broadcast is disabled
+    // with SHUFFLE_MERGE hints so the runtime filter (not a broadcast)
+    // is what bounds the shuffle, and the conf lives on a CHILD session
+    // (newSession: shared context, private SQLConf) so lowering the
+    // 10 GB application-side gate for the demo can't leak bloom
+    // injection into other battery plans. PlanAssertSpec pins
+    // might_contain in the executed plan.
+    Spec("q_join_bloom_pruned",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        // the default gates target real clusters (build < 10 MB, probe
+        // > 10 GB); open them so the sf-scale demo exercises the path
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        // InjectRuntimeFilter skips joins it could broadcast (a
+        // broadcast already avoids the probe-side shuffle); at demo SF
+        // everything is broadcastable, so pin the shuffle path — which
+        // is the only path that exists when both sides are huge
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val o = t(s2, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s2, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        li.hint("SHUFFLE_MERGE")
+          .join(o.hint("SHUFFLE_MERGE"), li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity").cast("decimal(20,10)")), 2)
+              .cast("double").as("sum_qty"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_items,
+                    CAST(round(sum(CAST(l_quantity AS DECIMAL(20,10))), 2)
+                         AS DOUBLE) AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT'
+             GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // SCD2 effective-dating: compress each customer's order-status
     // stream to its CHANGE points (lag ≠ current), then close each
     // version with the next change's date (lead) — valid_to IS NULL

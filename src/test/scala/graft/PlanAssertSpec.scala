@@ -158,6 +158,14 @@ class PlanAssertSpec extends AnyFunSuite {
       s"text crosses the shuffle:\n$p")
   }
 
+  test("q_join_bloom_pruned injects a runtime bloom filter on the probe side") {
+    val p = plan("q_join_bloom_pruned")
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected (InjectRuntimeFilter gates moved?):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"join fell to broadcast — the bloom demo needs the shuffle path:\n$p")
+  }
+
   test("q_event_funnel rides one user_id partitioning: every hash exchange is keyed on it") {
     val p = plan("q_event_funnel")
     // the staged-minima chain claims a single reusable partitioning —
