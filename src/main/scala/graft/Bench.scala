@@ -100,13 +100,26 @@ object Bench {
     // measures (pass-ratio comparisons vs pre-instrument artifacts
     // noted in BASELINE.md)
     def cooled(c: Double): Double = { Thread.sleep(1000); c }
-    val cal0 = cooled(calibrate())
-    val pass1: Map[String, Either[String, Double]] =
-      selected.map { case (name, fn) => name -> once(fn) }.toMap
-    val cal1 = cooled(calibrate())
-    val pass2: Map[String, Either[String, Double]] =
-      selected.reverse.map { case (name, fn) => name -> once(fn) }.toMap
-    val cal2 = cooled(calibrate())
+    // calibration samples are INTERLEAVED inside each pass, not just at
+    // the endpoints: BENCH_r07 was poisoned by a contention window that
+    // opened and closed between the three endpoint samples, so the
+    // instrument read 0.50–0.66 s everywhere and declared the run
+    // quiet while q_dsir_weights recorded 14.6 s vs a 1.2–1.6 s quiet
+    // record (VERDICT r7). A sample every `calEvery` queries bounds how
+    // long a window can hide (~1/3 of a pass instead of a full pass).
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calEvery = 55
+    def runPass(seq: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, Either[String, Double]] =
+      seq.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % calEvery == 0) calSamples += cooled(calibrate())
+        name -> once(fn)
+      }.toMap
+    calSamples += cooled(calibrate())
+    val pass1 = runPass(selected)
+    calSamples += cooled(calibrate())
+    val pass2 = runPass(selected.reverse)
+    calSamples += cooled(calibrate())
     val results: Seq[(String, QueryResult)] =
       selected.map { case (name, fn) =>
         val two = Seq(pass1(name), pass2(name))
@@ -126,6 +139,57 @@ object Bench {
         }
         name -> r
       }
+    // Screen against the COMMITTED quiet-per-query records (bench/
+    // quiet_records.json, min of the r7 quiet pair): a min-of-passes
+    // that still exceeds 2.5× its quiet record is either contention
+    // that covered both decorrelated passes (the BENCH_r07 failure
+    // mode) or a real regression — re-measure it up to twice more,
+    // each attempt outside the original windows, and keep the overall
+    // min. A re-measure can only ADD timings (never fabricates a
+    // faster number); anything still slow after that is flagged in
+    // `slow_vs_record` so the artifact is self-diagnosing either way.
+    // Records only apply when they were measured on the same sf dir;
+    // +0.3 s absolute slack keeps sub-second queries out of the net.
+    val records: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECORDS",
+        "/root/repo/bench/quiet_records.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(m => sfDir.stripSuffix("/") == m.group(1).stripSuffix("/"))
+        if (!sfOk) Map.empty
+        else """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def suspectVsRecord(v: Double, r: Double): Boolean = v > 2.5 * r + 0.3
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val screened: Seq[(String, QueryResult)] = results.map { case (name, q) =>
+      (q.value, records.get(name)) match {
+        case (Right(v), Some(rec)) if suspectVsRecord(v, rec) =>
+          val fn = SparkEntry.queries(name)
+          var passes = q.passes
+          var best = v
+          var tries = 0
+          val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (suspectVsRecord(best, rec) && tries < 2) {
+            tries += 1
+            once(fn) match {
+              case Right(t) => extra += t; passes :+= Right(t); best = math.min(best, t)
+              case l @ Left(_) => passes :+= l; tries = 2
+            }
+          }
+          remeasured(name) = extra.toSeq
+          name -> QueryResult(Right(best), passes)
+        case _ => name -> q
+      }
+    }
+    val slowVsRecord: Seq[(String, Double)] = screened.collect {
+      case (name, q) if q.value.isRight && records.contains(name) &&
+        suspectVsRecord(q.value.toOption.get, records(name)) =>
+        name -> (q.value.toOption.get / records(name))
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -137,10 +201,10 @@ object Bench {
       case Right(v) => v.toString
       case Left(e) => "\"" + esc(e) + "\""
     }
-    val ok = results.collect { case (k, q) if q.value.isRight =>
+    val ok = screened.collect { case (k, q) if q.value.isRight =>
       k -> q.value.toOption.get }
-    val errs = results.collect { case (k, QueryResult(Left(e), _)) => k -> e }
-    val flaky = results.collect { case (k, q) if q.flaky =>
+    val errs = screened.collect { case (k, QueryResult(Left(e), _)) => k -> e }
+    val flaky = screened.collect { case (k, q) if q.flaky =>
       k -> q.passes.collectFirst { case Left(e) => e }.get }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -148,7 +212,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = flaky.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val ps = results.map { case (k, q) =>
+    val ps = screened.map { case (k, q) =>
       s"\"" + k + "\":" + q.passes.map(passJson).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
@@ -158,11 +222,20 @@ object Bench {
     // artifacts for sustained slowness. Per-pass battery totals don't
     // discriminate (cold codegen makes pass 1 ≈ 1.25× pass 2 on quiet
     // full-battery runs — measured 1.21–1.28 quiet AND poisoned).
-    val cals = Seq(cal0, cal1, cal2)
-    val contentionSuspect = cals.max / cals.min > 1.5
+    val cals = calSamples.toSeq
+    // suspect when EITHER the box's measured speed changed during the
+    // run OR a query stayed >2.5x its committed quiet record through
+    // re-measurement — the second signal is what the r7 endpoint-only
+    // calibration missed
+    val contentionSuspect = cals.max / cals.min > 1.5 || slowVsRecord.nonEmpty
     val cj = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val rm = remeasured.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(v => f"$v%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val svr = slowVsRecord.map { case (k, ratio) =>
+      "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
@@ -200,7 +273,7 @@ object Bench {
     val esCompact = errs.take(2).map { case (k, e) =>
       "\"" + k + "\":\"" + esc(e.take(60)) + "\"" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

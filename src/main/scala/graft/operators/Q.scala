@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{call_function, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared plumbing for the harness query battery (SURVEY §7 step 5).
   *
@@ -36,26 +36,38 @@ object Q {
   def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
-  /** SQL fragment yielding `events.ts` as epoch MICROSECONDS, adaptive
-    * to both generations of driver testdata: TIMESTAMP(NANOS) parquet
+  /** Column yielding `events.ts` as epoch MICROSECONDS, adaptive to
+    * both generations of driver testdata: TIMESTAMP(NANOS) parquet
     * surfaced as a nanos Long (`spark.sql.legacy.parquet.nanosAsLong`)
     * or timestamp[us] parquet surfaced as Timestamp/TIMESTAMP_NTZ.
     * Session timezone is UTC battery-wide, so the NTZ→Timestamp cast
     * is micros-identity and both branches match the DuckDB oracles'
-    * `epoch_us(ts)` exactly. Integer `div` everywhere — no float. */
-  private def tsUsSql(df: DataFrame, c: String): String =
+    * `epoch_us(ts)` exactly. Integer `div` everywhere — no float.
+    *
+    * Anchored to `df(c)` (not an unresolved name) so both the schema
+    * check and the resolution bind to the SAME frame: applying the
+    * result after a self-join can't silently grab the wrong `ts`, and
+    * a mismatched frame fails analysis instead of picking a branch by
+    * luck. Any third testdata generation (string/double ts) throws
+    * here rather than mis-scaling quietly. */
+  private def tsUsCol(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case LongType => s"($c div 1000)"
-      case _        => s"unix_micros(cast($c as timestamp))"
+      case LongType => call_function("div", df(c), lit(1000L))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(df(c).cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported event-time type $other for column '$c': expected " +
+            "LongType (nanosAsLong generation) or Timestamp/TimestampNTZ")
     }
 
-  /** events.ts → epoch µs (schema-adaptive; see [[tsUsSql]]). */
-  def tsUs(df: DataFrame, c: String = "ts"): Column = expr(tsUsSql(df, c))
+  /** events.ts → epoch µs (schema-adaptive; see [[tsUsCol]]). */
+  def tsUs(df: DataFrame, c: String = "ts"): Column = tsUsCol(df, c)
 
   /** events.ts → epoch µs floor-divided by `divisor` (bucket index),
-    * kept as a single integer-`div` expression on either schema. */
+    * kept as integer-`div` arithmetic on either schema. */
   def tsUsDiv(df: DataFrame, divisor: Long, c: String = "ts"): Column =
-    expr(s"${tsUsSql(df, c)} div $divisor")
+    call_function("div", tsUsCol(df, c), lit(divisor))
 
   /** events.ts → epoch day (floor; testdata timestamps are post-epoch). */
   def tsDay(df: DataFrame, c: String = "ts"): Column =

@@ -30,10 +30,13 @@ class EventTimeSchemaSpec extends AnyFunSuite {
     // normalize to epoch µs once, then materialize both generations
     val us = src.withColumn("ts", graft.operators.Q.tsUs(src))
 
-    val longDir = Files.createTempDirectory("ev_longns").toString
-    val tsDir = Files.createTempDirectory("ev_tsus").toString
+    val longDir = TestSpark.scratchDir("ev_longns")
+    val tsDir = TestSpark.scratchDir("ev_tsus")
     // generation A: nanos-since-epoch stored as a plain INT64 column
-    // (reads back as LongType with or without nanosAsLong)
+    // (reads back as LongType with or without nanosAsLong). LIMITATION:
+    // Spark cannot write TIMESTAMP(NANOS)-annotated parquet, so this
+    // covers the LongType branch of Q.tsUs but not the nanosAsLong
+    // read conf itself — the conf-presence guard below covers that.
     us.withColumn("ts", col("ts") * 1000L)
       .write.mode("overwrite").parquet(s"$longDir/events.parquet")
     // generation B: parquet timestamp[us] (reads back as Timestamp)
@@ -50,6 +53,25 @@ class EventTimeSchemaSpec extends AnyFunSuite {
       assert(a.nonEmpty, s"$name returned no rows on nanos-Long events")
       assert(a.toSeq == b.toSeq,
         s"$name differs across ts schemas: long=${a.take(2).toSeq} ts=${b.take(2).toSeq}")
+    }
+  }
+
+  // Spark cannot write TIMESTAMP(NANOS)-annotated parquet, so the real
+  // nanosAsLong read path is untestable here (the test above covers
+  // only the LongType branch of Q.tsUs). Guard the conf statically
+  // instead: dropping it from a driver entry point would silently skip
+  // the legacy generation, so every entry-point builder must set it.
+  test("every driver entry point pins spark.sql.legacy.parquet.nanosAsLong") {
+    val entryPoints = Seq(
+      "src/main/scala/graft/Bench.scala",
+      "src/main/scala/graft/Verify.scala",
+      "src/test/scala/graft/TestSpark.scala")
+    entryPoints.foreach { p =>
+      val txt = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/repo/$p")), "UTF-8")
+      assert(txt.contains("spark.sql.legacy.parquet.nanosAsLong"),
+        s"$p builds a SparkSession without the nanosAsLong conf — the " +
+          "TIMESTAMP(NANOS) testdata generation would break silently")
     }
   }
 }

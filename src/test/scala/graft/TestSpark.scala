@@ -18,4 +18,20 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Temp dir that is recursively deleted at JVM exit — specs that
+    * materialize whole table copies (InputOrderInvarianceSpec,
+    * EventTimeSchemaSpec) must not leave orphaned parquet in /tmp
+    * across runs (ADVICE r7). */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
 }
