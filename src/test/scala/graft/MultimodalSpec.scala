@@ -86,6 +86,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.aHash64(burst) != ((hi, lo)))
   }
 
+  // ---- REAL codec (ImageIoCodec, JDK javax.imageio — no stub) ----
+
+  /** Real PNG bytes: w×h gradient with per-image phase, so distinct
+    * images differ and near-duplicates (tiny phase shift) stay close. */
+  private def png(w: Int, h: Int, phase: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 255 / math.max(w - 1, 1)) + phase) % 256
+      val u = (y * 255 / math.max(h - 1, 1) + phase / 2) % 256
+      img.setRGB(x, y, (v << 16) | (u << 8) | ((v + u) / 2))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  test("ImageIoCodec decodes real PNG containers: exact dimensions, image type") {
+    val meta = graft.operators.ImageIoCodec.decode(png(64, 48, 0))
+    assert(meta.mediaType == "image")
+    assert(meta.width == 64 && meta.height == 48)
+    intercept[IllegalArgumentException] {
+      graft.operators.ImageIoCodec.decode("not an image".getBytes)
+    }
+  }
+
+  test("ImageIoCodec resize: re-encoded PNG decodes at dims ÷ factor") {
+    val out = graft.operators.ImageIoCodec.resizePayload(png(64, 48, 0), 4)
+    val meta = graft.operators.ImageIoCodec.decode(out)
+    assert(meta.width == 16 && meta.height == 12)
+  }
+
+  test("ImageIoCodec aHash64: identical/near-dup images collide or stay " +
+    "close; distinct images are far; halves unsigned-32-bit") {
+    val c = graft.operators.ImageIoCodec
+    val a = c.aHash64(png(64, 64, 0))
+    assert(a._1 >= 0L && a._1 < (1L << 32) && a._2 >= 0L && a._2 < (1L << 32))
+    // byte-identical pixels re-encoded through resize(1) → same hash
+    assert(c.aHash64(c.resizePayload(png(64, 64, 0), 1)) == a)
+    // near-duplicate (tiny phase shift): small Hamming distance
+    assert(hamming(a, c.aHash64(png(64, 64, 4))) <= 12)
+    // different image (large phase = shifted gradient): far
+    assert(hamming(a, c.aHash64(png(64, 64, 128))) >= 20)
+  }
+
+  test("ImageIoCodec features: normalized gray histogram of the decoded pixels") {
+    val f = graft.operators.ImageIoCodec.features(png(32, 32, 0), 8)
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0) < 1e-9) // probability mass over buckets
+    assert(f.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("real codec drives every pipeline stage over real PNG payloads") {
+    val df = Seq(
+      (1L, png(64, 48, 0)), (2L, png(64, 48, 3)), (3L, png(80, 60, 130)))
+      .toDF("id", "img")
+    val m = Multimodal.asMediaTable(df, "id", "img",
+      codec = graft.operators.ImageIoCodec)
+    val rows = m.collect().sortBy(_.id)
+    assert(rows.map(r => (r.meta.width, r.meta.height)).toSeq ==
+      Seq((64, 48), (64, 48), (80, 60)))
+    val r2 = Multimodal.resize(m, factor = 2,
+      codec = graft.operators.ImageIoCodec).collect().sortBy(_.id)
+    // payloads are REAL re-encoded PNGs: decode them back
+    assert(r2.map(r => graft.operators.ImageIoCodec.decode(r.payload))
+      .map(mm => (mm.width, mm.height)).toSeq ==
+      Seq((32, 24), (32, 24), (40, 30)))
+    val f = Multimodal.extractFeatures(m, dim = 8,
+      codec = graft.operators.ImageIoCodec).collect()
+    assert(f.length == 24 && f.forall(_.value >= 0.0))
+    // the pHash-dedup shape: 1 and 2 are near-dups, 3 is not
+    val h = rows.map(r => graft.operators.ImageIoCodec.aHash64(r.payload))
+    assert(hamming(h(0), h(1)) < hamming(h(0), h(2)))
+  }
+
   test("sampleFrames: positional slices, stride/frameLen honored") {
     val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
       maxFrames = 3).orderBy("id").collect()
