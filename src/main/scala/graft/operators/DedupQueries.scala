@@ -595,6 +595,25 @@ ORDER BY d.doc_id"""
     * cells to show the per-cell pair work staying flat. */
   def semanticKeep(e: org.apache.spark.sql.DataFrame, nCells: Int,
                    theta: Double): org.apache.spark.sql.DataFrame = {
+    val drops = cellBlockedCosinePairs(e, nCells, theta)
+      .select(col("b_id")).distinct()
+    e.join(broadcast(drops), col("vec_id") === col("b_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** Cell-blocked cosine near-dup PAIRS — the scale leg of
+    * embedding-cosine dedup (VERDICT r7 #5: q_dedup_embed_cosine's
+    * bounded all-pairs form is the math gate; THIS is the shape that
+    * ships). Nearest-centroid assignment (broadcast `nCells`-row
+    * codebook, fixed deterministic init = first nCells corpus vectors),
+    * then within-cell pairwise fused cosine ≥ `theta` — a plain
+    * equi-join on cent_id, so pair volume is Σ cell² not n², and
+    * `nCells` grows with the corpus to keep cells constant-size
+    * (SemDeDup's contract; examples.SemanticScaleProbe measures it).
+    * Returns (a_id, b_id, cos). [[semanticKeep]] derives its drop set
+    * from these pairs. */
+  def cellBlockedCosinePairs(e: org.apache.spark.sql.DataFrame, nCells: Int,
+                             theta: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"),
@@ -616,12 +635,10 @@ ORDER BY d.doc_id"""
       col("embedding").as("va"))
     val b = assigned.select(col("cent_id").as("cent_b"),
       col("vec_id").as("b_id"), col("embedding").as("vb"))
-    val drops = a.join(b,
-        col("cent_id") === col("cent_b") && col("a_id") < col("b_id"))
-      .filter(VectorFunctions.cosine(col("va"), col("vb")) >= theta)
-      .select(col("b_id")).distinct()
-    e.join(broadcast(drops), col("vec_id") === col("b_id"), "left_anti")
-      .select(col("vec_id"), col("label"))
+    a.join(b, col("cent_id") === col("cent_b") && col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= theta)
+      .select(col("a_id"), col("b_id"), col("cos"))
   }
 
   val specs: Seq[Spec] = Seq(
@@ -1152,6 +1169,47 @@ FROM grouped ORDER BY doc_id""")),
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
              SELECT a_id, b_id, round(cos, 4) AS cos_sim
              FROM pairs WHERE cos >= 0.4 ORDER BY a_id, b_id""")),
+
+    // The SCALE leg of embedding-cosine dedup (VERDICT r7 #5): same
+    // cosine-threshold pair semantics as q_dedup_embed_cosine, but
+    // candidates come from cell blocking (nearest-centroid assignment,
+    // broadcast codebook) instead of all-pairs — within-cell pair
+    // volume is Σ cell², and nCells grows with the corpus so cells
+    // stay constant-size. The oracle replays the identical blocking
+    // (fixed init, same distance expansion, same tie-break), so the
+    // deliberate cross-cell recall trade-off is part of the declared
+    // semantics, exactly as q_dedup_simhash_pairs declares its prefix
+    // buckets. q_dedup_embed_cosine remains the bounded all-pairs math
+    // gate; THIS row is the one the 10×/100× scale tables track.
+    Spec("q_dedup_embed_blocked",
+      (s, dir) => cellBlockedCosinePairs(t(s, dir, "embeddings"),
+          nCells = 8, theta = 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+             asn AS (
+               SELECT vec_id, cent_id FROM (
+                 SELECT e.vec_id, c.cent_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, e.v)
+                            - 2 * list_dot_product(e.v, c.cv)
+                            + list_dot_product(c.cv, c.cv), c.cent_id) AS rn
+                 FROM e, c) x WHERE rn = 1)
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    round(list_dot_product(ea.v, eb.v)
+                            / (sqrt(list_dot_product(ea.v, ea.v))
+                               * sqrt(list_dot_product(eb.v, eb.v))), 4)
+                      AS cos_sim
+             FROM asn a JOIN asn b ON a.cent_id = b.cent_id
+                                  AND a.vec_id < b.vec_id
+             JOIN e ea ON ea.vec_id = a.vec_id
+             JOIN e eb ON eb.vec_id = b.vec_id
+             WHERE list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+             ORDER BY a_id, b_id""")),
 
     // Exact incremental dedup through the bloom membership pre-filter:
     // result must be bit-identical to the plain digest anti-join the

@@ -51,6 +51,19 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_embed_blocked pair join is cell-keyed, never all-pairs") {
+    val p = plan("q_dedup_embed_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_window_ntile_month partitions its window exchange on BOTH " +
+    "(year, month) keys") {
+    val p = plan("q_window_ntile_month")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(o_year") && p.contains("o_month"),
+      s"window exchange not keyed by (o_year, o_month):\n$p")
+  }
+
   test("q_tfidf broadcasts the scalar corpus count, no cartesian blowup") {
     val p = plan("q_tfidf")
     assert(!p.contains("CartesianProduct"), p)
@@ -212,6 +225,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_pq_recall",      // exact-L2 brute leg: 20-row query broadcast
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
+      "q_dedup_embed_blocked", // same 8-row codebook crossJoin (pairs leg)
       "q_balance_classes",    // 1-row scalar target crossJoin
       "q_mix_sources",        // 1-row token-total crossJoin
       "q_heavy_hitters",      // 1-row broadcast sketch crossJoin
