@@ -612,6 +612,20 @@ ORDER BY d.doc_id"""
     * (SemDeDup's contract; examples.SemanticScaleProbe measures it).
     * Returns (a_id, b_id, cos). [[semanticKeep]] derives its drop set
     * from these pairs. */
+  /** Data-derived cell count for [[cellBlockedCosinePairs]] — the
+    * SemDeDup contract (cells ∝ corpus, constant expected cell size)
+    * as a derivation instead of a manual knob, the same move
+    * ScaleOps.deriveFuzzyBlocking makes for the fuzzy-join prefix:
+    * `greatest(8, n div targetCellSize)`. One count() scalar; integer
+    * arithmetic so an oracle replays it exactly. At the gate corpora
+    * this lands on the historical 8 (500 vecs ÷ 64 → 8); at 10×/100×
+    * replicas it scales to 312 / 3125 cells, keeping within-cell pair
+    * volume LINEAR in the corpus while the fixed-8 form grows
+    * quadratically (702 s at the 100× replica — measured, r8). */
+  def deriveCells(e: org.apache.spark.sql.DataFrame,
+                  targetCellSize: Long = 64L): Int =
+    math.max(8L, e.count() / targetCellSize).toInt
+
   def cellBlockedCosinePairs(e: org.apache.spark.sql.DataFrame, nCells: Int,
                              theta: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1180,15 +1194,21 @@ FROM grouped ORDER BY doc_id""")),
     // deliberate cross-cell recall trade-off is part of the declared
     // semantics, exactly as q_dedup_simhash_pairs declares its prefix
     // buckets. q_dedup_embed_cosine remains the bounded all-pairs math
-    // gate; THIS row is the one the 10×/100× scale tables track.
+    // gate; THIS row is the one the 10×/100× scale tables track. The
+    // cell count is DATA-DERIVED (deriveCells: n div 64, floor 8) so
+    // the row carries its own operating point to any scale — the
+    // oracle replays the same integer derivation.
     Spec("q_dedup_embed_blocked",
-      (s, dir) => cellBlockedCosinePairs(t(s, dir, "embeddings"),
-          nCells = 8, theta = 0.4)
-        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy(col("a_id"), col("b_id")),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        cellBlockedCosinePairs(e, nCells = deriveCells(e), theta = 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                         FROM embeddings),
-             c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+             c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                   WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM e)),
              asn AS (
                SELECT vec_id, cent_id FROM (
                  SELECT e.vec_id, c.cent_id,

@@ -525,9 +525,10 @@ object TextQueries {
     // exercised here by 'de', whose target exceeds its supply). Two
     // tiny broadcast aggregates; the corpus itself is filtered in one
     // map-only pass — no shuffle of document rows at any scale. All
-    // threshold arithmetic is integer (exact cross-engine); the long
-    // products stay < 2^63 until ~4.6e12 tokens per class — past that,
-    // promote the comparison to decimal(38).
+    // threshold arithmetic is integer (exact cross-engine); the
+    // comparison runs in decimal(38,0) (DuckDB: HUGEINT) because the
+    // bucket·toks product passes 2^63 around ~4.6e12 tokens per
+    // class — decimal keeps it integer-exact to 1e38, far past 100 TB.
     Spec("q_mix_sources",
       (s, dir) => {
         val bucket = conv(substring(md5(concat(lit("mix|"),
@@ -546,7 +547,8 @@ object TextQueries {
         docs.withColumn("tok", tok)
           .join(broadcast(counts), "lang")
           .crossJoin(broadcast(total))
-          .filter(bucket * 2L * col("toks_lang") < w * col("T") * 1000L)
+          .filter(bucket.cast("decimal(38,0)") * 2L * col("toks_lang") <
+            w * col("T").cast("decimal(38,0)") * 1000L)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("toks_kept"))
           .orderBy(col("lang"))
@@ -560,10 +562,10 @@ object TextQueries {
              SELECT d.lang, count(*) AS n_kept,
                     CAST(sum(d.tok) AS BIGINT) AS toks_kept
              FROM tk d JOIN counts c ON d.lang = c.lang CROSS JOIN total t
-             WHERE (CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) * 2 * c.toks_lang
+             WHERE CAST((CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS HUGEINT) * 2 * c.toks_lang
                    < (CASE d.lang WHEN 'en' THEN 250 WHEN 'de' THEN 350
                                   WHEN 'es' THEN 150 WHEN 'fr' THEN 150
-                                  ELSE 100 END) * t.T * 1000
+                                  ELSE 100 END) * CAST(t.T AS HUGEINT) * 1000
              GROUP BY d.lang ORDER BY d.lang""")),
 
     // Temperature-scaled source mixing (τ = 0.5) — the multilingual
@@ -578,8 +580,11 @@ object TextQueries {
     // is what keeps the rule oracle-replayable). keep iff
     // bucket·Σw·toks_c < B·w_c·1e6 with budget B = T/2 — same
     // deterministic md5-threshold machinery as the balancer. Two tiny
-    // broadcast aggregates + one map-only corpus pass; products stay
-    // < 2^63 far past gate scale (promote to decimal(38) beyond).
+    // broadcast aggregates + one map-only corpus pass. The 4-factor
+    // product bucket·sw·toks·2 passes 2^63 already at the 100× replica
+    // (it overflowed there — caught by the r8 scale run), so the
+    // comparison runs in decimal(38,0) (DuckDB: HUGEINT): still
+    // integer-exact cross-engine, with headroom to 1e38.
     Spec("q_mix_temperature",
       (s, dir) => {
         val bucket = conv(substring(md5(concat(lit("mixt|"),
@@ -596,8 +601,9 @@ object TextQueries {
         docs.withColumn("tok", tok)
           .join(broadcast(counts), "lang")
           .crossJoin(broadcast(scalars))
-          .filter(bucket * col("sw") * col("toks_lang") * 2L <
-            col("T") * col("w") * 1000000L)
+          .filter(bucket.cast("decimal(38,0)") * col("sw") *
+              col("toks_lang") * 2L <
+            col("T").cast("decimal(38,0)") * col("w") * 1000000L)
           .groupBy(col("lang"))
           .agg(max(col("w")).as("w"),
             count(lit(1)).as("n_kept"), sum(col("tok")).as("toks_kept"))
@@ -618,8 +624,8 @@ object TextQueries {
              SELECT d.lang, max(c.w) AS w, count(*) AS n_kept,
                     CAST(sum(d.tok) AS BIGINT) AS toks_kept
              FROM tk d JOIN counts c ON d.lang = c.lang CROSS JOIN scalars t
-             WHERE (CAST(('0x' || substr(md5('mixt|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) * t.sw * c.toks_lang * 2
-                   < t.T * c.w * 1000000
+             WHERE CAST((CAST(('0x' || substr(md5('mixt|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS HUGEINT) * t.sw * c.toks_lang * 2
+                   < CAST(t.T AS HUGEINT) * c.w * 1000000
              GROUP BY d.lang ORDER BY d.lang""")),
 
     // Exact-k deterministic sample per group — the complement of the
