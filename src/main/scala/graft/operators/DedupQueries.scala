@@ -628,12 +628,19 @@ ORDER BY d.doc_id"""
 
   def cellBlockedCosinePairs(e: org.apache.spark.sql.DataFrame, nCells: Int,
                              theta: Double): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"),
         VectorFunctions.asDouble(col("embedding")).as("cv"))
     def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       VectorFunctions.dot(a, b)
+    // argmin as filter(row_number = 1) over the n × nCells candidate
+    // grid: Spark's InferWindowGroupLimit rewrites the rank filter into
+    // a map-side per-key top-1 (WindowGroupLimitExec) BEFORE the window
+    // exchange, so the grid never sorts at full volume — measured at
+    // the 100× replica this beats a min(struct(d, cent_id)) hash-agg
+    // 2× (49.9 s vs 107.1 s; the struct comparator drops the agg out
+    // of whole-stage codegen, while the group-limit path stays native).
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("__d"), col("cent_id"))
     val assigned = e.select(col("vec_id"), col("embedding"))

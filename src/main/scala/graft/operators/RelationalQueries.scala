@@ -316,13 +316,18 @@ object RelationalQueries {
     // change results, so the oracle ignores them). On the measured
     // replicas this lands exactly on the hand-tuned points: p=1 at
     // sf0.01, p=2 at sf0.1/10× (BASELINE.md: 1 char → 22.4 s,
-    // 2 chars → 12.5 s at −0.08 % recall), p=4 + salts at 100×.
+    // 2 chars → 12.5 s at −0.08 % recall), p=8 at 100× — the r8 run
+    // measured pMax=4 saturating there (expected occupancy 3067,
+    // block-pair volume 3.35e9, 809 s), while p=8's occupancy is 29
+    // and pair volume 1.93e8; the pMax=8 ceiling lets the derivation
+    // keep walking the occupancy curve at corpus scale, at the same
+    // documented recall trade (edits inside the first 8 chars).
     Spec("q_fuzzy_match_blocked",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
         val bp = ScaleOps.deriveFuzzyBlocking(docs, "k",
-          targetRowsPerBlock = 200, pMax = 4)
+          targetRowsPerBlock = 200, pMax = 8)
         ScaleOps.blockedFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
@@ -340,13 +345,21 @@ object RelationalQueries {
                               count(DISTINCT substr(s, 1, 1)) AS d1,
                               count(DISTINCT substr(s, 1, 2)) AS d2,
                               count(DISTINCT substr(s, 1, 3)) AS d3,
-                              count(DISTINCT substr(s, 1, 4)) AS d4
+                              count(DISTINCT substr(s, 1, 4)) AS d4,
+                              count(DISTINCT substr(s, 1, 5)) AS d5,
+                              count(DISTINCT substr(s, 1, 6)) AS d6,
+                              count(DISTINCT substr(s, 1, 7)) AS d7,
+                              count(DISTINCT substr(s, 1, 8)) AS d8
                        FROM k),
              params AS (SELECT CASE
                           WHEN n // greatest(d1, 1) <= 200 THEN 1
                           WHEN n // greatest(d2, 1) <= 200 THEN 2
                           WHEN n // greatest(d3, 1) <= 200 THEN 3
-                          ELSE 4 END AS p FROM stats),
+                          WHEN n // greatest(d4, 1) <= 200 THEN 4
+                          WHEN n // greatest(d5, 1) <= 200 THEN 5
+                          WHEN n // greatest(d6, 1) <= 200 THEN 6
+                          WHEN n // greatest(d7, 1) <= 200 THEN 7
+                          ELSE 8 END AS p FROM stats),
              l AS (SELECT doc_id AS id_a, s AS s_a,
                           substr(s, 1, (SELECT p FROM params)) AS c,
                           length(s) // 4 AS b FROM k),

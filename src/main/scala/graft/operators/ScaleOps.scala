@@ -185,7 +185,8 @@ object ScaleOps {
 
   def deriveFuzzyBlocking(df: DataFrame, c: String,
                           targetRowsPerBlock: Long = 200,
-                          pMax: Int = 4): FuzzyBlocking = {
+                          pMax: Int = 4,
+                          bandWidth: Int = 4): FuzzyBlocking = {
     require(targetRowsPerBlock >= 1, "targetRowsPerBlock must be >= 1")
     require(pMax >= 1, "pMax must be >= 1")
     val aggs = (1 to pMax).map(p =>
@@ -197,8 +198,20 @@ object ScaleOps {
       case -1 => pMax
       case i  => i + 1
     }
+    // salts must bound the WORST block, not the average: a corpus whose
+    // head token dominates ('customer ...' on this testdata) puts a
+    // quadratic verify loop on one task no matter how good the expected
+    // occupancy looks (measured at the 100× replica: expected occ 29 at
+    // p=8 but one 9153-row block = 42 M pairs on a single core). One
+    // more cheap aggregate — max block count over the ACTUAL blocking
+    // key (prefix, length band) — sizes the salt split so every task's
+    // pair loop is ~targetRowsPerBlock × blockRows.
+    val maxOcc = df
+      .groupBy(substring(col(c), 1, p),
+        (length(col(c)) / bandWidth).cast("long"))
+      .count().agg(max(col("count"))).head().getLong(0)
     val salts =
-      ((occ(p - 1) + targetRowsPerBlock - 1) / targetRowsPerBlock).max(1L)
+      ((maxOcc + targetRowsPerBlock - 1) / targetRowsPerBlock).max(1L)
     FuzzyBlocking(p, salts.toInt)
   }
 
