@@ -332,7 +332,8 @@ object RelationalQueries {
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
             "s_a", "s_b", maxDist = 4,
-            salts = bp.salts, prefixLen = bp.prefixLen)
+            salts = bp.salts, prefixLen = bp.prefixLen,
+            saltHotOnlyAbove = 200L)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))

@@ -254,31 +254,59 @@ object ScaleOps {
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
                        maxDist: Int, distCol: String = "dist",
-                       salts: Int = 1, prefixLen: Int = 1): DataFrame = {
+                       salts: Int = 1, prefixLen: Int = 1,
+                       saltHotOnlyAbove: Long = 0L): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(salts >= 1, "salts must be >= 1")
     require(prefixLen >= 1, "prefixLen must be >= 1")
     val dup = left.columns.intersect(right.columns)
     require(dup.isEmpty,
       s"left/right column names must not collide: ${dup.mkString(", ")}")
-    val reserved = Seq("__c", "__b", "__b0", "__s", distCol)
+    val reserved = Seq("__c", "__b", "__b0", "__s", "__hot", distCol)
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"columns collide with blockedFuzzyJoin internals: ${clash.mkString(", ")}")
     val w = math.max(maxDist, 1)
     // int/int Column division is double; cast(long) truncates = floor
     // for the non-negative lengths here
-    val l = left
+    val l0 = left
       .withColumn("__c", substring(col(leftCol), 1, prefixLen))
       .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
-      .withColumn("__s", pmod(xxhash64(col(leftCol)), lit(salts)))
-    val r = right
+    val r0 = right
       .withColumn("__c", substring(col(rightCol), 1, prefixLen))
       .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
       .withColumn("__b",
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")
-      .withColumn("__s", explode(sequence(lit(0L), lit(salts - 1L))))
+    // `saltHotOnlyAbove > 0` = salt ONLY the blocks whose left-side
+    // occupancy exceeds the threshold. Flat salting replicates the
+    // whole right side `salts`×, which scales with the CORPUS; the hot
+    // blocks of a head-heavy corpus are a broadcastable handful of
+    // keys, so conditional salting makes the replication scale with
+    // the HOT MASS instead (the 100× replica: 69 M → ~7 M salted right
+    // rows for the same per-task pair bound). Cold blocks keep salt 0
+    // on both sides — the pair set is bit-identical either way.
+    val (l, r) =
+      if (salts == 1) (l0.withColumn("__s", lit(0L)),
+        r0.withColumn("__s", lit(0L)))
+      else if (saltHotOnlyAbove <= 0L)
+        (l0.withColumn("__s", pmod(xxhash64(col(leftCol)), lit(salts))),
+          r0.withColumn("__s", explode(sequence(lit(0L), lit(salts - 1L)))))
+      else {
+        val hot = l0.groupBy(col("__c"), col("__b"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > saltHotOnlyAbove)
+          .select(col("__c"), col("__b"), lit(1).as("__hot"))
+        val lS = l0.join(broadcast(hot), Seq("__c", "__b"), "left")
+          .withColumn("__s", when(col("__hot").isNotNull,
+            pmod(xxhash64(col(leftCol)), lit(salts))).otherwise(lit(0L)))
+          .drop("__hot")
+        val rS = r0.join(broadcast(hot), Seq("__c", "__b"), "left")
+          .withColumn("__s", explode(when(col("__hot").isNotNull,
+            sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
+          .drop("__hot")
+        (lS, rS)
+      }
     l.join(r, Seq("__c", "__b", "__s"))
       // levenshtein(a,b) >= |len(a)-len(b)|: reject on the cheap length
       // probe before any DP table is built

@@ -191,6 +191,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(salted.toSet == brute && salted.length == salted.toSet.size,
       "salted blocked fuzzy join must equal the unsalted result")
+    // hot-only salting (blocks above the occupancy cut get salted,
+    // cold blocks keep salt 0 on both sides) is also physical only:
+    // same pair set, no duplicates — at a cut of 5 this corpus has a
+    // mix of hot and cold blocks, so both paths are exercised
+    val hotOnly = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, salts = 5, saltHotOnlyAbove = 5L)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hotOnly.toSet == brute && hotOnly.length == hotOnly.toSet.size,
+      "hot-only salted blocked fuzzy join must equal the unsalted result")
     // a longer blocking prefix trades recall for selectivity, exactly
     // along the documented line: blocked == { same first-2-chars && lev <= d }
     val p2 = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b",
