@@ -601,17 +601,6 @@ ORDER BY d.doc_id"""
       .select(col("vec_id"), col("label"))
   }
 
-  /** Cell-blocked cosine near-dup PAIRS — the scale leg of
-    * embedding-cosine dedup (VERDICT r7 #5: q_dedup_embed_cosine's
-    * bounded all-pairs form is the math gate; THIS is the shape that
-    * ships). Nearest-centroid assignment (broadcast `nCells`-row
-    * codebook, fixed deterministic init = first nCells corpus vectors),
-    * then within-cell pairwise fused cosine ≥ `theta` — a plain
-    * equi-join on cent_id, so pair volume is Σ cell² not n², and
-    * `nCells` grows with the corpus to keep cells constant-size
-    * (SemDeDup's contract; examples.SemanticScaleProbe measures it).
-    * Returns (a_id, b_id, cos). [[semanticKeep]] derives its drop set
-    * from these pairs. */
   /** Data-derived cell count for [[cellBlockedCosinePairs]] — the
     * SemDeDup contract (cells ∝ corpus, constant expected cell size)
     * as a derivation instead of a manual knob, the same move
@@ -626,6 +615,17 @@ ORDER BY d.doc_id"""
                   targetCellSize: Long = 64L): Int =
     math.max(8L, e.count() / targetCellSize).toInt
 
+  /** Cell-blocked cosine near-dup PAIRS — the scale leg of
+    * embedding-cosine dedup (VERDICT r7 #5: q_dedup_embed_cosine's
+    * bounded all-pairs form is the math gate; THIS is the shape that
+    * ships). Nearest-centroid assignment (broadcast `nCells`-row
+    * codebook, fixed deterministic init = first nCells corpus vectors),
+    * then within-cell pairwise fused cosine ≥ `theta` — a plain
+    * equi-join on cent_id, so pair volume is Σ cell² not n², and
+    * `nCells` grows with the corpus to keep cells constant-size
+    * (SemDeDup's contract; examples.SemanticScaleProbe measures it).
+    * Returns (a_id, b_id, cos). [[semanticKeep]] derives its drop set
+    * from these pairs. */
   def cellBlockedCosinePairs(e: org.apache.spark.sql.DataFrame, nCells: Int,
                              theta: Double): org.apache.spark.sql.DataFrame = {
     val cents = e.filter(col("vec_id") < nCells)
@@ -1265,15 +1265,22 @@ FROM grouped ORDER BY doc_id""")),
     // within-cell pair join is a plain equi-join on cent_id. At corpus
     // scale the cell count grows with the corpus (SemDeDup uses 10k+
     // clusters) so cells stay bounded and the pair join stays
-    // blocked — 8 cells here only because the gate corpus is 500
-    // vectors. Scoring is the native fused cosine.
+    // blocked — the count is DATA-DERIVED (deriveCells: n div 64,
+    // floor 8, same derivation as q_dedup_embed_blocked) so the row
+    // carries its own operating point to any scale; the oracle replays
+    // the identical integer derivation. At the gate corpus (500
+    // vectors) this lands on the historical 8. Scoring is the native
+    // fused cosine.
     Spec("q_dedup_semantic",
-      (s, dir) => semanticKeep(t(s, dir, "embeddings"), nCells = 8,
-          theta = 0.4)
-        .orderBy(col("vec_id")),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        semanticKeep(e, nCells = deriveCells(e), theta = 0.4)
+          .orderBy(col("vec_id"))
+      },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                         FROM embeddings),
-             c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+             c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                   WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM e)),
              asn AS (
                SELECT vec_id, cent_id FROM (
                  SELECT e.vec_id, c.cent_id,

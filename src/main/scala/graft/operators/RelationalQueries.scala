@@ -327,7 +327,7 @@ object RelationalQueries {
         val docs = t(s, dir, "documents").select(col("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
         val bp = ScaleOps.deriveFuzzyBlocking(docs, "k",
-          targetRowsPerBlock = 200, pMax = 8)
+          targetRowsPerBlock = 200, pMax = 8, maxDist = 4)
         ScaleOps.blockedFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),

@@ -174,7 +174,11 @@ object ScaleOps {
     *    corpus' prefix diversity saturates);
     *  - `salts` = how many ways the residual occupancy at that prefix
     *    must split so one block's quadratic verify loop stays ~one
-    *    task's worth of CPU (`ceil(occupancy / targetRowsPerBlock)`).
+    *    task's worth of CPU (`ceil(occupancy / targetRowsPerBlock)`,
+    *    where occupancy is the worst 3-band NEIGHBORHOOD of the actual
+    *    (prefix, length-band) blocking key — pass the join's `maxDist`
+    *    so the measured bands are the bands [[blockedFuzzyJoin]]
+    *    builds).
     *
     * The aggregate is a single scan producing one row (`pMax + 1`
     * longs) — the same small-by-construction driver scalar as the
@@ -186,7 +190,7 @@ object ScaleOps {
   def deriveFuzzyBlocking(df: DataFrame, c: String,
                           targetRowsPerBlock: Long = 200,
                           pMax: Int = 4,
-                          bandWidth: Int = 4): FuzzyBlocking = {
+                          maxDist: Int = 4): FuzzyBlocking = {
     require(targetRowsPerBlock >= 1, "targetRowsPerBlock must be >= 1")
     require(pMax >= 1, "pMax must be >= 1")
     val aggs = (1 to pMax).map(p =>
@@ -203,13 +207,27 @@ object ScaleOps {
     // quadratic verify loop on one task no matter how good the expected
     // occupancy looks (measured at the 100× replica: expected occ 29 at
     // p=8 but one 9153-row block = 42 M pairs on a single core). One
-    // more cheap aggregate — max block count over the ACTUAL blocking
-    // key (prefix, length band) — sizes the salt split so every task's
-    // pair loop is ~targetRowsPerBlock × blockRows.
-    val maxOcc = df
-      .groupBy(substring(col(c), 1, p),
-        (length(col(c)) / bandWidth).cast("long"))
-      .count().agg(max(col("count"))).head().getLong(0)
+    // more cheap aggregate — max occupancy over the ACTUAL blocking key
+    // (prefix, length band), with band width tied to the SAME
+    // max(maxDist, 1) blockedFuzzyJoin will use, so the measured blocks
+    // are the blocks the join builds. A task's verify loop pairs a left
+    // block against the right side's band ±1 neighborhood, so the
+    // occupancy that must split is the 3-band NEIGHBORHOOD sum, not the
+    // single band — the self-join below runs on the already-aggregated
+    // block-count table (|prefixes|×|bands| rows, tiny by construction).
+    val w = math.max(maxDist, 1)
+    val blockCounts = df
+      .groupBy(substring(col(c), 1, p).as("__c"),
+        (length(col(c)) / w).cast("long").as("__b"))
+      .count()
+    val nbr = blockCounts.select(col("__c"), col("__b"), col("count"))
+      .join(blockCounts.select(col("__c").as("__c2"), col("__b").as("__b2"),
+          col("count").as("__n2")),
+        col("__c") === col("__c2") && abs(col("__b") - col("__b2")) <= 1)
+      .groupBy(col("__c"), col("__b")).agg(sum(col("__n2")).as("__nbr"))
+      .agg(max(col("__nbr"))).head()
+    // empty input → max over zero groups is null → no salting needed
+    val maxOcc = if (nbr.isNullAt(0)) 0L else nbr.getLong(0)
     val salts =
       ((maxOcc + targetRowsPerBlock - 1) / targetRowsPerBlock).max(1L)
     FuzzyBlocking(p, salts.toInt)
@@ -286,11 +304,21 @@ object ScaleOps {
     // the HOT MASS instead (the 100× replica: 69 M → ~7 M salted right
     // rows for the same per-task pair bound). Cold blocks keep salt 0
     // on both sides — the pair set is bit-identical either way.
+    // Salt assignment hashes (key, per-row unique id) rather than the
+    // key alone: an exact-duplicate-heavy hot block (many copies of ONE
+    // string) would otherwise send every row to the same salt and keep
+    // its straggler despite salts=N. The id component is safe for
+    // correctness even across task retries — each left row lands on
+    // exactly one salt and the right side replicates to ALL salts, so
+    // every candidate pair meets exactly once whichever salt the left
+    // row draws.
+    def saltOf = pmod(
+      xxhash64(col(leftCol), monotonically_increasing_id()), lit(salts))
     val (l, r) =
       if (salts == 1) (l0.withColumn("__s", lit(0L)),
         r0.withColumn("__s", lit(0L)))
       else if (saltHotOnlyAbove <= 0L)
-        (l0.withColumn("__s", pmod(xxhash64(col(leftCol)), lit(salts))),
+        (l0.withColumn("__s", saltOf),
           r0.withColumn("__s", explode(sequence(lit(0L), lit(salts - 1L)))))
       else {
         val hot = l0.groupBy(col("__c"), col("__b"))
@@ -299,7 +327,7 @@ object ScaleOps {
           .select(col("__c"), col("__b"), lit(1).as("__hot"))
         val lS = l0.join(broadcast(hot), Seq("__c", "__b"), "left")
           .withColumn("__s", when(col("__hot").isNotNull,
-            pmod(xxhash64(col(leftCol)), lit(salts))).otherwise(lit(0L)))
+            saltOf).otherwise(lit(0L)))
           .drop("__hot")
         val rS = r0.join(broadcast(hot), Seq("__c", "__b"), "left")
           .withColumn("__s", explode(when(col("__hot").isNotNull,
