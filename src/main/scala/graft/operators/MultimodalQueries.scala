@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   import Q._
 
+  /** Committed real-codec golden fixture (examples.MmGoldenFixture).
+    * Absolute paths: the verify/bench harnesses run with an sf dir,
+    * not the repo dir, and the DuckDB oracle reads the same files.
+    * (Declared before `specs` — the oracle string interpolates them
+    * at object init.) */
+  val goldenImagesPath = "/root/repo/fixtures/mm_golden_images.parquet"
+  val goldenExpectedPath = "/root/repo/fixtures/mm_golden_expected.parquet"
+
   val specs: Seq[Spec] = Seq(
 
     // Binary payload + typed metadata extraction: byte length, content
@@ -179,6 +187,48 @@ object MultimodalQueries {
                     CAST(bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
              FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
              WHERE bit_count(xor(a.lo, b.lo)) <= 6
-             ORDER BY doc_a, doc_b"""))
+             ORDER BY doc_a, doc_b""")),
+
+    // The REAL codec, oracle-gated (VERDICT r8 #2): committed PNG
+    // payloads (fixtures/mm_golden_images.parquet — solids, gradients,
+    // checkers, noise, near-dup twins; generated + committed by
+    // examples.MmGoldenFixture) driven end-to-end through
+    // ImageIoCodec — container decode, 8×8-pooled aHash64, factor-2
+    // resize → re-encode → re-decode, 8-bucket grayscale histogram —
+    // inside the same per-partition codec-context mapPartitions shape
+    // the stub rows use. The oracle replays the committed expectation
+    // table, whose values the generator computed INDEPENDENTLY from
+    // the pixel matrices it drew (the codec never ran at generation
+    // time; PNG is lossless so the decoded matrix is the contract) —
+    // a regression in any codec stage shows as a value mismatch here.
+    // The stub row above is retained: it is the oracle-replayable
+    // sampling-mechanics gate; THIS row gates the real decoder.
+    Spec("q_mm_phash_real",
+      (s, dir) => {
+        import s.implicits._
+        s.read.parquet(goldenImagesPath)
+          .select(col("img_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val codec = ImageIoCodec // one codec context per partition
+            it.map { case (id, p) =>
+              val m = codec.decode(p)
+              val (hi, lo) = codec.aHash64(p)
+              val rs = codec.decode(codec.resizePayload(p, 2))
+              val f = codec.features(p, 8)
+              (id, m.width.toLong, m.height.toLong, hi, lo,
+                rs.width.toLong, rs.height.toLong,
+                f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+            }
+          }
+          .toDF("img_id", "width", "height", "phash_hi", "phash_lo",
+            "rs_width", "rs_height",
+            "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+          .orderBy(col("img_id"))
+      },
+      Some(s"""SELECT img_id, width, height, phash_hi, phash_lo,
+                    rs_width, rs_height, f0, f1, f2, f3, f4, f5, f6, f7
+             FROM read_parquet('$goldenExpectedPath/*.parquet')
+             ORDER BY img_id"""))
   )
 }

@@ -164,6 +164,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(h(0), h(1)) < hamming(h(0), h(2)))
   }
 
+  test("golden fixture: ImageIoCodec reproduces every committed " +
+    "expectation (dims, aHash, resize dims, features)") {
+    import graft.examples.MmGoldenFixture
+    import graft.operators.ImageIoCodec
+    // parity BY CONSTRUCTION, not by file: regenerate the corpus in
+    // memory and compare the generator's matrix-derived expectations
+    // against the codec's decode of the PNG encoding — the exact
+    // contract q_mm_phash_real's oracle replays from the committed
+    // parquet
+    MmGoldenFixture.images().foreach { case (id, m) =>
+      val png = MmGoldenFixture.encodePng(m)
+      val meta = ImageIoCodec.decode(png)
+      assert((meta.width, meta.height) == (m(0).length, m.length),
+        s"img $id dims")
+      assert(ImageIoCodec.aHash64(png) == MmGoldenFixture.expectedAHash(m),
+        s"img $id aHash")
+      val rs = ImageIoCodec.decode(ImageIoCodec.resizePayload(png, 2))
+      assert((rs.width, rs.height) ==
+        (math.max(1, m(0).length / 2), math.max(1, m.length / 2)),
+        s"img $id resize dims")
+      assert(ImageIoCodec.features(png, 8).toSeq ==
+        MmGoldenFixture.expectedFeatures(m, 8).toSeq, s"img $id features")
+    }
+    // the committed parquet matches the in-memory regeneration (guards
+    // against a stale fixture after a generator edit)
+    val committed = spark.read.parquet(MmGoldenFixture.expectedPath)
+      .orderBy("img_id").collect()
+    val fresh = MmGoldenFixture.expectedRows()
+    assert(committed.length == fresh.length, "fixture row count")
+    committed.zip(fresh).foreach { case (row, e) =>
+      assert(row.getLong(row.fieldIndex("phash_hi")) == e.phash_hi &&
+        row.getLong(row.fieldIndex("phash_lo")) == e.phash_lo &&
+        row.getLong(row.fieldIndex("width")) == e.width &&
+        row.getLong(row.fieldIndex("height")) == e.height,
+        s"committed fixture stale at img ${e.img_id} — rerun MmGoldenFixture")
+    }
+    // twins are near-dups: tiny Hamming distance to their source image
+    val byId = fresh.map(e => e.img_id -> e).toMap
+    Seq(17L -> 4L, 18L -> 9L, 19L -> 12L, 20L -> 15L).foreach {
+      case (twin, src) =>
+        val d = java.lang.Long.bitCount(byId(twin).phash_hi ^ byId(src).phash_hi) +
+          java.lang.Long.bitCount(byId(twin).phash_lo ^ byId(src).phash_lo)
+        assert(d <= 6, s"twin $twin vs $src hamming $d")
+    }
+  }
+
   test("sampleFrames: positional slices, stride/frameLen honored") {
     val frames = Multimodal.sampleFrames(media(), stride = 8, frameLen = 4,
       maxFrames = 3).orderBy("id").collect()
