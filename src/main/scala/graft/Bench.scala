@@ -166,9 +166,12 @@ object Bench {
     def suspectVsRecord(v: Double, r: Double): Boolean = v > 2.5 * r + 0.3
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val screened: Seq[(String, QueryResult)] = results.map { case (name, q) =>
-      (q.value, records.get(name)) match {
-        case (Right(v), Some(rec)) if suspectVsRecord(v, rec) =>
-          val fn = SparkEntry.queries(name)
+      (q.value, records.get(name),
+          // total-function lookup: a record file carrying a name the
+          // battery no longer has (or never had) must not throw —
+          // the stale entry is simply never consulted
+          SparkEntry.queries.get(name)) match {
+        case (Right(v), Some(rec), Some(fn)) if suspectVsRecord(v, rec) =>
           var passes = q.passes
           var best = v
           var tries = 0
@@ -184,6 +187,19 @@ object Bench {
           name -> QueryResult(Right(best), passes)
         case _ => name -> q
       }
+    }
+    // provenance: surface the records file's recorded git SHA (if any)
+    // so an artifact measured against a stale record set is detectable
+    // by diffing against the repo HEAD that produced the run
+    val recordsSha: String = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECORDS",
+        "/root/repo/bench/quiet_records.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        """"git_sha"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("unrecorded")
+      } catch { case _: Throwable => "absent" }
     }
     val slowVsRecord: Seq[(String, Double)] = screened.collect {
       case (name, q) if q.value.isRight && records.contains(name) &&
@@ -235,7 +251,7 @@ object Bench {
     val svr = slowVsRecord.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
