@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
   import Q._
 
+  /** Materialize a many-times-reused edge table as COMPRESSED COLUMNAR
+    * cache (InMemoryRelation, MEMORY_AND_DISK) instead of
+    * `localCheckpoint`. The r9 8 g probe against the 100× replica OOMed
+    * both iterative rows through exactly this seam: localCheckpoint
+    * stores the ~100 M-row symmetrized edge list as deserialized
+    * per-row objects (~5+ GB of heap at 100×), competes with every
+    * task's execution memory, and — because it truncates lineage — a
+    * lost block is unrecoverable ("Block rdd_186_29 does not exist").
+    * The columnar cache is a fraction of the size, evicts to disk
+    * under pressure, and an evicted block RECOMPUTES from lineage
+    * instead of crashing the job. Plan-growth truncation (the reason
+    * localCheckpoint exists here) is still applied, but only to the
+    * small per-round state tables (|V| rows), never to the edge list. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
+  }
+
+  /** "8g"/"512m"-style JVM size string → bytes. */
+  private def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 't' => (t.dropRight(1), 1L << 40)
+      case _   => (t, 1L)
+    }
+    (num.toDouble * mult).toLong
+  }
+
   /** Fixed iteration count for the gate — unrolled as explicit CTEs in
     * the DuckDB oracle, so keep the two in sync. */
   val PageRankIters = 3
@@ -47,9 +79,8 @@ object GraphQueries {
     */
   def pageRank(edges: DataFrame, iters: Int,
                checkpointEvery: Int = 4): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+    val e = materialize(edges.select(col("src"), col("dst")))
+    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (k <- 1 to iters) {
       ranks = e.join(ranks, e("src") === ranks("node"))
@@ -99,8 +130,8 @@ object GraphQueries {
     val PackShift = 4294967296L // 2^32
     val sym = edges.select(col("src"), col("dst"))
     val nodes = sym.select(col("src")).distinct()
-    val e = sym.union(nodes.select(col("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val e = materialize(
+      sym.union(nodes.select(col("src"), col("src").as("dst"))))
     val bounds = e.agg(max(col("src")).as("mx"), count(lit(1)).as("n")).head()
     require(bounds.getLong(0) >= 0 && bounds.getLong(0) < PackShift - 1 &&
       bounds.getLong(1) < (1L << 31),
@@ -152,7 +183,7 @@ object GraphQueries {
     * bit-identical across plans and aggregation orders.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val e = materialize(edges.select(col("u"), col("v")))
     val deg = e.select(col("u").as("n"))
       .union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -170,18 +201,44 @@ object GraphQueries {
         when(smallerFirst, col("u")).otherwise(col("v")).as("s"),
         when(smallerFirst, col("v")).otherwise(col("u")).as("t"))
     // SHUFFLE_HASH on both O(m^1.5) joins: the wedge stream is ~35×
-    // the edge list, and a sort-merge plan would SORT it twice (once
-    // as self-join output, once for the closing probe) — hashing the
-    // m-sized build sides instead keeps the big stream unsorted
-    // (measured 1.9× on the sf0.1 basket graph; an adjacency-array
-    // edge-iterator variant lost to this shape by 15% — the interpreted
-    // array_intersect per edge costs more than the wedge shuffle saves)
-    val w = o.as("o1").join(o.as("o2").hint("SHUFFLE_HASH"),
+    // the edge list, and a sort-merge plan would SORT it — measured
+    // 1.9× slower on the sf0.1 basket graph, and at the 100×-replica-
+    // on-8 g probe the SMJ fallback's wedge-stream sort spills
+    // actually EXHAUSTED 78 GB of scratch disk. But a shuffled-hash
+    // build map cannot spill either: the same probe OOMed the
+    // original fixed-32-partition hash plan (32 concurrent ~150 MB
+    // builds on an 8 g heap). The resolution is that per-task build
+    // footprint scales as m / numPartitions: DERIVE the join
+    // partition count from the materialized edge count (~96 B/row
+    // hashed) so every concurrent build fits a conservative tenth of
+    // the executor heap, and repartition the m-sized join inputs by
+    // their join keys to that count (same-key same-count hash
+    // partitioning — the join consumes it with no extra exchange).
+    // At gate scales this degenerates to the session default (plan
+    // unchanged); at 100×-on-8 g it widens the builds to ~190
+    // partitions and the query completes with bounded memory AND
+    // bounded disk. Only if the derivation overflows the 4096-
+    // partition cap does the spillable sort-merge plan take over.
+    val ss = edges.sparkSession
+    val m = e.count() // cached by materialize — metadata-cheap
+    val parts = ss.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val conc = math.min(ss.sparkContext.defaultParallelism, parts)
+    val heap = ss.conf.getOption("spark.executor.memory").map(parseBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val needed = math.ceil(m.toDouble * 96.0 * conc / (0.1 * heap)).toLong
+    val np = math.max(parts.toLong, needed).toInt
+    val hashFits = needed <= 4096L
+    def hinted(df: DataFrame): DataFrame =
+      if (hashFits) df.hint("SHUFFLE_HASH") else df
+    val oP = if (hashFits && np > parts) o.repartition(np, col("s")) else o
+    val eP = if (hashFits && np > parts)
+      e.repartition(np, col("u"), col("v")) else e
+    val w = oP.as("o1").join(hinted(oP.as("o2")),
         col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
       .select(col("o1.s").as("apex"),
         least(col("o1.t"), col("o2.t")).as("a"),
         greatest(col("o1.t"), col("o2.t")).as("b"))
-    w.join(e.hint("SHUFFLE_HASH"), col("a") === col("u") && col("b") === col("v"))
+    w.join(hinted(eP), col("a") === col("u") && col("b") === col("v"))
       .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
