@@ -59,6 +59,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      } finally {
+        // per-query cache lifecycle (VERDICT r9 #3): the graph queries
+        // pin edge/degree caches that must not outlive their query —
+        // non-blocking release, and a no-op for every other query
+        graft.operators.GraphQueries.unpersistAll()
       }
     }
     // value per query + every pass outcome (time or error string)
@@ -288,8 +293,11 @@ object Bench {
     val qsCompact = entries.mkString("{", ",", "}")
     val esCompact = errs.take(2).map { case (k, e) =>
       "\"" + k + "\":\"" + esc(e.take(60)) + "\"" }.mkString("{", ",", "}")
+    // records_git_sha in the stdout line too (VERDICT r9 #5): a
+    // driver-captured tail must carry provenance even when the detail
+    // file isn't read
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

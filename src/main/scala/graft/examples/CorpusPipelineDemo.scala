@@ -26,37 +26,12 @@ object CorpusPipelineDemo {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // composed-run scale evidence (VERDICT r8 #5): per-row 100× numbers
-    // exist for every stage; what a replica run of the WHOLE DAG adds
-    // is the coexistence story — shared scans, concurrent shuffles,
-    // stage memory pressure — so record wall/spill/failures for the
-    // composed execution alongside the stage counts
-    import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
-    val memSpill = new AtomicLong(0L); val diskSpill = new AtomicLong(0L)
-    val peakExec = new AtomicLong(0L); val failed = new AtomicInteger(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (!t.taskInfo.successful) failed.incrementAndGet()
-          val m = t.taskMetrics
-          if (m != null) {
-            memSpill.addAndGet(m.memoryBytesSpilled)
-            diskSpill.addAndGet(m.diskBytesSpilled)
-            peakExec.updateAndGet(p => math.max(p, m.peakExecutionMemory))
-          }
-        }
-      })
-    val t0 = System.nanoTime()
+    // composed-run scale evidence (VERDICT r8 #5): wall / spill /
+    // failures / peak for the whole DAG — see [[PipelineProbe]]
+    val probe = new PipelineProbe(spark)
     val counts = run(spark, sfDir)
-    val wall = (System.nanoTime() - t0) / 1e9
-    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     println(counts)
-    println(
-      s"""{"probe":"corpus_pipeline_composed","sf":"$sfDir","wall_sec":${f"$wall%.1f"},""" +
-        s""""heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
-        s""""failed_tasks":${failed.get()},"mem_spill_mb":${memSpill.get() / (1024 * 1024)},""" +
-        s""""disk_spill_mb":${diskSpill.get() / (1024 * 1024)},"peak_exec_mem_mb":${peakExec.get() / (1024 * 1024)}}""")
+    println(probe.reportJson("corpus_pipeline_composed", sfDir))
     spark.stop()
   }
 

@@ -14,12 +14,15 @@ object MultimodalQueries {
   import Q._
 
   /** Committed real-codec golden fixture (examples.MmGoldenFixture).
-    * Absolute paths: the verify/bench harnesses run with an sf dir,
-    * not the repo dir, and the DuckDB oracle reads the same files.
-    * (Declared before `specs` — the oracle string interpolates them
-    * at object init.) */
-  val goldenImagesPath = "/root/repo/fixtures/mm_golden_images.parquet"
-  val goldenExpectedPath = "/root/repo/fixtures/mm_golden_expected.parquet"
+    * Absolute paths resolved from SPARK_GRAFT_REPO (default
+    * /root/repo): the verify/bench harnesses run with an sf dir, not
+    * the repo dir, and the DuckDB oracle reads the same files — the
+    * env var makes the battery green from any working directory or a
+    * relocated checkout. (Declared before `specs` — the oracle string
+    * interpolates them at object init.) */
+  private val repoBase = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+  val goldenImagesPath = s"$repoBase/fixtures/mm_golden_images.parquet"
+  val goldenExpectedPath = s"$repoBase/fixtures/mm_golden_expected.parquet"
 
   val specs: Seq[Spec] = Seq(
 

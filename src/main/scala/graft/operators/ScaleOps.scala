@@ -304,16 +304,21 @@ object ScaleOps {
     // the HOT MASS instead (the 100× replica: 69 M → ~7 M salted right
     // rows for the same per-task pair bound). Cold blocks keep salt 0
     // on both sides — the pair set is bit-identical either way.
-    // Salt assignment hashes (key, per-row unique id) rather than the
-    // key alone: an exact-duplicate-heavy hot block (many copies of ONE
-    // string) would otherwise send every row to the same salt and keep
-    // its straggler despite salts=N. The id component is safe for
-    // correctness even across task retries — each left row lands on
-    // exactly one salt and the right side replicates to ALL salts, so
-    // every candidate pair meets exactly once whichever salt the left
-    // row draws.
+    // Salt assignment hashes the WHOLE left row (every left column,
+    // which in practice includes the caller's stable id) rather than
+    // the key alone: an exact-duplicate-heavy hot block (many copies of
+    // ONE string) would otherwise send every row to the same salt and
+    // keep its straggler despite salts=N. The hash is DETERMINISTIC in
+    // row content — a recomputed map task under a partial stage retry
+    // re-draws the identical salt, so the result is stable on a
+    // 1000-executor deployment with fetch-failure recomputation (the
+    // SPARK-23207 hazard a monotonically_increasing_id() component
+    // would reintroduce: nondeterministic shuffle keys under partial
+    // recompute). The residual caveat is FULLY identical left rows (no
+    // distinguishing id): those share a salt — they are exact
+    // duplicates, which the dedup battery removes upstream.
     def saltOf = pmod(
-      xxhash64(col(leftCol), monotonically_increasing_id()), lit(salts))
+      xxhash64(left.columns.map(col).toSeq: _*), lit(salts))
     val (l, r) =
       if (salts == 1) (l0.withColumn("__s", lit(0L)),
         r0.withColumn("__s", lit(0L)))
@@ -355,8 +360,15 @@ object ScaleOps {
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
+    // content-hash salt, not partition-id/monotonic-id arithmetic: the
+    // salt becomes a shuffle key of the phase-1 aggregate, and a
+    // nondeterministic key recomputed under partial stage retry can
+    // land partials in different reducers (SPARK-23207). Hashing every
+    // column is deterministic under recompute; identical rows sharing
+    // a salt only narrows the spread when the hot key's rows are exact
+    // copies, and phase 1 collapses those into one partial anyway.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
@@ -374,8 +386,11 @@ object ScaleOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // deterministic content-hash salt (see saltedSum): a retry-
+    // recomputed row re-draws the same salt, so the join key is stable
+    // under partial stage recompute
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")

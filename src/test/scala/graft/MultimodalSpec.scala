@@ -188,16 +188,18 @@ class MultimodalSpec extends AnyFunSuite {
         MmGoldenFixture.expectedFeatures(m, 8).toSeq, s"img $id features")
     }
     // the committed parquet matches the in-memory regeneration (guards
-    // against a stale fixture after a generator edit)
+    // against a stale fixture after a generator edit). ALL 15
+    // expectation columns via the Expected encoder — a drifted f0..f7
+    // or rs_width/rs_height would otherwise slip the unit guard and
+    // only surface as a q_mm_phash_real oracle mismatch at verify time
+    // (ADVICE r9). Exact Double compare is safe: both sides are the
+    // same deterministic integer-count ÷ pixel-count division.
     val committed = spark.read.parquet(MmGoldenFixture.expectedPath)
-      .orderBy("img_id").collect()
+      .as[MmGoldenFixture.Expected].collect().sortBy(_.img_id)
     val fresh = MmGoldenFixture.expectedRows()
     assert(committed.length == fresh.length, "fixture row count")
-    committed.zip(fresh).foreach { case (row, e) =>
-      assert(row.getLong(row.fieldIndex("phash_hi")) == e.phash_hi &&
-        row.getLong(row.fieldIndex("phash_lo")) == e.phash_lo &&
-        row.getLong(row.fieldIndex("width")) == e.width &&
-        row.getLong(row.fieldIndex("height")) == e.height,
+    committed.zip(fresh).foreach { case (c, e) =>
+      assert(c == e,
         s"committed fixture stale at img ${e.img_id} — rerun MmGoldenFixture")
     }
     // twins are near-dups: tiny Hamming distance to their source image

@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The composed warehouse-maintenance pipeline (profile → expectations
-  * gate → SCD2 → golden records → incremental refresh) runs end to end
-  * on real testdata with internally consistent counts.
+/** The composed warehouse-maintenance pipeline (incremental ingest →
+  * profile → expectations gate → SCD2 → golden records → incremental
+  * refresh → snapshot diff → funnel/cohort) runs end to end on real
+  * testdata with internally consistent counts.
   */
 class WarehousePipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -14,6 +15,8 @@ class WarehousePipelineSpec extends AnyFunSuite {
       .run(spark, "/root/testdata/sf0.001")
     val kv = "\"([a-z_]+)\":(\\d+)".r.findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    // the 1/20 orderkey slice of the staged batch all arrives
+    assert(kv("n_ingested") > 0)
     assert(kv("n_profiled") == 4)
     assert(kv("n_checks_failed") == 0)
     // every tracked customer has exactly one open (valid_to IS NULL)
@@ -25,5 +28,9 @@ class WarehousePipelineSpec extends AnyFunSuite {
     // records as open versions
     assert(kv("n_golden") >= kv("n_open_versions"))
     assert(kv("n_agg_rows") == 3) // l_returnflag domain
+    // snapshot diff / funnel / cohort all produce rows in-session
+    assert(kv("n_diff_rows") > 0)
+    assert(kv("n_funnel_rows") > 0)
+    assert(kv("n_cohort_rows") > 0)
   }
 }
