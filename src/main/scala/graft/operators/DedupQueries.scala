@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -303,8 +304,13 @@ ORDER BY d.doc_id"""
     * the RAREST per doc, so join buckets stay small without any
     * df-cap approximation — the exact counterpart of
     * [[invertedIndexPairs]]' capped heuristic. */
+  /** `np > 0` widens the prefix self-join's shuffle to that partition
+    * count — the derived-granularity rule (ScaleOps
+    * .deriveShufflePartitions, VERDICT r9 #4). Results are identical
+    * at any np; 0 keeps the session constant. */
   def prefixFilterCandidates(docs: org.apache.spark.sql.DataFrame,
-                             thr: Double): org.apache.spark.sql.DataFrame = {
+                             thr: Double,
+                             np: Int = 0): org.apache.spark.sql.DataFrame = {
     val inv = docs.select(col("doc_id"), explode(col("s")).as("sh"))
     val dfTab = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // keep (set size, 1-based prefix position, df) on every prefix row:
@@ -356,9 +362,22 @@ ORDER BY d.doc_id"""
     // pair); the slack admits only provably-borderline candidates and
     // the exact-Jaccard verify discards any that don't reach thr.
     val tight = thr / (1.0 + thr)
-    prefixes.select(col("doc_id").as("doc_a"), col("sh"),
+    // np > session parts: ONE widened exchange on the base prefix
+    // table replaces the join's own pair of exchanges (both sides
+    // derive from the same repartitioned frame, so exchange reuse
+    // still executes the prefix pipeline once); per-task sorted
+    // streams shrink np/parts-fold at replica scale. The downstream
+    // distinct deliberately stays at the session constant — its input
+    // is partially aggregated map-side BEFORE that exchange, and an
+    // explicit repartition there would shuffle the raw pair stream
+    // instead of the partially-deduped one.
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val prefixesW =
+      if (np > parts) prefixes.repartition(np, col("sh")) else prefixes
+    prefixesW.select(col("doc_id").as("doc_a"), col("sh"),
         col("n").as("na"), col("pp").as("pa"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("sh"),
+      .join(prefixesW.select(col("doc_id").as("doc_b"), col("sh"),
         col("n").as("nb"), col("pp").as("pb")), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("na"), col("nb")) >=
@@ -436,10 +455,30 @@ ORDER BY d.doc_id"""
     * theorem to the brute-force all-pairs join at the same threshold
     * (the q_dedup_prefix_filter oracle IS that brute force). */
   def prefixFilterPairs(docs: org.apache.spark.sql.DataFrame,
-                        thr: Double): org.apache.spark.sql.DataFrame =
-    prefixFilterCandidates(docs, thr)
-      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+                        thr: Double,
+                        np: Int = 0): org.apache.spark.sql.DataFrame = {
+    // np > session parts (ScaleOps.deriveShufflePartitions over the
+    // corpus' own byte volume — VERDICT r9 #4): the set-attach joins
+    // shuffle the FULL shingle-set arrays, the widest rows in the
+    // query; explicit repartition by each join key replaces the
+    // joins' own exchanges (the join consumes the partitioning), so
+    // the only change is granularity — per-task sorted array streams
+    // fit executor memory at replica scale instead of spilling.
+    // Projection preserves the hash partitioning through the rename,
+    // so the sets side shuffles once per key. Results are identical
+    // at any np (DedupSpec pins this).
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
+      if (np > parts) df.repartition(np, keys: _*) else df
+    val setsA = widen(docs, col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val setsB = widen(docs, col("doc_id"))
+      .select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    widen(prefixFilterCandidates(docs, thr, np), col("doc_a"))
+      .join(setsA, "doc_a")
+      .transform(d => widen(d, col("doc_b")))
+      .join(setsB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
@@ -447,6 +486,7 @@ ORDER BY d.doc_id"""
         (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= thr)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
 
   /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard ≥
     * threshold), shared by the pair and cluster queries. Candidate
@@ -1019,12 +1059,24 @@ FROM grouped ORDER BY doc_id""")),
     // nothing vs exhaustive comparison, not merely that DuckDB can
     // replay the same blocking.
     Spec("q_dedup_prefix_filter",
-      (s, dir) =>
+      (s, dir) => {
+        val raw = t(s, dir, "documents")
+        // verify-join granularity from the corpus' own byte volume
+        // (VERDICT r9 #4): one cheap columnar aggregate over raw text
+        // bytes BEFORE shingling (re-shingling for the stat would
+        // double the dominant map cost). The ×6 factor converts text
+        // bytes to in-flight verify bytes: ~n/6 word-3-gram shingles
+        // per n text bytes, each a ~20 B string + ~16 B of ids and
+        // array overhead in the sorted streams. Degenerates to the
+        // session constant at gate scale (plan unchanged).
+        val st = raw.agg(sum(octet_length(col("text"))).as("b")).head()
+        val textBytes = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val np = ScaleOps.deriveShufflePartitions(s, textBytes * 6L)
         prefixFilterPairs(
-            t(s, dir, "documents")
-              .select(col("doc_id"), shingleSetFast(col("text")).as("s")),
-            PrefixFilterThreshold)
-          .orderBy(col("doc_a"), col("doc_b")),
+            raw.select(col("doc_id"), shingleSetFast(col("text")).as("s")),
+            PrefixFilterThreshold, np)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
       Some(s"""WITH sh AS (
                SELECT doc_id, list_distinct(
                  CASE WHEN len(string_split(text,' ')) >= 3

@@ -57,23 +57,6 @@ object GraphQueries {
     persisted.clear()
   }
 
-  /** "8g"/"512m"-style JVM size string → bytes. A SUFFIXLESS value is
-    * MiB, matching Spark's own `getSizeAsMb` reading of
-    * `spark.executor.memory` — treating "8192" as bytes would
-    * underestimate the heap ~10^6× and needlessly force the SMJ
-    * fallback. */
-  private def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase
-    val (num, mult) = t.last match {
-      case 'k' => (t.dropRight(1), 1L << 10)
-      case 'm' => (t.dropRight(1), 1L << 20)
-      case 'g' => (t.dropRight(1), 1L << 30)
-      case 't' => (t.dropRight(1), 1L << 40)
-      case _   => (t, 1L << 20)
-    }
-    (num.toDouble * mult).toLong
-  }
-
   /** Fixed iteration count for the gate — unrolled as explicit CTEs in
     * the DuckDB oracle, so keep the two in sync. */
   val PageRankIters = 3
@@ -257,7 +240,8 @@ object GraphQueries {
     // ONLY — in local mode driver == executor JVM so it reads the true
     // heap, while in cluster mode it would read the driver's heap and
     // could under-partition the builds
-    val heap = ss.conf.getOption("spark.executor.memory").map(parseBytes)
+    val heap = ss.conf.getOption("spark.executor.memory")
+      .map(ScaleOps.parseJvmBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
     val needed = math.ceil(m.toDouble * 96.0 * conc / (0.1 * heap)).toLong
     val np = math.max(parts.toLong, needed).toInt

@@ -333,7 +333,7 @@ object RelationalQueries {
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
             "s_a", "s_b", maxDist = 4,
             salts = bp.salts, prefixLen = bp.prefixLen,
-            saltHotOnlyAbove = 200L)
+            saltHotOnlyAbove = 200L, partitions = bp.partitions)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale patterns for the 100 TB deployment (SURVEY §7 risks; builder
@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   * exchange on bucketed joins) or value equivalence (salted == plain).
   */
 object ScaleOps {
+
+  /** "8g"/"512m"-style JVM size string → bytes. A SUFFIXLESS value is
+    * MiB, matching Spark's own `getSizeAsMb` reading of
+    * `spark.executor.memory` — treating "8192" as bytes would
+    * underestimate the heap ~10^6×. */
+  private[graft] def parseJvmBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 't' => (t.dropRight(1), 1L << 40)
+      case _   => (t, 1L << 20)
+    }
+    (num.toDouble * mult).toLong
+  }
+
+  /** DATA-derived shuffle partition count — the q_graph_triangles rule
+    * (GraphQueries.triangleCounts) generalized to any heavy join/sort
+    * whose granularity must scale with the data, not the session
+    * constant (VERDICT r9 #4): partitions such that the `conc` task
+    * slots concurrently hold ≤ a conservative tenth of the executor
+    * heap of `bytes` between them. Degenerates to the session
+    * `spark.sql.shuffle.partitions` whenever that already suffices
+    * (plan unchanged at gate scale), and caps at 4096 so task-launch
+    * overhead never dominates. `spark.executor.memory` is
+    * authoritative when set (cluster mode always sets it); the
+    * `Runtime.maxMemory` fallback is LOCAL-MODE only, where driver ==
+    * executor JVM. */
+  def deriveShufflePartitions(ss: SparkSession, bytes: Long,
+                              cap: Int = 4096): Int = {
+    val parts = ss.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val conc = ss.sparkContext.defaultParallelism
+    val heap = ss.conf.getOption("spark.executor.memory").map(parseJvmBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val needed = math.ceil(bytes.toDouble * conc / (0.1 * heap)).toLong
+    math.min(cap.toLong, math.max(parts.toLong, needed)).toInt
+  }
 
   /** Persist both sides of a recurring join bucketed + sorted on the
     * join key: every subsequent equi-join on that key is shuffle-free
@@ -185,7 +223,12 @@ object ScaleOps {
     * quality-threshold percentile. Integer arithmetic throughout so an
     * oracle can replay the derivation exactly (`n div max(d_p, 1)`).
     */
-  final case class FuzzyBlocking(prefixLen: Int, salts: Int)
+  /** `partitions` is the derived shuffle granularity for the verify
+    * join ([[deriveShufflePartitions]] over the join's own byte
+    * volume) — it never changes results, only layout, so oracles
+    * ignore it. */
+  final case class FuzzyBlocking(prefixLen: Int, salts: Int,
+                                 partitions: Int = 0)
 
   def deriveFuzzyBlocking(df: DataFrame, c: String,
                           targetRowsPerBlock: Long = 200,
@@ -194,9 +237,11 @@ object ScaleOps {
     require(targetRowsPerBlock >= 1, "targetRowsPerBlock must be >= 1")
     require(pMax >= 1, "pMax must be >= 1")
     val aggs = (1 to pMax).map(p =>
-      count_distinct(substring(col(c), 1, p)).as(s"d$p"))
+      count_distinct(substring(col(c), 1, p)).as(s"d$p")) :+
+      sum(octet_length(col(c))).as("kb")
     val row = df.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = row.getLong(0)
+    val keyBytes = if (row.isNullAt(pMax + 1)) 0L else row.getLong(pMax + 1)
     val occ = (1 to pMax).map(p => n / math.max(row.getLong(p), 1L))
     val p = occ.indexWhere(_ <= targetRowsPerBlock) match {
       case -1 => pMax
@@ -230,7 +275,16 @@ object ScaleOps {
     val maxOcc = if (nbr.isNullAt(0)) 0L else nbr.getLong(0)
     val salts =
       ((maxOcc + targetRowsPerBlock - 1) / targetRowsPerBlock).max(1L)
-    FuzzyBlocking(p, salts.toInt)
+    // verify-join shuffle granularity from the join's own byte volume
+    // (VERDICT r9 #4): each side's sorted stream carries the key
+    // string plus ~48 B of ids/blocking columns, and the right side
+    // triples through the band ±1 explode — ×4 bounds left + exploded
+    // right (hot-only salting adds replication proportional to hot
+    // mass, already inside the slack). At gate scale this degenerates
+    // to the session constant (plan unchanged).
+    val joinBytes = (keyBytes + 48L * n) * 4L
+    val np = deriveShufflePartitions(df.sparkSession, joinBytes)
+    FuzzyBlocking(p, salts.toInt, np)
   }
 
   /** Blocked fuzzy (edit-distance) join — the record-linkage primitive
@@ -273,7 +327,8 @@ object ScaleOps {
                        leftCol: String, rightCol: String,
                        maxDist: Int, distCol: String = "dist",
                        salts: Int = 1, prefixLen: Int = 1,
-                       saltHotOnlyAbove: Long = 0L): DataFrame = {
+                       saltHotOnlyAbove: Long = 0L,
+                       partitions: Int = 0): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(salts >= 1, "salts must be >= 1")
     require(prefixLen >= 1, "prefixLen must be >= 1")
@@ -340,7 +395,23 @@ object ScaleOps {
           .drop("__hot")
         (lS, rS)
       }
-    l.join(r, Seq("__c", "__b", "__s"))
+    // `partitions > 0` (deriveFuzzyBlocking's third knob) widens the
+    // verify join's shuffle so per-task sorted streams of key strings
+    // fit executor memory at replica scale — the q_graph_triangles
+    // derived-granularity rule (VERDICT r9 #4). The explicit
+    // repartition by the join keys REPLACES the join's own exchanges
+    // (the join consumes the partitioning), so gate-scale plans are
+    // unchanged when the derivation degenerates to the session
+    // constant. Results are identical at any partition count
+    // (ScaleOpsSpec pins this).
+    val parts =
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val (lj, rj) =
+      if (partitions > parts)
+        (l.repartition(partitions, col("__c"), col("__b"), col("__s")),
+          r.repartition(partitions, col("__c"), col("__b"), col("__s")))
+      else (l, r)
+    lj.join(rj, Seq("__c", "__b", "__s"))
       // levenshtein(a,b) >= |len(a)-len(b)|: reject on the cheap length
       // probe before any DP table is built
       .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)

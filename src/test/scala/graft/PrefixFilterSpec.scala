@@ -35,6 +35,14 @@ class PrefixFilterSpec extends AnyFunSuite {
     } yield (a, b, math.round(j * 10000) / 10000.0)).toSet
     assert(want.size == 20, s"fixture should plant 20 twin pairs, got ${want.size}")
     assert(got == want)
+    // derived verify granularity (np) is physical only: widening the
+    // prefix join and set-attach shuffles far past the session
+    // constant yields the identical verified pair set
+    val widened = DedupQueries.prefixFilterPairs(corpus, 0.5, np = 257)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(widened == want,
+      "partition-widened prefixFilterPairs must equal the default plan")
   }
 
   test("universal boilerplate shingle does not quadratically blow up candidates") {

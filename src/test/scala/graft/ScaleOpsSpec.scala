@@ -215,6 +215,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(p2 == brute2set,
       "prefixLen=2 blocking must equal the first-2-chars brute filter")
+    // derived verify granularity is physical only: widening the join
+    // far past the session constant yields the identical pair set
+    val widened = ScaleOps.blockedFuzzyJoin(a, b, "s_a", "s_b",
+        maxDist = 2, salts = 5, saltHotOnlyAbove = 5L, partitions = 257)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(widened.toSet == brute && widened.length == widened.toSet.size,
+      "partition-widened blocked fuzzy join must equal the unsalted result")
   }
 
   test("deriveFuzzyBlocking picks the smallest prefix meeting the occupancy " +
@@ -226,7 +234,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("abcdefghijklmnopqrstuvwxyz" (i % 26).toString + "x" + i, i.toLong)
     }.toDF("s", "id")
     val b1 = ScaleOps.deriveFuzzyBlocking(diverse, "s", targetRowsPerBlock = 10)
-    assert(b1 == ScaleOps.FuzzyBlocking(1, 1))
+    assert((b1.prefixLen, b1.salts) == ((1, 1)))
+    // gate-scale corpora degenerate the verify granularity to the
+    // session constant — the widened-join branch never fires here
+    assert(b1.partitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // saturated prefixes (chars 1–4 all repeat the same letter): every
     // prefix length has the same 26 distinct keys, so occupancy stays
     // 260/26 = 10 — p grows to pMax without ever meeting a target of 5
@@ -236,12 +248,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.toDF("s", "id")
     val b2 = ScaleOps.deriveFuzzyBlocking(saturated, "s",
       targetRowsPerBlock = 5, pMax = 3)
-    assert(b2 == ScaleOps.FuzzyBlocking(3, 2))
+    assert((b2.prefixLen, b2.salts) == ((3, 2)))
     // monoculture corpus (single shared prefix): only salting helps
     val mono = (0 until 100).map(i => ("zzzz" + i, i.toLong)).toDF("s", "id")
     val b3 = ScaleOps.deriveFuzzyBlocking(mono, "s",
       targetRowsPerBlock = 10, pMax = 4)
-    assert(b3 == ScaleOps.FuzzyBlocking(4, 10))
+    assert((b3.prefixLen, b3.salts) == ((4, 10)))
     // derivation is one aggregate returning one row — value-equivalent
     // to the documented integer formula replayed in the oracle SQL
     val n = 260L
