@@ -27,7 +27,8 @@ object SparkEntry {
       CurationQueries.specs ++
       WarehouseQueries.specs ++
       GraphQueries.specs ++
-      AnalyticsQueries.specs
+      AnalyticsQueries.specs ++
+      PipelineQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

@@ -79,11 +79,20 @@ object CorpusPipelineDemo {
 
     // 2e. CCNet-style LM-perplexity filter: train the unigram LM on
     //     the md5 half, score EVERY doc (the LM broadcasts), drop the
-    //     worst tier — model-based selection after the rule-based cuts
+    //     worst tercile. The cut is the corpus' own 2/3 avg_nll
+    //     QUANTILE (CCNet's actual head/middle/tail rule), not an
+    //     absolute threshold: the r10 100×-replica run proved fixed
+    //     thresholds corpus-specific — the replica's add-one-smoothed
+    //     NLL shifts with ln(T+V) and the absolute 3.41 cut dropped
+    //     ALL 500 k docs. The quantile is one extra job returning a
+    //     driver scalar (the quality-threshold percentile pattern) and
+    //     keeps the stage meaning "the best two thirds" at any scale.
     val (lmFreq, lmScal) = graft.operators.TextQueries.trainUnigramLm(docs)
-    val lmOk = graft.operators.TextQueries
+    val lmScored = graft.operators.TextQueries
       .scoreAgainstLm(docs, lmFreq, lmScal)
-      .filter(col("tier") =!= "tail").select("doc_id")
+    val pplCut = lmScored.stat
+      .approxQuantile("avg_nll", Array(2.0 / 3.0), 0.001).head
+    val lmOk = lmScored.filter(col("avg_nll") <= pplCut).select("doc_id")
     val nLmOk = lmOk.count()
 
     // 2f. DSIR importance selection toward the target domain (en):

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed corpus pipeline as a BATTERY ROW (VERDICT r9 #8):
+  * `q_pipeline_composed` runs the doc-survival chain of
+  * [[graft.examples.CorpusPipelineDemo]] — quality (repetition +
+  * classifier) → canonical exact dedup → per-domain cap → domain
+  * wholesale quality → LM-perplexity tail drop → DSIR selection →
+  * MinHash near-dup keep set → leakage-aware split — and returns one
+  * row per stage with its surviving-doc count, plus the intersection
+  * ("surviving") and its per-split sizes. The DuckDB oracle replays
+  * every stage end-to-end by embedding the member queries' own oracle
+  * SQL as subqueries and re-deriving the same counts — so pipeline
+  * COMPOSITION itself (the joins between stage keep-sets, not just
+  * each stage in isolation) is rows+schema+hash-checked, the one gate
+  * the per-stage rows can't provide.
+  *
+  * Each stage reuses the member Spec's `run` (or the same public
+  * operator call the demo makes), so this row exercises the exact
+  * code paths of the demo's DAG — a drift between a stage's Spark
+  * semantics and its oracle shows here even if it cancels out in the
+  * stage's own row.
+  */
+object PipelineQueries {
+  import Q._
+
+  private def member(specs: Seq[Spec], name: String): Spec =
+    specs.find(_.name == name)
+      .getOrElse(sys.error(s"missing member spec $name"))
+
+  private def stageCount(df: DataFrame, stage: String): DataFrame =
+    df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+
+  /** Member oracle embedded as a derived table (DuckDB supports a full
+    * WITH/WITH RECURSIVE query inside parentheses; inner CTE names
+    * shadow outer ones). */
+  private def sub(specs: Seq[Spec], name: String): String =
+    s"(${member(specs, name).oracle.getOrElse(
+      sys.error(s"member spec $name has no oracle"))})"
+
+  /** LM scoring over ALL documents (the demo scores the full corpus
+    * against the half-trained LM; the q_lm_perplexity gate row scores
+    * only the held-out half) — q_lm_perplexity's oracle with the
+    * scoring-side split predicate removed, training side unchanged. */
+  private def lmAllDocsSql: String =
+    s"""WITH tk AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       freq AS (
+         SELECT tok, COUNT(*) AS c FROM tk
+         WHERE CAST(('0x' || substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50
+         GROUP BY tok),
+       scal AS (SELECT CAST(SUM(c) AS BIGINT) AS T,
+                       CAST(COUNT(*) AS BIGINT) AS V FROM freq),
+       pdt AS (
+         SELECT doc_id, tok, COUNT(*) AS m FROM tk GROUP BY doc_id, tok),
+       sc AS (
+         SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_toks,
+                SUM(CAST(m AS DOUBLE) *
+                    (ln(CAST(s.T AS DOUBLE) + CAST(s.V AS DOUBLE)) -
+                     ln(CAST(COALESCE(f.c, 0) AS DOUBLE) + 1.0))) AS s
+         FROM pdt LEFT JOIN freq f USING (tok) CROSS JOIN scal s
+         GROUP BY doc_id)
+       SELECT doc_id,
+              CASE WHEN floor(s / CAST(n_toks AS DOUBLE) * 10000) / 10000
+                        < ${TextQueries.PplHeadMax} THEN 'head'
+                   WHEN floor(s / CAST(n_toks AS DOUBLE) * 10000) / 10000
+                        < ${TextQueries.PplMiddleMax} THEN 'middle'
+                   ELSE 'tail' END AS tier
+       FROM sc"""
+
+  val specs: Seq[Spec] = Seq(
+    Spec("q_pipeline_composed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // quality: non-repetitive AND classifier-kept (demo stage 2)
+        val quality = member(TextQueries.specs, "q_text_repetition")
+          .run(s, dir).filter(!col("is_repetitive")).select("doc_id")
+          .join(member(TextQueries.specs, "q_quality_classifier")
+            .run(s, dir).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        // canonical exact dedup: min doc_id per canon digest (demo 2b)
+        val canon = DedupQueries.canonicalDigest(docs)
+          .groupBy(col("canon_digest")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        // per-domain cap: best 40 per source by (n_chars desc, doc_id)
+        // through the native TopKPerKey (demo 2c)
+        val cap = ScaleOps.topKPerKey(
+            docs.select(col("doc_id"), col("source"), col("n_chars")),
+            Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")), 40)
+          .select("doc_id")
+        // domain wholesale quality (demo 2d)
+        val domq = member(CurationQueries.specs, "q_domain_quality_filter")
+          .run(s, dir).filter(col("kept")).select("doc_id")
+        // LM perplexity over ALL docs, tail tier dropped (demo 2e)
+        val (lmFreq, lmScal) = TextQueries.trainUnigramLm(docs)
+        val lm = TextQueries.scoreAgainstLm(docs, lmFreq, lmScal)
+          .filter(col("tier") =!= "tail").select("doc_id")
+        // DSIR: target (en) docs ride through, raw docs iff selected
+        // (demo 2f; the two legs are disjoint by construction)
+        val dsir = docs.filter(col("lang") === "en").select("doc_id")
+          .union(CurationQueries.dsirWeights(docs, col("lang") === "en")
+            .filter(col("selected")).select("doc_id"))
+        // MinHash near-dup keep set (demo 3)
+        val keep = member(DedupQueries.specs, "q_dedup_corpus")
+          .run(s, dir).select("doc_id")
+        // leakage-aware split (demo 4)
+        val splits = member(DedupQueries.specs, "q_split_by_cluster")
+          .run(s, dir).select(col("doc_id"), col("split"))
+        val surv = docs.select("doc_id")
+          .join(quality, Seq("doc_id")).join(canon, Seq("doc_id"))
+          .join(cap, Seq("doc_id")).join(domq, Seq("doc_id"))
+          .join(lm, Seq("doc_id")).join(dsir, Seq("doc_id"))
+          .join(keep, Seq("doc_id")).join(splits, Seq("doc_id"))
+        stageCount(docs, "00_docs")
+          .unionByName(stageCount(quality, "01_quality"))
+          .unionByName(stageCount(canon, "02_canonical"))
+          .unionByName(stageCount(cap, "03_domain_cap"))
+          .unionByName(stageCount(domq, "04_domain_quality"))
+          .unionByName(stageCount(lm, "05_lm_ppl"))
+          .unionByName(stageCount(dsir, "06_dsir"))
+          .unionByName(stageCount(keep, "07_dedup_keep"))
+          .unionByName(stageCount(surv, "08_surviving"))
+          .unionByName(surv.groupBy(col("split"))
+            .agg(count(lit(1)).as("n"))
+            .select(concat(lit("09_"), col("split")).as("stage"), col("n")))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH
+        rep AS (SELECT doc_id FROM ${sub(TextQueries.specs, "q_text_repetition")} WHERE NOT is_repetitive),
+        clf AS (SELECT doc_id FROM ${sub(TextQueries.specs, "q_quality_classifier")} WHERE keep),
+        quality AS (SELECT rep.doc_id FROM rep JOIN clf USING (doc_id)),
+        canon AS (SELECT keep_id AS doc_id FROM ${sub(DedupQueries.specs, "q_dedup_canonical")}),
+        cap AS (SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents) WHERE rn <= 40),
+        domq AS (SELECT doc_id FROM ${sub(CurationQueries.specs, "q_domain_quality_filter")} WHERE kept),
+        lmk AS (SELECT doc_id FROM ($lmAllDocsSql) WHERE tier <> 'tail'),
+        dsir AS (SELECT doc_id FROM documents WHERE lang = 'en'
+                 UNION ALL
+                 SELECT doc_id FROM ${sub(CurationQueries.specs, "q_dsir_weights")} WHERE selected),
+        keepset AS (SELECT doc_id FROM ${sub(DedupQueries.specs, "q_dedup_corpus")}),
+        splits AS (SELECT doc_id, split FROM ${sub(DedupQueries.specs, "q_split_by_cluster")}),
+        surv AS (SELECT d.doc_id, s.split FROM documents d
+                 JOIN quality USING (doc_id) JOIN canon USING (doc_id)
+                 JOIN cap USING (doc_id) JOIN domq USING (doc_id)
+                 JOIN lmk USING (doc_id) JOIN dsir USING (doc_id)
+                 JOIN keepset USING (doc_id) JOIN splits s USING (doc_id))
+        SELECT stage, n FROM (
+          SELECT '00_docs' AS stage, count(*) AS n FROM documents
+          UNION ALL SELECT '01_quality', count(*) FROM quality
+          UNION ALL SELECT '02_canonical', count(*) FROM canon
+          UNION ALL SELECT '03_domain_cap', count(*) FROM cap
+          UNION ALL SELECT '04_domain_quality', count(*) FROM domq
+          UNION ALL SELECT '05_lm_ppl', count(*) FROM lmk
+          UNION ALL SELECT '06_dsir', count(*) FROM dsir
+          UNION ALL SELECT '07_dedup_keep', count(*) FROM keepset
+          UNION ALL SELECT '08_surviving', count(*) FROM surv
+          UNION ALL SELECT '09_' || split, count(*) FROM surv GROUP BY split
+        ) ORDER BY stage"""))
+  )
+}

@@ -994,8 +994,8 @@ object TextQueries {
     * the scored distribution's quartile region so all three tiers are
     * populated at every SF. Tiers are derived from the FLOORED score,
     * so both engines bucket from the identical grid value. */
-  private val PplHeadMax = 3.40
-  private val PplMiddleMax = 3.41
+  private[operators] val PplHeadMax = 3.40
+  private[operators] val PplMiddleMax = 3.41
 
   /** CCNet-style perplexity filter: train a unigram LM on a held-out
     * document split, score every other document by average negative
