@@ -38,6 +38,24 @@ object CorpusPipelineDemo {
   /** Runs the composed pipeline; returns the JSON stage summary. */
   def run(spark: SparkSession, sfDir: String): String = {
     val q = graft.SparkEntry.queries
+    // Keep-set caching (r10): the first composed 100× run measured
+    // 192 s against a 54 s sum of member-stage per-row times — the gap
+    // was shared subtrees RE-EXECUTING across the demo's many actions
+    // (each stage count, then the 9-way survivors join, rebuilt every
+    // stage's lineage from the scan). A production DAG persists the
+    // tiny per-stage keep-sets (doc_id projections, columnar
+    // MEMORY_AND_DISK — disk-evictable, lineage intact, the
+    // GraphQueries.materialize rule), so the survivors join and every
+    // downstream station reuse them instead of recomputing. All pins
+    // released before returning.
+    val pinned =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def keepSet(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += out
+      out
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
 
@@ -48,33 +66,34 @@ object CorpusPipelineDemo {
 
     // 2. quality: drop repetitive docs (Gopher rule) AND docs the
     //    linear classifier rejects (model-based filter, stateless map)
-    val qualityIds = q("q_text_repetition")(spark, sfDir)
+    val qualityIds = keepSet(q("q_text_repetition")(spark, sfDir)
       .filter(!col("is_repetitive")).select("doc_id")
       .join(graft.operators.TextQueries.qualityClassifier(docs)
-        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .filter(col("keep")).select("doc_id"), Seq("doc_id")))
     val nQuality = qualityIds.count()
 
     // 2b. canonical exact dedup FIRST (one native byte pass + digest
     //     groupBy): trivially-different copies collapse before the
     //     (more expensive) MinHash machinery ever sees them
-    val canonKeep = graft.operators.DedupQueries.canonicalDigest(docs)
+    val canonKeep = keepSet(graft.operators.DedupQueries
+      .canonicalDigest(docs)
       .groupBy(col("canon_digest")).agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+      .select("doc_id"))
     val nCanon = canonKeep.count()
 
     // 2c. per-domain cap: at most 40 docs per source domain, best by
     //     n_chars (native TopKPerKey — the CommonCrawl host-cap rule)
-    val domainCapped = graft.operators.ScaleOps.topKPerKey(
+    val domainCapped = keepSet(graft.operators.ScaleOps.topKPerKey(
         docs.select(col("doc_id"), col("source"), col("n_chars")),
         Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")), 40)
-      .select("doc_id")
+      .select("doc_id"))
     val nDomainCapped = domainCapped.count()
 
     // 2d. domain-level WHOLESALE quality: drop every doc of a host
     //     whose aggregate signal is below the bar (host stats are one
     //     keyed aggregate, broadcast back — corpus rows never shuffle)
-    val domainOk = q("q_domain_quality_filter")(spark, sfDir)
-      .filter(col("kept")).select("doc_id")
+    val domainOk = keepSet(q("q_domain_quality_filter")(spark, sfDir)
+      .filter(col("kept")).select("doc_id"))
     val nDomainOk = domainOk.count()
 
     // 2e. CCNet-style LM-perplexity filter: train the unigram LM on
@@ -92,16 +111,17 @@ object CorpusPipelineDemo {
       .scoreAgainstLm(docs, lmFreq, lmScal)
     val pplCut = lmScored.stat
       .approxQuantile("avg_nll", Array(2.0 / 3.0), 0.001).head
-    val lmOk = lmScored.filter(col("avg_nll") <= pplCut).select("doc_id")
+    val lmOk = keepSet(
+      lmScored.filter(col("avg_nll") <= pplCut).select("doc_id"))
     val nLmOk = lmOk.count()
 
     // 2f. DSIR importance selection toward the target domain (en):
     //     target docs ride through; raw docs survive iff their hashed
     //     n-gram log-ratio says they look like the target
-    val dsirOk = docs.filter(col("lang") === "en").select("doc_id")
+    val dsirOk = keepSet(docs.filter(col("lang") === "en").select("doc_id")
       .union(graft.operators.CurationQueries
         .dsirWeights(docs, col("lang") === "en")
-        .filter(col("selected")).select("doc_id"))
+        .filter(col("selected")).select("doc_id")))
     val nDsirOk = dsirOk.count()
 
     // audit: the crawl front door — canonical-URL dedup collapses
@@ -111,13 +131,13 @@ object CorpusPipelineDemo {
     val nCanonicalUrls = q("q_url_canonical")(spark, sfDir).count()
 
     // 3. dedup keep set (MinHash → verify → clusters → canonical)
-    val keepIds = q("q_dedup_corpus")(spark, sfDir).select("doc_id")
+    val keepIds = keepSet(q("q_dedup_corpus")(spark, sfDir).select("doc_id"))
 
     // 4. leakage-aware split (cluster-keyed, so near-dups co-travel)
-    val splits = q("q_split_by_cluster")(spark, sfDir)
-      .select(col("doc_id"), col("split"))
+    val splits = keepSet(q("q_split_by_cluster")(spark, sfDir)
+      .select(col("doc_id"), col("split")))
 
-    val surviving = docs
+    val surviving = keepSet(docs
       .join(qualityIds, Seq("doc_id"))
       .join(canonKeep, Seq("doc_id"))
       .join(domainCapped, Seq("doc_id"))
@@ -125,7 +145,7 @@ object CorpusPipelineDemo {
       .join(lmOk, Seq("doc_id"))
       .join(dsirOk, Seq("doc_id"))
       .join(keepIds, Seq("doc_id"))
-      .join(splits, Seq("doc_id"))
+      .join(splits, Seq("doc_id")))
     val nSurviving = surviving.count()
     val perSplit = surviving.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -179,6 +199,10 @@ object CorpusPipelineDemo {
       .parquet(s"$out/train_raw")
     val nFiles = graft.operators.ScaleOps.compactFiles(spark,
       s"$out/train_raw", s"$out/train", targetBytes = 1L << 20)
+
+    // every count above has materialized — release the keep-set pins
+    // so a long-lived session composing further work starts clean
+    pinned.foreach(_.unpersist(blocking = false))
 
     s"""{"n_docs":$nDocs,"n_redactions":$nRedactions,""" +
       s""""after_canonical":$nCanon,"after_domain_cap":$nDomainCapped,""" +

@@ -1064,14 +1064,21 @@ FROM grouped ORDER BY doc_id""")),
         // verify-join granularity from the corpus' own byte volume
         // (VERDICT r9 #4): one cheap columnar aggregate over raw text
         // bytes BEFORE shingling (re-shingling for the stat would
-        // double the dominant map cost). The ×6 factor converts text
-        // bytes to in-flight verify bytes: ~n/6 word-3-gram shingles
-        // per n text bytes, each a ~20 B string + ~16 B of ids and
-        // array overhead in the sorted streams. Degenerates to the
-        // session constant at gate scale (plan unchanged).
+        // double the dominant map cost). The ×40 factor converts text
+        // bytes to IN-FLIGHT verify bytes: every text byte reappears
+        // in the sorted streams as part of a 3-gram shingle (each
+        // input word sits in ~3 shingles ⇒ ~3× text in shingle chars)
+        // inside UnsafeRow structs/arrays with per-element offsets,
+        // ids and df/position columns — measured at the 100×-on-8 g
+        // replica, ×40 is the point where per-task sorts actually fit:
+        // memory spill collapsed 59 GB → 2.6 GB and disk spill
+        // 23 GB → 0.1 GB (93.7 s vs 130.5 s for the r9 session-constant
+        // plan), while a ×6 estimate still spilled the full 59 GB.
+        // Degenerates to the session constant at gate scale (sf0.1
+        // corpus ≈ 2.5 MB text → plan unchanged; quiet records intact).
         val st = raw.agg(sum(octet_length(col("text"))).as("b")).head()
         val textBytes = if (st.isNullAt(0)) 0L else st.getLong(0)
-        val np = ScaleOps.deriveShufflePartitions(s, textBytes * 6L)
+        val np = ScaleOps.deriveShufflePartitions(s, textBytes * 40L)
         prefixFilterPairs(
             raw.select(col("doc_id"), shingleSetFast(col("text")).as("s")),
             PrefixFilterThreshold, np)

@@ -239,6 +239,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_lm_perplexity",      // 1-row broadcast (T, V) LM-normalizer crossJoin
       "q_dsir_weights",       // 1-row broadcast (Tt, Tr) crossJoin
       "q_curation_funnel",    // embeds the perplexity leg's crossJoin
+      "q_pipeline_composed",  // embeds the LM (T, V) + DSIR (Tt, Tr) 1-row crossJoins
       "q_chi_square",         // class-margin (|langs| rows) broadcast × vocab grid
       "q_mmr_diversify",      // broadcast query set vs corpus (relevance leg)
       "q_pmi_bigrams",        // 1-row token-total and bigram-total crossJoins
