@@ -403,7 +403,16 @@ ORDER BY d.doc_id"""
     */
   def prefixFilterIncremental(batch: org.apache.spark.sql.DataFrame,
                               corpus: org.apache.spark.sql.DataFrame,
-                              thr: Double): org.apache.spark.sql.DataFrame = {
+                              thr: Double,
+                              np: Int = 0): org.apache.spark.sql.DataFrame = {
+    // np > session parts widens the cross prefix join and the two
+    // set-attach joins — [[prefixFilterPairs]]' derived-granularity
+    // rule applied to the batch-vs-corpus form (same ×40 in-flight
+    // byte argument; physical only, DedupSpec pins identical results)
+    val parts = batch.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
+      if (np > parts) df.repartition(np, keys: _*) else df
     def withSets(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), shingleSetFast(col("text")).as("s"))
     val bs = withSets(batch)
@@ -424,20 +433,24 @@ ORDER BY d.doc_id"""
             .as(Seq("pos", "p")))
         .select(col("doc_id"), col("n"), (col("pos") + 1).as("pp"),
           col("p.sh").as("sh"))
-    val cand = prefixes(bs.select(col("doc_id"), explode(col("s")).as("sh")))
+    val cand = widen(prefixes(
+        bs.select(col("doc_id"), explode(col("s")).as("sh")))
       .select(col("doc_id").as("new_id"), col("sh"),
-        col("n").as("nb"), col("pp").as("pb"))
-      .join(prefixes(corpusInv)
+        col("n").as("nb"), col("pp").as("pb")), col("sh"))
+      .join(widen(prefixes(corpusInv)
         .select(col("doc_id").as("old_id"), col("sh"),
-          col("n").as("na"), col("pp").as("pa")), "sh")
+          col("n").as("na"), col("pp").as("pa")), col("sh")), "sh")
       .filter(least(col("na"), col("nb")) >=
         greatest(col("na"), col("nb")) * lit(thr) - lit(BoundEps))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
         (col("na") + col("nb")) * lit(thr / (1.0 + thr)) - lit(BoundEps))
       .select(col("new_id"), col("old_id")).distinct()
-    val dropIds = cand
-      .join(bs.select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
-      .join(cs.select(col("doc_id").as("old_id"), col("s").as("sa")), "old_id")
+    val dropIds = widen(cand, col("new_id"))
+      .join(widen(bs, col("doc_id"))
+        .select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
+      .transform(d => widen(d, col("old_id")))
+      .join(widen(cs, col("doc_id"))
+        .select(col("doc_id").as("old_id"), col("s").as("sa")), "old_id")
       .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
         (size(col("sa")) + size(col("sb")) -
           size(array_intersect(col("sa"), col("sb")))) >= thr)
@@ -1113,10 +1126,15 @@ FROM grouped ORDER BY doc_id""")),
     Spec("q_dedup_prefix_incremental",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // same ×40 in-flight-bytes derivation as q_dedup_prefix_filter
+        // (measured there: spill 59 GB → 2.6 GB at 100×-on-8 g)
+        val st = docs.agg(sum(octet_length(col("text"))).as("b")).head()
+        val textBytes = if (st.isNullAt(0)) 0L else st.getLong(0)
         prefixFilterIncremental(
             docs.filter(pmod(col("doc_id"), lit(5)) === 0),
             docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-            PrefixFilterThreshold)
+            PrefixFilterThreshold,
+            np = ScaleOps.deriveShufflePartitions(s, textBytes * 40L))
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id"))
       },

@@ -88,6 +88,12 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < 15,
       s"fixture should drop some but not all batch docs (kept ${want.size}/15)")
     assert(kept == want)
+    // derived verify granularity (np) is physical only here too
+    val widened = graft.operators.DedupQueries
+      .prefixFilterIncremental(batch, corp, 0.5, np = 257)
+      .select("doc_id").as[Long].collect().toSet
+    assert(widened == want,
+      "partition-widened prefixFilterIncremental must equal the default plan")
   }
 
   test("incremental form: empty corpus keeps the whole batch, empty batch yields empty") {

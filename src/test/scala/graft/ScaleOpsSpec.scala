@@ -225,6 +225,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       "partition-widened blocked fuzzy join must equal the unsalted result")
   }
 
+  test("deriveShufflePartitions: session constant below threshold, scales " +
+    "with bytes above it, capped at 4096") {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val conc = spark.sparkContext.defaultParallelism
+    val heap = Runtime.getRuntime.maxMemory
+    // tiny volume → the session constant (gate-scale degeneration)
+    assert(ScaleOps.deriveShufflePartitions(spark, 1L) == parts)
+    assert(ScaleOps.deriveShufflePartitions(spark, 0L) == parts)
+    // a volume demanding more than the session constant → the ceiling
+    // of bytes·conc / (heap/10), i.e. concurrent tasks together hold
+    // at most a tenth of the heap
+    val big = heap // per-slot share = heap/conc ≫ heap/10/conc target
+    val expect = math.ceil(big.toDouble * conc / (0.1 * heap)).toLong
+    assert(expect > parts, "fixture must exceed the session constant")
+    assert(ScaleOps.deriveShufflePartitions(spark, big) ==
+      math.min(4096L, expect).toInt)
+    // absurd volume → the 4096 task-overhead cap
+    assert(ScaleOps.deriveShufflePartitions(spark, Long.MaxValue / 1024) == 4096)
+  }
+
   test("deriveFuzzyBlocking picks the smallest prefix meeting the occupancy " +
     "target and salts the residual") {
     import spark.implicits._
