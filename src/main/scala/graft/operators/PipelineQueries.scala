@@ -159,6 +159,87 @@ object PipelineQueries {
           UNION ALL SELECT '07_dedup_keep', count(*) FROM keepset
           UNION ALL SELECT '08_surviving', count(*) FROM surv
           UNION ALL SELECT '09_' || split, count(*) FROM surv GROUP BY split
+        ) ORDER BY stage""")),
+
+    // The OTHER composed family (examples.WarehousePipelineDemo),
+    // gated the same way: per-stage row counts PLUS value-carrying
+    // cross-stage aggregates — including a genuine cross-stage join
+    // (every open SCD2 version's customer must resolve to a golden
+    // record: the "current state is publishable" invariant a nightly
+    // maintenance job actually checks). Each stage is the member
+    // Spec's own run; the oracle embeds the member oracle SQL.
+    Spec("q_warehouse_composed",
+      (s, dir) => {
+        val profile = member(WarehouseQueries.specs, "q_profile_columns")
+          .run(s, dir)
+        val checksFailed = member(CurationQueries.specs, "q_expectations")
+          .run(s, dir).filter(!col("passed"))
+        val scd2 = member(WarehouseQueries.specs, "q_scd2_history").run(s, dir)
+        val open = scd2.filter(col("valid_to").isNull)
+        val golden = member(WarehouseQueries.specs, "q_golden_record")
+          .run(s, dir)
+        val openWithGolden = open.select(col("o_custkey"))
+          .join(golden.select(col("o_custkey")), Seq("o_custkey"))
+        val agg = member(WarehouseQueries.specs, "q_incremental_agg")
+          .run(s, dir)
+        val diff = member(AdvancedQueries.specs, "q_snapshot_diff").run(s, dir)
+        val churn = diff.filter(col("status") =!= "unchanged")
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+          .select(lit("08_diff_churn").as("stage"), col("n"))
+        val funnel = member(AnalyticsQueries.specs, "q_event_funnel")
+          .run(s, dir)
+        val cohort = member(AnalyticsQueries.specs, "q_cohort_retention")
+          .run(s, dir)
+        val week0 = cohort.filter(col("week_offset") === 0)
+          .agg(coalesce(sum(col("n_users")), lit(0L)).as("n"))
+          .select(lit("12_cohort_week0_users").as("stage"), col("n"))
+        stageCount(profile, "00_profile_cols")
+          .unionByName(stageCount(checksFailed, "01_checks_failed"))
+          .unionByName(stageCount(scd2, "02_versions"))
+          .unionByName(stageCount(open, "03_open_versions"))
+          .unionByName(stageCount(golden, "04_golden"))
+          .unionByName(stageCount(openWithGolden, "05_open_with_golden"))
+          .unionByName(stageCount(agg, "06_agg_rows"))
+          .unionByName(stageCount(diff, "07_diff_statuses"))
+          .unionByName(churn)
+          .unionByName(stageCount(funnel, "09_funnel_users"))
+          .unionByName(stageCount(funnel.filter(col("reached") === 4),
+            "10_funnel_converted"))
+          .unionByName(stageCount(cohort, "11_cohort_cells"))
+          .unionByName(week0)
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH
+        scd2 AS (SELECT * FROM ${sub(WarehouseQueries.specs, "q_scd2_history")}),
+        open_v AS (SELECT * FROM scd2 WHERE valid_to IS NULL),
+        golden AS (SELECT * FROM ${sub(WarehouseQueries.specs, "q_golden_record")}),
+        diff AS (SELECT * FROM ${sub(AdvancedQueries.specs, "q_snapshot_diff")}),
+        funnel AS (SELECT * FROM ${sub(AnalyticsQueries.specs, "q_event_funnel")}),
+        cohort AS (SELECT * FROM ${sub(AnalyticsQueries.specs, "q_cohort_retention")})
+        SELECT stage, n FROM (
+          SELECT '00_profile_cols' AS stage, count(*) AS n
+          FROM ${sub(WarehouseQueries.specs, "q_profile_columns")}
+          UNION ALL SELECT '01_checks_failed', count(*)
+          FROM ${sub(CurationQueries.specs, "q_expectations")} WHERE NOT passed
+          UNION ALL SELECT '02_versions', count(*) FROM scd2
+          UNION ALL SELECT '03_open_versions', count(*) FROM open_v
+          UNION ALL SELECT '04_golden', count(*) FROM golden
+          UNION ALL SELECT '05_open_with_golden', count(*)
+          FROM (SELECT o_custkey FROM open_v) o
+          JOIN (SELECT o_custkey FROM golden) g USING (o_custkey)
+          UNION ALL SELECT '06_agg_rows', count(*)
+          FROM ${sub(WarehouseQueries.specs, "q_incremental_agg")}
+          UNION ALL SELECT '07_diff_statuses', count(*) FROM diff
+          UNION ALL SELECT '08_diff_churn',
+            CAST(coalesce(sum(n), 0) AS BIGINT)
+          FROM diff WHERE status <> 'unchanged'
+          UNION ALL SELECT '09_funnel_users', count(*) FROM funnel
+          UNION ALL SELECT '10_funnel_converted', count(*)
+          FROM funnel WHERE reached = 4
+          UNION ALL SELECT '11_cohort_cells', count(*) FROM cohort
+          UNION ALL SELECT '12_cohort_week0_users',
+            CAST(coalesce(sum(n_users), 0) AS BIGINT)
+          FROM cohort WHERE week_offset = 0
         ) ORDER BY stage"""))
   )
 }
