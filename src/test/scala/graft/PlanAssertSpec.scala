@@ -19,6 +19,35 @@ class PlanAssertSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("derived verify granularity degenerates at gate scale (no explicit " +
+    "repartition nodes) and widens exactly when asked") {
+    // gate-scale corpora keep the session constant: the derivation
+    // must insert NO repartition exchanges (every Exchange stays
+    // ENSURE_REQUIREMENTS) — the "plans unchanged at gate scale" claim
+    // as an executable assertion, not prose
+    // (an explicit repartition(n, cols) tags its exchange
+    // REPARTITION_BY_NUM; none of these three specs uses Q.spread, so
+    // any such node could only come from the derivation firing)
+    for (q <- Seq("q_dedup_prefix_filter", "q_dedup_prefix_incremental",
+        "q_fuzzy_match_blocked")) {
+      val p = plan(q)
+      assert(!p.contains("REPARTITION_BY_NUM") &&
+        !p.contains("REPARTITION_BY_COL"),
+        s"$q widened its verify joins at gate scale:\n$p")
+    }
+    // and the knob is live: an explicit np above the session constant
+    // plants the widened hash-partitioned exchanges
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, Seq("a", "b", "c")), (2L, Seq("b", "c", "d")))
+      .toDF("doc_id", "s")
+    val widened = graft.operators.DedupQueries
+      .prefixFilterPairs(docs, 0.5, np = 63)
+      .queryExecution.executedPlan.toString
+    assert(widened.contains("REPARTITION_BY_NUM") && widened.contains(", 63)"),
+      s"np=63 must appear as explicit repartition exchanges:\n$widened")
+  }
+
   test("q_join_equi broadcasts the customer dim, never nested-loops") {
     val p = plan("q_join_equi")
     assert(p.contains("BroadcastHashJoin"), p)
