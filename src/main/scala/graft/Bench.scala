@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // repo-relative defaults (VERDICT r9 #6, applied to the bench too):
+    // a relocated checkout must screen against ITS OWN quiet records
+    // and write its artifact inside itself, not /root/repo's
+    val repoBase = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val recordsPath = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECORDS",
+      s"$repoBase/bench/quiet_records.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,11 +162,9 @@ object Bench {
     // Records only apply when they were measured on the same sf dir;
     // +0.3 s absolute slack keeps sub-second queries out of the net.
     val records: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECORDS",
-        "/root/repo/bench/quiet_records.json")
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
+          java.nio.file.Paths.get(recordsPath)), "UTF-8")
         val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(m => sfDir.stripSuffix("/") == m.group(1).stripSuffix("/"))
         if (!sfOk) Map.empty
@@ -197,11 +201,9 @@ object Bench {
     // so an artifact measured against a stale record set is detectable
     // by diffing against the repo HEAD that produced the run
     val recordsSha: String = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECORDS",
-        "/root/repo/bench/quiet_records.json")
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
+          java.nio.file.Paths.get(recordsPath)), "UTF-8")
         """"git_sha"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("unrecorded")
       } catch { case _: Throwable => "absent" }
@@ -263,7 +265,7 @@ object Bench {
     // absolute default so the canonical artifact location is
     // cwd-independent (tooling reads this exact path)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_latest.json")
+      s"$repoBase/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

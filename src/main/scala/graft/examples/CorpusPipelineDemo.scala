@@ -107,10 +107,18 @@ object CorpusPipelineDemo {
     //     driver scalar (the quality-threshold percentile pattern) and
     //     keeps the stage meaning "the best two thirds" at any scale.
     val (lmFreq, lmScal) = graft.operators.TextQueries.trainUnigramLm(docs)
-    val lmScored = graft.operators.TextQueries
+    // persist the small (doc_id, avg_nll) projection BEFORE the
+    // quantile: the scoring join (token explode × broadcast LM) is the
+    // stage's dominant cost and would otherwise execute twice — once
+    // for the quantile job, again for the keep-set filter
+    val lmScored = keepSet(graft.operators.TextQueries
       .scoreAgainstLm(docs, lmFreq, lmScal)
+      .select(col("doc_id"), col("avg_nll")))
+    // approxQuantile returns EMPTY on an empty/all-null column — keep
+    // everything vacuously rather than crashing the composed run
     val pplCut = lmScored.stat
-      .approxQuantile("avg_nll", Array(2.0 / 3.0), 0.001).head
+      .approxQuantile("avg_nll", Array(2.0 / 3.0), 0.001)
+      .headOption.getOrElse(Double.MaxValue)
     val lmOk = keepSet(
       lmScored.filter(col("avg_nll") <= pplCut).select("doc_id"))
     val nLmOk = lmOk.count()
@@ -194,11 +202,16 @@ object CorpusPipelineDemo {
     //    small files), then compact to ~1 MiB outputs — the
     //    operational final step of every incremental corpus
     val out = java.nio.file.Files.createTempDirectory("corpus_out")
-    trainMixed
-      .repartition(32).write.mode("overwrite")
-      .parquet(s"$out/train_raw")
-    val nFiles = graft.operators.ScaleOps.compactFiles(spark,
-      s"$out/train_raw", s"$out/train", targetBytes = 1L << 20)
+    val nFiles =
+      try {
+        trainMixed
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$out/train_raw")
+        graft.operators.ScaleOps.compactFiles(spark,
+          s"$out/train_raw", s"$out/train", targetBytes = 1L << 20)
+      // the file count is the published fact; reclaim the scratch tree
+      // so repeated demo/spec runs don't accumulate /tmp garbage
+      } finally PipelineProbe.deleteScratch(out)
 
     // every count above has materialized — release the keep-set pins
     // so a long-lived session composing further work starts clean

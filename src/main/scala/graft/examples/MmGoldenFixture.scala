@@ -32,13 +32,15 @@ import org.apache.spark.sql.SparkSession
   */
 object MmGoldenFixture {
 
-  // repo-relative via SPARK_GRAFT_REPO (VERDICT r9 #6): the harnesses
-  // run with an sf dir, not the repo dir, so the base stays an env-
-  // overridable absolute path rather than a cwd-relative one
+  // SINGLE SOURCE for the generator's write paths and the battery's
+  // read paths: both come from MultimodalQueries (repo-relative via
+  // SPARK_GRAFT_REPO, VERDICT r9 #6) — two independent derivations
+  // could drift on a future edit and silently split what the fixture
+  // writes from what q_mm_phash_real reads
+  val imagesPath = graft.operators.MultimodalQueries.goldenImagesPath
+  val expectedPath = graft.operators.MultimodalQueries.goldenExpectedPath
   val fixtureDir =
-    s"${sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")}/fixtures"
-  val imagesPath = s"$fixtureDir/mm_golden_images.parquet"
-  val expectedPath = s"$fixtureDir/mm_golden_expected.parquet"
+    imagesPath.substring(0, imagesPath.lastIndexOf('/'))
 
   /** Explicit LCG (numerical-recipes constants) so the noise images are
     * bit-stable across Scala/JVM versions. */

@@ -14,6 +14,20 @@ import org.apache.spark.sql.SparkSession
   * Construct before the pipeline runs, then print [[reportJson]] — one
   * JSON line a probe artifact (and BASELINE.md) can quote verbatim.
   */
+object PipelineProbe {
+  /** Recursive scratch cleanup for the demos' temp trees (staged CSV
+    * batches, streaming checkpoints, compaction outputs): repeated
+    * demo/spec runs must not accumulate unbounded /tmp garbage on the
+    * shared box. Best-effort — a failed delete never fails the run. */
+  def deleteScratch(root: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+}
+
 final class PipelineProbe(spark: SparkSession) {
   private val memSpill = new AtomicLong(0L)
   private val diskSpill = new AtomicLong(0L)

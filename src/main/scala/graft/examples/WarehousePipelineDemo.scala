@@ -58,12 +58,16 @@ object WarehousePipelineDemo {
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", StringType)))
-    val nIngested = graft.streaming.IncrementalIngest.runOnce(spark,
-      batchSchema, graft.streaming.IncrementalIngest.Config(
-        inputDir = inDir.toString,
-        checkpointDir = root.resolve("ckpt").toString,
-        archiveDir = root.resolve("archived").toString,
-        outputDir = root.resolve("out").toString))
+    val nIngested =
+      try graft.streaming.IncrementalIngest.runOnce(spark,
+        batchSchema, graft.streaming.IncrementalIngest.Config(
+          inputDir = inDir.toString,
+          checkpointDir = root.resolve("ckpt").toString,
+          archiveDir = root.resolve("archived").toString,
+          outputDir = root.resolve("out").toString))
+      // the drained count is already materialized; nothing downstream
+      // reads the ingest tree — reclaim the scratch even on failure
+      finally PipelineProbe.deleteScratch(root)
 
     // 1. profile the incoming snapshot (one scan; the operational
     //    "what did we receive" report)

@@ -371,10 +371,7 @@ ORDER BY d.doc_id"""
     // is partially aggregated map-side BEFORE that exchange, and an
     // explicit repartition there would shuffle the raw pair stream
     // instead of the partially-deduped one.
-    val parts = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    val prefixesW =
-      if (np > parts) prefixes.repartition(np, col("sh")) else prefixes
+    val prefixesW = ScaleOps.widenIfAbove(prefixes, np, col("sh"))
     prefixesW.select(col("doc_id").as("doc_a"), col("sh"),
         col("n").as("na"), col("pp").as("pa"))
       .join(prefixesW.select(col("doc_id").as("doc_b"), col("sh"),
@@ -409,10 +406,8 @@ ORDER BY d.doc_id"""
     // set-attach joins — [[prefixFilterPairs]]' derived-granularity
     // rule applied to the batch-vs-corpus form (same ×40 in-flight
     // byte argument; physical only, DedupSpec pins identical results)
-    val parts = batch.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
     def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
-      if (np > parts) df.repartition(np, keys: _*) else df
+      ScaleOps.widenIfAbove(df, np, keys: _*)
     def withSets(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), shingleSetFast(col("text")).as("s"))
     val bs = withSets(batch)
@@ -480,10 +475,8 @@ ORDER BY d.doc_id"""
     // Projection preserves the hash partitioning through the rename,
     // so the sets side shuffles once per key. Results are identical
     // at any np (DedupSpec pins this).
-    val parts = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
     def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
-      if (np > parts) df.repartition(np, keys: _*) else df
+      ScaleOps.widenIfAbove(df, np, keys: _*)
     val setsA = widen(docs, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val setsB = widen(docs, col("doc_id"))

@@ -33,8 +33,12 @@ object GraphQueries {
     * small per-round state tables (|V| rows), never to the edge list. */
   private def materialize(df: DataFrame): DataFrame = {
     val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // register BEFORE the materializing count: if the count dies
+    // (OOM/cancellation), the harness' finally-side unpersistAll()
+    // must still find and release the pin — registering after would
+    // resurrect the leak on exactly the failure paths
     synchronized { persisted += out }
+    out.count()
     out
   }
 
@@ -229,12 +233,17 @@ object GraphQueries {
     val ss = edges.sparkSession
     val m = e.count() // cached by materialize — metadata-cheap
     val parts = ss.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // task slots bound build concurrency REGARDLESS of partition count:
-    // after repartitioning to np (> parts) the scheduler still runs
-    // min(slots, np) builds at once, so min(slots, parts) would
-    // undercount exactly when shuffle.partitions < cores — the
-    // fixed-32-partition config that motivated this derivation
-    val conc = ss.sparkContext.defaultParallelism
+    // task slots bound build concurrency REGARDLESS of partition count
+    // (min(slots, parts) would undercount exactly when
+    // shuffle.partitions < cores, the fixed-32-partition config that
+    // motivated this derivation) — but the slots that matter are the
+    // ones SHARING ONE HEAP: per-executor cores on a cluster,
+    // defaultParallelism only in local mode (see
+    // ScaleOps.concurrentSlotsPerHeap; cluster-wide parallelism
+    // against one executor's heap would inflate `needed` by the
+    // executor count and flip this join to the SMJ fallback on
+    // exactly the large deployments it exists for)
+    val conc = ScaleOps.concurrentSlotsPerHeap(ss)
     // spark.executor.memory is authoritative when set (cluster mode
     // always sets it); the Runtime.maxMemory fallback is LOCAL-MODE
     // ONLY — in local mode driver == executor JVM so it reads the true

@@ -43,11 +43,40 @@ object ScaleOps {
   def deriveShufflePartitions(ss: SparkSession, bytes: Long,
                               cap: Int = 4096): Int = {
     val parts = ss.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val conc = ss.sparkContext.defaultParallelism
     val heap = ss.conf.getOption("spark.executor.memory").map(parseJvmBytes)
       .getOrElse(Runtime.getRuntime.maxMemory)
-    val needed = math.ceil(bytes.toDouble * conc / (0.1 * heap)).toLong
+    val needed =
+      math.ceil(bytes.toDouble * concurrentSlotsPerHeap(ss) / (0.1 * heap))
+        .toLong
     math.min(cap.toLong, math.max(parts.toLong, needed)).toInt
+  }
+
+  /** Task slots that SHARE one executor heap — the concurrency the
+    * per-heap budget must divide by. `spark.executor.cores` when set
+    * (cluster mode always sets it: per-executor slots share that
+    * executor's heap); `defaultParallelism` only as the LOCAL-mode
+    * fallback, where all threads share the single JVM heap. Using
+    * defaultParallelism unconditionally would multiply the estimate by
+    * the executor COUNT on a cluster (cluster-wide slots against one
+    * executor's heap) and over-partition ~N_executors-fold — enough to
+    * push derivations past their caps and flip plans to fallbacks on
+    * exactly the deployments the derivation targets. */
+  private[operators] def concurrentSlotsPerHeap(ss: SparkSession): Int =
+    ss.conf.getOption("spark.executor.cores").map(_.trim.toInt)
+      .filter(_ > 0)
+      .getOrElse(ss.sparkContext.defaultParallelism)
+
+  /** The repartition-if-above guard every derived-granularity call
+    * site shares: explicit hash repartition by the coming join/agg
+    * keys when `np` exceeds the session constant (the join consumes
+    * the partitioning — the exchange REPLACES the join's own), no-op
+    * otherwise (gate-scale degeneration; PlanAssertSpec pins both
+    * directions). One definition so a fix to the guard can never miss
+    * a call site. */
+  def widenIfAbove(df: DataFrame, np: Int, keys: Column*): DataFrame = {
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (np > parts) df.repartition(np, keys: _*) else df
   }
 
   /** Persist both sides of a recurring join bucketed + sorted on the
@@ -404,13 +433,8 @@ object ScaleOps {
     // unchanged when the derivation degenerates to the session
     // constant. Results are identical at any partition count
     // (ScaleOpsSpec pins this).
-    val parts =
-      left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val (lj, rj) =
-      if (partitions > parts)
-        (l.repartition(partitions, col("__c"), col("__b"), col("__s")),
-          r.repartition(partitions, col("__c"), col("__b"), col("__s")))
-      else (l, r)
+    val lj = widenIfAbove(l, partitions, col("__c"), col("__b"), col("__s"))
+    val rj = widenIfAbove(r, partitions, col("__c"), col("__b"), col("__s"))
     lj.join(rj, Seq("__c", "__b", "__s"))
       // levenshtein(a,b) >= |len(a)-len(b)|: reject on the cheap length
       // probe before any DP table is built
@@ -437,9 +461,13 @@ object ScaleOps {
     // land partials in different reducers (SPARK-23207). Hashing the
     // (keys, value) tuple — not every column — is deterministic under
     // recompute AND cheap (the 100× replica measured all-column
-    // hashing at 2.8× the row cost on a 16-column fact table); rows
-    // identical on (keys, value) sharing a salt is harmless, because
-    // phase 1 groups exactly those rows into one partial anyway.
+    // hashing at 2.8× the row cost on a 16-column fact table). A hot
+    // key whose rows all carry ONE value does collapse onto one salt —
+    // harmless HERE because sum/count are algebraic: the map-side
+    // partial aggregate combines those rows per mapper before the
+    // shuffle, so that reducer receives ≤ one partial row per map
+    // task, never the raw hot mass. (Joins have no such combine —
+    // see saltedJoin's caveat.)
     val salted = df.withColumn("__salt",
       pmod(xxhash64((keys :+ valueCol).map(col): _*), lit(salts)))
     val phase1 = salted
@@ -459,9 +487,15 @@ object ScaleOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
-    // deterministic content-hash salt (see saltedSum): a retry-
+    // deterministic content-hash salt over EVERY left column: a retry-
     // recomputed row re-draws the same salt, so the join key is stable
-    // under partial stage recompute
+    // under partial stage recompute (SPARK-23207). CAVEAT a caller
+    // must know: joins have no map-side combine, so left rows that are
+    // FULLY identical (hot key + identical payload columns — e.g. a
+    // key-only projection) collapse onto one salt and keep their
+    // straggler. Feed a projection that retains a distinguishing
+    // column (a row id, or any varied payload) — the battery caller
+    // passes the full fact row, whose measure columns vary.
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)))
     val explodedRight = right.withColumn("__salt",
