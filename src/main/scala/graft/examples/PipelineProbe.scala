@@ -23,8 +23,14 @@ object PipelineProbe {
     try {
       import java.nio.file.Files
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
+      // Files.walk holds a directory handle until closed (ADVICE r10:
+      // relying on GC leaks one handle per call) — materialize the
+      // paths, then close before deleting.
+      val walk = Files.walk(root)
+      val paths =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      paths.reverseIterator.foreach(p => Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 }
 

@@ -298,6 +298,32 @@ object AnalyticsQueries {
                     AS BIGINT) END AS chi2_x10k
              FROM g ORDER BY lang, tok""")),
 
+    // Exact deterministic quantiles (ScaleOps.exactQuantiles, VERDICT
+    // r10 #2): the adaptive-policy primitive — type-1 / inverse-CDF
+    // semantics over a long column, result a function of the value
+    // multiset alone (approxQuantile's GK sketch depends on partition
+    // merge order, which is why the composed pipeline's quantile cut
+    // was previously un-gateable). The oracle replays the definition
+    // verbatim as a windowed cumulative sum over DuckDB's identical
+    // IEEE arithmetic. n_chars is the same grid-bounded integer score
+    // family the intended callers scale into.
+    Spec("q_exact_quantile",
+      (s, dir) => ScaleOps.exactQuantiles(
+          t(s, dir, "documents").select(col("n_chars")),
+          "n_chars", Seq(0.25, 0.5, 2.0 / 3.0, 0.9, 1.0))
+        .orderBy(col("p")),
+      Some("""WITH counts AS (
+               SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+               FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+             cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+                     FROM counts),
+             tot AS (SELECT sum(cnt) AS n FROM counts),
+             ps AS (SELECT unnest([0.25, 0.5, 2.0/3.0, 0.9, 1.0]) AS p)
+             SELECT p, min(v) AS value
+             FROM cum, tot, ps
+             WHERE cum >= CAST(ceiling(p * CAST(n AS DOUBLE)) AS BIGINT)
+             GROUP BY p ORDER BY p""")),
+
     // Robust per-group outlier detection via median absolute deviation
     // — the outlier gate that, unlike the z-score (q_normalize_zscore),
     // a few extreme documents cannot drag: median and MAD have 50 %

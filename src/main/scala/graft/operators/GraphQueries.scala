@@ -55,7 +55,15 @@ object GraphQueries {
     * once the query's FINAL aggregate has materialized (the bench /
     * verify harnesses do this per-query): unpersisting earlier would
     * silently recompute the iterative joins from lineage. Non-blocking
-    * — eviction proceeds in the background while the next query plans. */
+    * — eviction proceeds in the background while the next query plans.
+    *
+    * SEQUENTIAL-HARNESS ASSUMPTION (ADVICE r10): the registry is
+    * process-wide, so two graph queries running CONCURRENTLY on one
+    * JVM could have their pins released mid-iteration by the other's
+    * finally-side unpersistAll — silent recomputation, never wrong
+    * results (lineage rebuilds the cache). Bench/Verify run queries
+    * strictly one at a time, which is the supported mode; a harness
+    * that interleaves graph queries must scope releases itself. */
   def unpersistAll(): Unit = synchronized {
     persisted.foreach(_.unpersist(blocking = false))
     persisted.clear()

@@ -20,15 +20,13 @@ import org.apache.spark.sql.functions._
   * Each stage reuses the member Spec's `run` (or the same public
   * operator call the demo makes), so a drift between a stage's Spark
   * semantics and its oracle shows here even if it cancels out in the
-  * stage's own row. ONE deliberate divergence from the demo: the LM
-  * stage keeps the battery's ABSOLUTE tier cut (calibrated for the
-  * gate corpus the oracle runs on), while the demo cuts at the
-  * corpus' 2/3 avg_nll quantile via `approxQuantile` — a
-  * Greenwald–Khanna sketch whose exact cut depends on partition merge
-  * order, i.e. not hash-replayable by a deterministic oracle. The row
-  * therefore gates the composition of the BATTERY stages; the demo's
-  * quantile variant is scale-characterized separately (BASELINE.md
-  * r10 composed-run section).
+  * stage's own row. Since r11 the LM stage gates the demo's OWN
+  * policy — the adaptive cut at the corpus' 2/3 avg_nll quantile —
+  * because [[ScaleOps.exactQuantiles]] makes that cut a deterministic
+  * function of the score multiset (r10's `approxQuantile` sketch
+  * depended on partition merge order and forced the gate to keep an
+  * absolute cut instead; that documented demo/battery divergence is
+  * now closed — demo and gate run the same quantile policy).
   */
 object PipelineQueries {
   import Q._
@@ -50,7 +48,9 @@ object PipelineQueries {
   /** LM scoring over ALL documents (the demo scores the full corpus
     * against the half-trained LM; the q_lm_perplexity gate row scores
     * only the held-out half) — q_lm_perplexity's oracle with the
-    * scoring-side split predicate removed, training side unchanged. */
+    * scoring-side split predicate removed, training side unchanged.
+    * Emits the 10⁴-scaled integer score (`nll4`) the quantile cut
+    * operates on. */
   private def lmAllDocsSql: String =
     s"""WITH tk AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -71,11 +71,8 @@ object PipelineQueries {
          FROM pdt LEFT JOIN freq f USING (tok) CROSS JOIN scal s
          GROUP BY doc_id)
        SELECT doc_id,
-              CASE WHEN floor(s / CAST(n_toks AS DOUBLE) * 10000) / 10000
-                        < ${TextQueries.PplHeadMax} THEN 'head'
-                   WHEN floor(s / CAST(n_toks AS DOUBLE) * 10000) / 10000
-                        < ${TextQueries.PplMiddleMax} THEN 'middle'
-                   ELSE 'tail' END AS tier
+              CAST(floor(s / CAST(n_toks AS DOUBLE) * 10000) AS BIGINT)
+                AS nll4
        FROM sc"""
 
   val specs: Seq[Spec] = Seq(
@@ -100,10 +97,23 @@ object PipelineQueries {
         // domain wholesale quality (demo 2d)
         val domq = member(CurationQueries.specs, "q_domain_quality_filter")
           .run(s, dir).filter(col("kept")).select("doc_id")
-        // LM perplexity over ALL docs, tail tier dropped (demo 2e)
+        // LM perplexity over ALL docs, cut at the corpus' OWN 2/3
+        // avg_nll quantile (demo 2e) — since r11 the EXACT
+        // deterministic quantile (ScaleOps.exactQuantiles over the
+        // 10⁴-scaled integer score), so the adaptive threshold itself
+        // is oracle-replayable and the one documented demo/battery
+        // divergence (approxQuantile's merge-order dependence) is
+        // closed. Ties at the cut value are kept — deterministic, and
+        // the kept fraction is ≥ 2/3 by the type-1 definition.
         val (lmFreq, lmScal) = TextQueries.trainUnigramLm(docs)
-        val lm = TextQueries.scoreAgainstLm(docs, lmFreq, lmScal)
-          .filter(col("tier") =!= "tail").select("doc_id")
+        val lmScored = TextQueries.scoreAgainstLm(docs, lmFreq, lmScal)
+          .select(col("doc_id"),
+            round(col("avg_nll") * 10000).cast("long").as("nll4"))
+        val lmCut = ScaleOps.exactQuantiles(
+            lmScored.select(col("nll4")), "nll4", Seq(2.0 / 3.0))
+          .select(col("value").as("__cut"))
+        val lm = lmScored.crossJoin(broadcast(lmCut))
+          .filter(col("nll4") <= col("__cut")).select("doc_id")
         // DSIR: target (en) docs ride through, raw docs iff selected
         // (demo 2f; the two legs are disjoint by construction)
         val dsir = docs.filter(col("lang") === "en").select("doc_id")
@@ -144,7 +154,15 @@ object PipelineQueries {
                     PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
                   FROM documents) WHERE rn <= 40),
         domq AS (SELECT doc_id FROM ${sub(CurationQueries.specs, "q_domain_quality_filter")} WHERE kept),
-        lmk AS (SELECT doc_id FROM ($lmAllDocsSql) WHERE tier <> 'tail'),
+        lmsc AS (SELECT doc_id, nll4 FROM ($lmAllDocsSql)),
+        lmcnt AS (SELECT nll4 AS v, count(*) AS cnt FROM lmsc
+                  WHERE nll4 IS NOT NULL GROUP BY 1),
+        lmcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM lmcnt),
+        lmtot AS (SELECT sum(cnt) AS n FROM lmcnt),
+        lmcut AS (SELECT min(v) AS cutv FROM lmcum, lmtot
+                  WHERE cum >= CAST(ceiling((2.0/3.0) * CAST(n AS DOUBLE))
+                                    AS BIGINT)),
+        lmk AS (SELECT doc_id FROM lmsc, lmcut WHERE nll4 <= cutv),
         dsir AS (SELECT doc_id FROM documents WHERE lang = 'en'
                  UNION ALL
                  SELECT doc_id FROM ${sub(CurationQueries.specs, "q_dsir_weights")} WHERE selected),

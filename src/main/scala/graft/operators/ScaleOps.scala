@@ -18,6 +18,12 @@ object ScaleOps {
     * underestimate the heap ~10^6×. */
   private[graft] def parseJvmBytes(s: String): Long = {
     val t = s.trim.toLowerCase
+    // A blank value would crash `t.last` with an opaque
+    // NoSuchElementException inside partition derivation (ADVICE r10);
+    // name the config key so the misconfiguration is diagnosable.
+    require(t.nonEmpty,
+      "spark.executor.memory is set but blank — expected a JVM size " +
+        "string like 8g / 512m / 8192 (suffixless = MiB)")
     val (num, mult) = t.last match {
       case 'k' => (t.dropRight(1), 1L << 10)
       case 'm' => (t.dropRight(1), 1L << 20)
@@ -446,6 +452,210 @@ object ScaleOps {
         levenshtein(col(leftCol), col(rightCol), maxDist).cast("long"))
       .filter(col(distCol) >= 0)
       .drop("__c", "__b", "__s")
+  }
+
+  /** Exact, bit-DETERMINISTIC quantiles of a long column — the
+    * adaptive-policy primitive `approxQuantile` cannot provide
+    * (VERDICT r10 #2): a Greenwald–Khanna sketch's result depends on
+    * partition merge order, so a pipeline cutting at "the corpus' own
+    * 2/3 quantile" was not oracle-replayable. This operator's result
+    * depends only on the value MULTISET: type-1 / inverse-CDF
+    * semantics, `value(p) = min v such that |{x ≤ v}| ≥ ceil(p·n)`,
+    * nulls excluded.
+    *
+    * Returns one row per requested p: `(p double, value long)`.
+    *
+    * Scale shape: one map-side-combining groupBy collapses the corpus
+    * to (value, count) rows, and the cumulative sum then runs over
+    * DISTINCT values only — for integer-SCALED scores (the intended
+    * callers: `floor(score·10⁴)` grids) that table is bounded by the
+    * grid's span, not the corpus, so the single-partition ordered
+    * window is a deliberate, bounded choice (the same
+    * small-by-construction contract as the broadcast stat tables).
+    * Totals and cut rows are 1-row broadcasts; corpus rows are never
+    * globally sorted. */
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "quantile fractions must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("cnt"))
+    // distinct-value table: grid-bounded by contract (see scaladoc)
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val tot = counts.agg(sum(col("cnt")).as("n"))
+    val ptab = df.sparkSession.createDataFrame(
+      ps.map(Tuple1(_))).toDF("p")
+    // ceil(p·n) in IEEE double then long — an oracle replays the same
+    // expression bit-for-bit (CAST(ceiling(p * n) AS BIGINT))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ptab))
+      .filter(col("cum") >=
+        ceil(col("p") * col("n").cast("double")).cast("long"))
+      .groupBy(col("p")).agg(min(col("v")).as("value"))
+  }
+
+  /** Shuffle granularity for [[qgramFuzzyJoin]]'s candidate join: one
+    * cheap aggregate over the key column, sized from the PREFIX-gram
+    * table the join actually shuffles — `q·maxDist + 1` rows per
+    * string, each carrying the full key string plus ~48 B of id/gram
+    * bookkeeping, both sides in flight at once (×2). Degenerates to
+    * the session constant at gate scale like every other derivation
+    * ([[deriveShufflePartitions]]). */
+  def deriveQgramPartitions(df: DataFrame, c: String,
+                            q: Int, maxDist: Int): Int = {
+    val row = df.agg(count(lit(1)).as("n"),
+      sum(octet_length(col(c))).as("kb")).head()
+    val n = row.getLong(0)
+    val keyBytes = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val prefixRows = q.toLong * maxDist + 1L
+    deriveShufflePartitions(df.sparkSession,
+      (keyBytes + 48L * n) * prefixRows * 2L)
+  }
+
+  /** Guaranteed-recall edit-distance join (Ed-Join family: Xiao, Wang,
+    * Lin, VLDB'08 — positional q-grams + count/prefix filtering) — the
+    * subquadratic replacement for [[blockedFuzzyJoin]]'s fixed
+    * (first-chars × length-band) blocking key. Candidate volume here
+    * scales with GRAM RARITY, not a fixed key alphabet, and recall is
+    * EXACT: the result equals the brute-force
+    * `levenshtein(l, r) ≤ maxDist` join on distinct input rows
+    * (ScaleOpsSpec pins this against brute force; the battery gate's
+    * oracle IS the brute-force join — the same contract as
+    * DedupQueries.prefixFilterPairs for set similarity).
+    *
+    * Why it is exact (the theorem chain, self-contained):
+    *  1. An edit operation destroys at most `q` of a string's
+    *     positional q-grams, so `ed(s,t) ≤ d` implies a matching of
+    *     ≥ `max(|Gs|,|Gt|) − q·d` gram pairs — equal gram value,
+    *     positions within `d` (a preserved gram shifts ≤ d).
+    *  2. Order every string's grams by the SHARED total order
+    *     (corpus df, gram, position) and keep the first
+    *     `q·d + 1` as its prefix. If some matched pair lands in both
+    *     prefixes, the candidate equi-join on (gram, |Δpos| ≤ d)
+    *     finds the pair. Otherwise the standard counting argument
+    *     forces a matched pair (e ∈ prefix_s, f ∈ suffix_t) and one
+    *     (e' ∈ suffix_s, f' ∈ prefix_t); the order chain
+    *     key(e') = key(f') ≤ key(f) = key(e) ≤ key(e') collapses all
+    *     four to ONE gram value, and the position chain
+    *     p_e ≤ p_e' ≤ p_f' + d, p_f' ≤ p_f ≤ p_e + d then puts
+    *     (e, f') — both IN their prefixes — within distance d. Either
+    *     way the join emits the pair; banded `levenshtein` verify
+    *     removes false positives, so result == brute force.
+    *  3. Strings too short for the bound (`max(|Gs|,|Gt|) ≤ q·d`,
+    *     i.e. BOTH sides shorter than `q·(d+1)` chars) carry no
+    *     guarantee from grams — they go through a bounded
+    *     length-band equi-join instead (band width d, right side
+    *     explodes ±1: the [[blockedFuzzyJoin]] band-completeness
+    *     argument with no prefix key at all). A short×long pair needs
+    *     no fallback: the long side's bound gives overlap ≥ 1 and the
+    *     short side's prefix is ALL its grams.
+    *
+    * Spark shape: gram df = one groupBy over the exploded grams of
+    * both sides; per-string prefixes = groupBy(row) + sort_array +
+    * slice (no window, no UDF — `transform`/`substr` build the gram
+    * arrays in codegen); candidates = one equi-join on the gram
+    * value; verify = thresholded banded levenshtein. Skew note: the
+    * candidate join's hot keys are the df-RAREST grams by
+    * construction — the df ordering is itself the skew defense, which
+    * is exactly what the fixed first-char key could never provide.
+    *
+    * Contract differences vs [[blockedFuzzyJoin]]: input rows must be
+    * DISTINCT on each side (callers join on a unique id; duplicate
+    * rows would collapse to one candidate — the dedup battery removes
+    * exact duplicates upstream), and output pair order is unspecified
+    * (sort downstream).
+    *
+    * Output = all left columns + all right columns + `distCol`
+    * (long edit distance ≤ maxDist); names must not collide.
+    */
+  def qgramFuzzyJoin(left: DataFrame, right: DataFrame,
+                     leftCol: String, rightCol: String,
+                     maxDist: Int, q: Int = 2,
+                     distCol: String = "dist",
+                     partitions: Int = 0): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val dup = left.columns.intersect(right.columns)
+    require(dup.isEmpty,
+      s"left/right column names must not collide: ${dup.mkString(", ")}")
+    val reserved =
+      Seq("__g", "__gp", "__df", "__pl", "__pr", "__pref", "__b", "__b0",
+        distCol)
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"columns collide with qgramFuzzyJoin internals: ${clash.mkString(", ")}")
+    val d = maxDist
+    val prefLen = q * d + 1
+    val shortLen = q * (d + 1) // len < shortLen ⇔ gram count ≤ q·d
+
+    // positional q-grams as an in-codegen array expression: element i
+    // of the array is (substr(s, i, q), i) — no UDF, no explode yet
+    def gramsOf(c: String): Column =
+      transform(
+        sequence(lit(1), greatest(length(col(c)) - lit(q - 1), lit(0))),
+        i => struct(col(c).substr(i, lit(q)).as("g"), i.as("p")))
+    val lg = left.withColumn("__gp", gramsOf(leftCol))
+    val rg = right.withColumn("__gp", gramsOf(rightCol))
+
+    // the SHARED global order: corpus-wide gram document frequency over
+    // BOTH sides (any fixed order preserves recall — df-ascending is
+    // the Ed-Join performance choice: rare grams head the prefixes, so
+    // candidate lists stay short)
+    val dfTab = lg.select(explode(col("__gp")("g")).as("__g"))
+      .unionByName(rg.select(explode(col("__gp")("g")).as("__g")))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+
+    // per-row prefix: explode positional grams, attach df, re-group by
+    // the (distinct-by-contract) original row, sort by (df, gram, pos)
+    // — the occurrence-consistent total order the theorem needs — and
+    // keep the first q·d+1
+    def prefixGrams(g: DataFrame, posAs: String): DataFrame = {
+      val orig = g.columns.filter(_ != "__gp").map(col)
+      g.select(orig :+ explode(col("__gp")).as("__gp"): _*)
+        .select(orig :+ col("__gp")("g").as("__g")
+          :+ col("__gp")("p").as("__p"): _*)
+        .join(dfTab, "__g")
+        .groupBy(orig: _*)
+        .agg(slice(array_sort(collect_list(
+          struct(col("__df"), col("__g"), col("__p")))), 1, prefLen)
+          .as("__pref"))
+        .select(orig :+ explode(col("__pref")).as("__gp"): _*)
+        .select(orig :+ col("__gp")("__g").as("__g")
+          :+ col("__gp")("__p").as(posAs): _*)
+    }
+    val pl0 = prefixGrams(lg, "__pl")
+    val pr0 = prefixGrams(rg, "__pr")
+    // derived granularity for the candidate join (deriveQgramPartitions
+    // at call sites): the explicit repartition REPLACES the join's own
+    // exchange; no-op at gate scale (widenIfAbove)
+    val pl = widenIfAbove(pl0, partitions, col("__g"))
+    val pr = widenIfAbove(pr0, partitions, col("__g"))
+    val gramCand = pl.join(pr, Seq("__g"))
+      .filter(abs(col("__pl") - col("__pr")) <= d)
+      .drop("__g", "__pl", "__pr")
+
+    // short×short fallback (theorem step 3): bounded by construction —
+    // every key here is < q·(d+1) chars
+    val w = math.max(d, 1)
+    val sl = left.filter(length(col(leftCol)) < shortLen)
+      .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
+    val sr = right.filter(length(col(rightCol)) < shortLen)
+      .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
+      .withColumn("__b",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val shortCand = sl.join(sr, Seq("__b")).drop("__b")
+
+    // a pair can meet through several shared prefix grams (and shorts
+    // through both paths) — dedup BEFORE the expensive verify
+    gramCand.unionByName(shortCand)
+      .dropDuplicates()
+      .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= d)
+      // banded O(len·d) levenshtein with early -1 past the threshold
+      .withColumn(distCol,
+        levenshtein(col(leftCol), col(rightCol), math.max(d, 1))
+          .cast("long"))
+      .filter(col(distCol) >= 0 && col(distCol) <= d)
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1

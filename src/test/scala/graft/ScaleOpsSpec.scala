@@ -225,6 +225,95 @@ class ScaleOpsSpec extends AnyFunSuite {
       "partition-widened blocked fuzzy join must equal the unsalted result")
   }
 
+  test("qgram fuzzy join equals full brute force (guaranteed recall) " +
+    "across alphabets, q, maxDist, and the short-string fallback") {
+    import spark.implicits._
+    // adversarial mix: lengths 0..14 over a 2-letter alphabet (dense
+    // near-matches, heavy gram repetition — the degenerate same-gram
+    // case of the prefix theorem), plus a 3-letter batch with longer
+    // strings. Lengths straddle the short-string cutoff q·(d+1) on
+    // every (q, d) tried, so both candidate paths run.
+    for ((alpha, seed) <- Seq(("ab", 7), ("abc", 11))) {
+      val rnd = new scala.util.Random(seed)
+      val strs = (0 until 150).map { i =>
+        val len = rnd.nextInt(15)
+        (i.toLong + 1000L * seed,
+          (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      }.distinct
+      val a = strs.toDF("id_a", "s_a")
+      val b = strs.toDF("id_b", "s_b")
+      for ((q, d) <- Seq((2, 2), (2, 4), (3, 1), (1, 2))) {
+        val brute = a.crossJoin(b)
+          .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+          .filter(col("dist") <= d)
+          .select("id_a", "id_b", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val got = ScaleOps.qgramFuzzyJoin(a, b, "s_a", "s_b",
+            maxDist = d, q = q)
+          .select("id_a", "id_b", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got.length == got.toSet.size,
+          s"duplicate pairs at alpha=$alpha q=$q d=$d")
+        assert(got.toSet == brute,
+          s"alpha=$alpha q=$q d=$d: missing=${(brute -- got.toSet).take(5)} " +
+            s"extra=${(got.toSet -- brute).take(5)}")
+      }
+    }
+  }
+
+  test("qgram fuzzy join: derived partitions are physical only; " +
+    "maxDist=0 degenerates to the exact join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val strs = (0 until 100).map { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => "ab"(rnd.nextInt(2))).mkString)
+    }.distinct
+    val a = strs.toDF("id_a", "s_a")
+    val b = strs.toDF("id_b", "s_b")
+    val plain = ScaleOps.qgramFuzzyJoin(a, b, "s_a", "s_b", maxDist = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val widened = ScaleOps.qgramFuzzyJoin(a, b, "s_a", "s_b", maxDist = 2,
+        partitions = 257)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(widened == plain,
+      "partition-widened qgram join must equal the unwidened result")
+    val exact = ScaleOps.qgramFuzzyJoin(a, b, "s_a", "s_b", maxDist = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteEq = strs.flatMap { case (i, s) =>
+      strs.collect { case (j, t) if s == t => (i, j) } }.toSet
+    assert(exact == bruteEq, "maxDist=0 must equal the exact self-match")
+  }
+
+  test("exactQuantiles equals the sorted-array type-1 definition on " +
+    "random multisets (ties, skew, nulls, p=1.0)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // heavy ties (mod 17) so the min-v-at-cum rule is actually
+      // exercised, plus nulls that must be excluded
+      val vals = (0 until 500).map(_ => rnd.nextInt(200).toLong % 17 *
+        (1 + rnd.nextInt(9)))
+      val df = (vals.map(Option(_)) ++ Seq.fill(25)(Option.empty[Long]))
+        .toDF("x")
+      val ps = Seq(0.01, 0.25, 0.5, 2.0 / 3.0, 0.9, 1.0)
+      val got = ScaleOps.exactQuantiles(df, "x", ps)
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+      val sorted = vals.sorted
+      ps.foreach { p =>
+        val want = sorted(math.ceil(p * sorted.length).toInt - 1)
+        assert(got(p) == want, s"seed=$seed p=$p: got ${got(p)}, want $want")
+      }
+    }
+    // empty / all-null input → no rows, not a crash
+    import spark.implicits._
+    assert(ScaleOps.exactQuantiles(
+      Seq.empty[Option[Long]].toDF("x"), "x", Seq(0.5)).count() == 0)
+  }
+
   test("deriveShufflePartitions: session constant below threshold, scales " +
     "with bytes above it, capped at 4096") {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
