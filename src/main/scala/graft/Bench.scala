@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of the fixed-work calibration samples (even size → mean of
+    * the middle pair). */
+  private[graft] def calMedian(cals: Seq[Double]): Double = {
+    require(cals.nonEmpty)
+    val s = cals.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Proportional-drift ratio (VERDICT r10 #5): calibration median over
+    * the COMMITTED quiet box constant (bench/box_constant.json). The
+    * max/min spread test only sees the box's speed CHANGING during the
+    * run — a window where every sample is uniformly elevated (BENCH_r10:
+    * 0.469–0.610 vs the ~0.455 quiet constant, 129.22 s total vs the
+    * 109–114 s quiet pair) passes it silently. Comparing the median to
+    * a cross-run constant catches exactly that sustained-drift shape;
+    * > 1.2 flags the artifact as contention-suspect. */
+  private[graft] def calVsBox(cals: Seq[Double],
+                              box: Option[Double]): Option[Double] =
+    box.filter(_ > 0).map(b => calMedian(cals) / b)
+
+  /** The committed quiet-box calibration constant, if present. */
+  private[graft] def readBoxConstant(path: String): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"calibration_quiet_sec"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // repo-relative defaults (VERDICT r9 #6, applied to the bench too):
@@ -247,10 +278,18 @@ object Bench {
     // full-battery runs — measured 1.21–1.28 quiet AND poisoned).
     val cals = calSamples.toSeq
     // suspect when EITHER the box's measured speed changed during the
-    // run OR a query stayed >2.5x its committed quiet record through
-    // re-measurement — the second signal is what the r7 endpoint-only
-    // calibration missed
-    val contentionSuspect = cals.max / cals.min > 1.5 || slowVsRecord.nonEmpty
+    // run (max/min spread), OR a query stayed >2.5x its committed quiet
+    // record through re-measurement (what the r7 endpoint-only
+    // calibration missed), OR the calibration MEDIAN sits >20 % above
+    // the committed quiet-box constant (proportional drift that keeps
+    // every sample under the spread test — the BENCH_r10 failure mode,
+    // VERDICT r10 #5)
+    val boxConstPath = sys.env.getOrElse("SPARK_GRAFT_BOX_CONSTANT",
+      s"$repoBase/bench/box_constant.json")
+    val vsBox = calVsBox(cals, readBoxConstant(boxConstPath))
+    val contentionSuspect = cals.max / cals.min > 1.5 ||
+      slowVsRecord.nonEmpty || vsBox.exists(_ > 1.2)
+    val vsBoxJson = vsBox.map(r => f"$r%.3f").getOrElse("null")
     val cj = cals.map(c => f"$c%.3f").mkString("[", ",", "]")
     val rm = remeasured.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(v => f"$v%.3f").mkString("[", ",", "]") }
@@ -258,7 +297,7 @@ object Bench {
     val svr = slowVsRecord.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
@@ -299,7 +338,7 @@ object Bench {
     // driver-captured tail must carry provenance even when the detail
     // file isn't read
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -70,8 +70,18 @@ object WarehousePipelineDemo {
       finally PipelineProbe.deleteScratch(root)
 
     // 1. profile the incoming snapshot (one scan; the operational
-    //    "what did we receive" report)
-    val profile = q("q_profile_columns")(spark, sfDir)
+    //    "what did we receive" report). SPARK_GRAFT_PROFILE_SKETCH=1
+    //    runs the 100 TB sketch mode (approx_count_distinct — no
+    //    Expand, so the exact mode's ×4 in-flight replication and its
+    //    7.3 GB spill at 8 g/100× disappear; the r11 probe measures
+    //    exactly this swap). Default stays exact — the oracle-anchored
+    //    mode.
+    val profile =
+      if (sys.env.get("SPARK_GRAFT_PROFILE_SKETCH").contains("1"))
+        graft.operators.WarehouseQueries.profileColumns(
+          orders, graft.operators.WarehouseQueries.ProfiledOrderCols,
+          exact = false)
+      else q("q_profile_columns")(spark, sfDir)
     val nProfiled = profile.count()
 
     // 2. expectations gate: hard validity predicates must pass before

@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
 object WarehouseQueries {
   import Q._
 
+  /** Columns the profile gate rows and the composed warehouse demo
+    * profile on the `orders` snapshot. */
+  val ProfiledOrderCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** One-scan column profile: null count, distinct count, min/max (as
+    * strings, for a uniform long-table schema) per profiled column,
+    * unpivoted via stack.
+    *
+    * `exact = true` uses exact COUNT(DISTINCT)s, which cost one Expand
+    * (×|cols| row replication before partial aggregation) — the oracle
+    * anchor, and the source of the warehouse DAG's entire 7.3 GB spill
+    * at the 8 g/100× probe (VERDICT r10). `exact = false` is the
+    * 100 TB mode: `approx_count_distinct` partials are fixed-size
+    * HLL++ sketches merged map-side — no Expand, no row replication,
+    * so the in-flight volume stays one row per input row regardless of
+    * how many columns are profiled (the r11 probe measures the spill
+    * vanishing). Both modes are oracle-gated: q_profile_columns pins
+    * the exact values, q_profile_columns_approx pins the sketch's
+    * bounded error against them. */
+  def profileColumns(df: org.apache.spark.sql.DataFrame,
+                     cols: Seq[String],
+                     exact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.01)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_v, max_v)")
+      .orderBy(col("col_name"))
+  }
+
   def specs: Seq[Q.Spec] = Seq(
 
     // Salted two-phase aggregation gate: ScaleOps.saltedSum spreads a
@@ -145,31 +183,14 @@ object WarehouseQueries {
                           ORDER BY o_orderdate, o_orderkey)
              ORDER BY o_custkey, valid_from, change_id""")),
 
-    // Single-pass column profiling: null count, exact distinct count,
+    // Single-pass column profiling: null count, distinct count,
     // min/max (as strings, for a uniform long-table schema) for every
-    // profiled column in ONE scan, unpivoted via stack. The multiple
-    // exact COUNT(DISTINCT)s cost one Expand (×4 row replication
-    // before partial aggregation) — acceptable for a profiling job; a
-    // 100 TB profile swaps them for approx_count_distinct (the
-    // HLL row q_agg_approx_distinct gates that path) and keeps this
-    // exact form for the oracle.
+    // profiled column in ONE scan, unpivoted via stack — see
+    // [[profileColumns]]. This row gates the EXACT mode (the oracle
+    // anchor); q_profile_columns_approx below gates the sketch mode
+    // the 100 TB deployment actually runs.
     Spec("q_profile_columns",
-      (s, dir) => {
-        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_orderpriority")
-        val aggs = cols.flatMap { c =>
-          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-            countDistinct(col(c)).as(s"dist_$c"),
-            min(col(c)).cast("string").as(s"min_$c"),
-            max(col(c)).cast("string").as(s"max_$c"))
-        }
-        val stackArgs = cols.map(c =>
-          s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
-        t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
-          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-            "(col_name, n_null, n_distinct, min_v, max_v)")
-          .orderBy(col("col_name"))
-      },
+      (s, dir) => profileColumns(t(s, dir, "orders"), ProfiledOrderCols),
       Some("""SELECT 'o_orderkey' AS col_name,
                     count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
                     count(DISTINCT o_orderkey) AS n_distinct,
@@ -194,6 +215,69 @@ object WarehouseQueries {
              SELECT 'o_orderpriority',
                     count(*) FILTER (WHERE o_orderpriority IS NULL),
                     count(DISTINCT o_orderpriority),
+                    CAST(min(o_orderpriority) AS VARCHAR),
+                    CAST(max(o_orderpriority) AS VARCHAR)
+             FROM orders
+             ORDER BY col_name""")),
+
+    // Sketch-mode profile gate (VERDICT r10 #3): the same one-scan
+    // profile with approx_count_distinct — the mode the 100 TB
+    // deployment runs, because HLL++ partials merge without the exact
+    // mode's Expand (the attributed source of the warehouse DAG's
+    // entire 7.3 GB spill at 8 g/100×). Gated like
+    // q_agg_approx_distinct: the row carries the EXACT distincts plus
+    // a bounded-error boolean on the sketch (5 % = 5 sd at the
+    // explicit rsd 0.01 — the default 0.05 rsd measurably exceeds 5 %
+    // on the 15 k-distinct key), which the oracle replays as TRUE. The
+    // sketch itself still runs on the Spark side every time the row
+    // does.
+    Spec("q_profile_columns_approx",
+      (s, dir) => {
+        val cols = ProfiledOrderCols
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
+            approx_count_distinct(col(c), 0.01).as(s"approx_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', null_$c, dist_$c, approx_$c, min_$c, max_$c")
+          .mkString(", ")
+        t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, approx, min_v, max_v)")
+          .select(col("col_name"), col("n_null"), col("n_distinct"),
+            (abs(col("approx") - col("n_distinct")).cast("double") /
+              col("n_distinct") <= 0.05).as("approx_ok"),
+            col("min_v"), col("max_v"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'o_orderkey' AS col_name,
+                    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
+                    count(DISTINCT o_orderkey) AS n_distinct,
+                    TRUE AS approx_ok,
+                    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                    CAST(max(o_orderkey) AS VARCHAR) AS max_v
+             FROM orders
+             UNION ALL
+             SELECT 'o_custkey',
+                    count(*) FILTER (WHERE o_custkey IS NULL),
+                    count(DISTINCT o_custkey), TRUE,
+                    CAST(min(o_custkey) AS VARCHAR),
+                    CAST(max(o_custkey) AS VARCHAR)
+             FROM orders
+             UNION ALL
+             SELECT 'o_orderstatus',
+                    count(*) FILTER (WHERE o_orderstatus IS NULL),
+                    count(DISTINCT o_orderstatus), TRUE,
+                    CAST(min(o_orderstatus) AS VARCHAR),
+                    CAST(max(o_orderstatus) AS VARCHAR)
+             FROM orders
+             UNION ALL
+             SELECT 'o_orderpriority',
+                    count(*) FILTER (WHERE o_orderpriority IS NULL),
+                    count(DISTINCT o_orderpriority), TRUE,
                     CAST(min(o_orderpriority) AS VARCHAR),
                     CAST(max(o_orderpriority) AS VARCHAR)
              FROM orders

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contention instrument's pure parts (no Spark): the
+  * proportional-drift flag must fire on a synthetic slow-calibration
+  * replay — every sample uniformly elevated, max/min spread quiet —
+  * and stay silent on the committed quiet closing pairs
+  * (VERDICT r10 #5). */
+class BenchInstrumentSpec extends AnyFunSuite {
+
+  // the committed quiet constant (bench/box_constant.json)
+  private val box = Some(0.455)
+
+  test("quiet closing pairs stay under the 1.2x drift threshold") {
+    // the actual r10 quiet-pair samples (bench_r10_close_a/b)
+    val quietA = Seq(0.543, 0.507, 0.506, 0.457, 0.4, 0.405, 0.463,
+      0.582, 0.42)
+    val quietB = Seq(0.58, 0.488, 0.501, 0.442, 0.454, 0.415, 0.447,
+      0.445, 0.407)
+    for (q <- Seq(quietA, quietB)) {
+      val r = Bench.calVsBox(q, box).get
+      assert(r <= 1.2, s"quiet pair flagged: ratio $r")
+      // and the spread test stays quiet too — no regression there
+      assert(q.max / q.min <= 1.5)
+    }
+  }
+
+  test("synthetic proportional drift fires the flag even though " +
+    "max/min spread stays under 1.5") {
+    // every sample uniformly ~25% above the box constant: the exact
+    // shape the max/min test cannot see (spread 1.17 < 1.5)
+    val drifted = Seq(0.58, 0.55, 0.57, 0.60, 0.56, 0.62, 0.55, 0.59,
+      0.58)
+    assert(drifted.max / drifted.min < 1.5,
+      "replay must be invisible to the spread test to prove the point")
+    val r = Bench.calVsBox(drifted, box).get
+    assert(r > 1.2, s"drift replay must fire: ratio $r")
+  }
+
+  test("median and missing-constant behavior") {
+    assert(Bench.calMedian(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.calMedian(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    // no committed constant → no ratio, never a spurious flag
+    assert(Bench.calVsBox(Seq(1.0, 2.0), None).isEmpty)
+    assert(Bench.calVsBox(Seq(1.0), Some(0.0)).isEmpty)
+  }
+
+  test("readBoxConstant parses the committed file and tolerates absence") {
+    val repo = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val got = Bench.readBoxConstant(s"$repo/bench/box_constant.json")
+    assert(got.contains(0.455))
+    assert(Bench.readBoxConstant("/nonexistent/nope.json").isEmpty)
+  }
+}
