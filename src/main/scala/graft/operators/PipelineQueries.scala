@@ -265,6 +265,82 @@ object PipelineQueries {
           UNION ALL SELECT '12_cohort_week0_users',
             CAST(coalesce(sum(n_users), 0) AS BIGINT)
           FROM cohort WHERE week_offset = 0
-        ) ORDER BY stage"""))
+        ) ORDER BY stage""")),
+
+    // The composed GRAPH session (VERDICT r10 #7): "materialize once,
+    // analyze many" — the symmetrized trade graph is pinned ONE time
+    // (GraphQueries.materializeShared, same registry lifecycle as the
+    // per-algorithm caches) and PageRank + LPA both run off the shared
+    // copy, instead of each gate row re-scanning parquet, re-joining
+    // orders⋈lineitem, and re-caching its own edges. The three member
+    // GATES are untouched — their honest per-query cold cost stays the
+    // record (the r10 re-baseline rationale); this row is the separate
+    // composed form, with a genuine cross-analysis join (top-ranked
+    // nodes ⋈ their communities: "how concentrated is authority across
+    // communities" — rank and grouping signals combined). Triangles
+    // run off their own co-order projection (a different graph by
+    // construction). The oracle embeds the member oracles verbatim, so
+    // the composition joins are rows+schema+hash-gated like every
+    // other composed row.
+    Spec("q_graph_composed",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val e = GraphQueries.materializeShared(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val ranksTop = GraphQueries.pageRank(e, GraphQueries.PageRankIters)
+          .orderBy(col("r").desc, col("node")).limit(100)
+          .select(col("node"), col("r").as("rank"))
+        val labs = GraphQueries.labelPropagation(e, GraphQueries.LpaIters)
+          .select(col("node"), col("lab"))
+        val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        val eTri = a.join(b, "k").where(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+        val tri = GraphQueries.triangleCounts(eTri)
+          .select(col("node"), col("n_tri"))
+        def stat(name: String, df: DataFrame): DataFrame =
+          df.select(lit(name).as("stat"), col("value").cast("long").as("value"))
+        stat("00_trade_edges_sym", e.agg(count(lit(1)).as("value")))
+          .unionByName(stat("01_top100_rank_mass",
+            ranksTop.agg(sum(col("rank")).as("value"))))
+          .unionByName(stat("02_top100_communities",
+            ranksTop.join(labs, Seq("node"))
+              .agg(countDistinct(col("lab")).as("value"))))
+          .unionByName(stat("03_coorder_edges",
+            eTri.agg(count(lit(1)).as("value"))))
+          .unionByName(stat("04_triangles_total",
+            tri.agg(coalesce(sum(col("n_tri")), lit(0L)).as("value"))))
+          .unionByName(stat("05_triangles_max",
+            tri.agg(coalesce(max(col("n_tri")), lit(0L)).as("value"))))
+          .orderBy(col("stat"))
+      },
+      Some(s"""WITH
+        pr AS (SELECT * FROM ${sub(GraphQueries.specs, "q_graph_pagerank")}),
+        lpa AS (SELECT * FROM ${sub(GraphQueries.specs, "q_graph_communities")}),
+        tri AS (SELECT * FROM ${sub(GraphQueries.specs, "q_graph_triangles")}),
+        e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT stat, value FROM (
+          SELECT '00_trade_edges_sym' AS stat,
+                 CAST(2 * count(*) AS BIGINT) AS value FROM e0
+          UNION ALL SELECT '01_top100_rank_mass',
+            CAST(sum(rank) AS BIGINT) FROM pr
+          UNION ALL SELECT '02_top100_communities',
+            CAST(count(DISTINCT lab) AS BIGINT) FROM pr JOIN lpa USING (node)
+          UNION ALL SELECT '03_coorder_edges',
+            CAST(count(*) AS BIGINT) FROM co
+          UNION ALL SELECT '04_triangles_total',
+            CAST(coalesce(sum(n_tri), 0) AS BIGINT) FROM tri
+          UNION ALL SELECT '05_triangles_max',
+            CAST(coalesce(max(n_tri), 0) AS BIGINT) FROM tri
+        ) ORDER BY stat"""))
   )
 }

@@ -73,19 +73,29 @@ object TextQueries {
   /** The PII-style scrub as a reusable map-only transform: redacted
     * text + audit counts. No sort/aggregate/window — valid on a batch
     * DataFrame and on a streaming one (append mode) alike. */
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val Num9Re = "[0-9]{9,}"
+  private def redactedText: org.apache.spark.sql.Column = regexp_replace(
+    regexp_replace(lower(col("text")), EmailRe, "<EMAIL>"),
+    Num9Re, "<NUM>")
+
   def redact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val email = "[a-z0-9.]+@[a-z0-9.]+"
-    val num9 = "[0-9]{9,}"
-    val redacted = regexp_replace(
-      regexp_replace(lower(col("text")), email, "<EMAIL>"),
-      num9, "<NUM>")
     docs.select(col("doc_id"),
-      redacted.as("redacted"),
-      size(regexp_extract_all(lower(col("text")), lit(email), lit(0)))
+      redactedText.as("redacted"),
+      size(regexp_extract_all(lower(col("text")), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(lower(col("text")), lit(num9), lit(0)))
+      size(regexp_extract_all(lower(col("text")), lit(Num9Re), lit(0)))
         .cast("long").as("n_longnums"))
   }
+
+  /** The scrub in PIPELINE form: `text` replaced by its redacted form,
+    * every other column preserved — the same expressions the
+    * q_text_redact gate pins ([[redact]] is that gate's projection).
+    * Stateless per-row map, so it runs unchanged on batch and
+    * streaming frames (StreamingSpec composes it mid-stream). */
+  def redactInPlace(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text", redactedText)
 
   /** Model-based quality filter as a reusable STATELESS map — a pure
     * per-row projection, so it runs unchanged on a batch frame and on

@@ -758,4 +758,97 @@ class StreamingSpec extends AnyFunSuite {
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("COMPOSED streaming pipeline (ingest -> dedup -> scrub -> LM " +
+    "score -> stateful counters) matches the batch composition across " +
+    "a kill/restart of both chained queries") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ComposedPipeline, StageCounts}
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("composedstream")
+    val in = dir.resolve("in").toString
+    val silver = dir.resolve("silver").toString
+    val cp1 = dir.resolve("cp1").toString
+    val cp2 = dir.resolve("cp2").toString
+    val gold1 = dir.resolve("gold1").toString
+    val gold2 = dir.resolve("gold2").toString
+
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // deterministic event time, offset past the initial watermark; the
+    // 10-day delay covers the whole replay so NOTHING is state-evicted
+    // and the stream dedup is exact (the bounded-state contract is
+    // separately pinned by the dedupeByContent test above)
+    val docs = docs0.withColumn("ets",
+      timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    val schema = docs.schema
+    val (freq0, scal0) = graft.operators.TextQueries.trainUnigramLm(docs0)
+    val freqF = freq0.localCheckpoint()
+    val scalF = scal0.localCheckpoint()
+
+    def drop(pred: org.apache.spark.sql.Column): Unit =
+      docs.filter(pred).write.mode("append").parquet(in)
+
+    // ---- before the kill: half the corpus, plus a replay of the
+    // first file (duplicates the dedup must suppress within this run)
+    drop(col("doc_id") < 125)
+    drop(col("doc_id") >= 125 && col("doc_id") < 250)
+    drop(col("doc_id") < 60) // replay: in-run duplicates
+    val q1a = ComposedPipeline.startCurate(spark, schema, in, silver, cp1,
+      freqF, scalF, delay = "10 days")
+    try q1a.processAllAvailable() finally q1a.stop()
+    val q2a = ComposedPipeline.startCounts(spark, silver, gold1, cp2)
+    try q2a.processAllAvailable() finally q2a.stop()
+    val silverRowsBefore = spark.read.parquet(silver).count()
+
+    // ---- while both queries are DOWN: the rest of the corpus arrives,
+    // plus duplicates of PRE-restart docs — suppressing those requires
+    // the dedup state recovered from cp1, not just this run's state
+    drop(col("doc_id") >= 250)
+    drop(col("doc_id") >= 30 && col("doc_id") < 90) // pre-restart dups
+    val postRestartInputRows = 250L + 60L
+    val q1b = ComposedPipeline.startCurate(spark, schema, in, silver, cp1,
+      freqF, scalF, delay = "10 days")
+    try q1b.processAllAvailable() finally q1b.stop()
+    val q2b = ComposedPipeline.startCounts(spark, silver, gold2, cp2)
+    try q2b.processAllAvailable() finally q2b.stop()
+
+    // recovered dedup state was load-bearing: the 60 replayed
+    // pre-restart docs must NOT re-enter silver
+    val silverDelta = spark.read.parquet(silver).count() - silverRowsBefore
+    assert(silverDelta == postRestartInputRows - 60L,
+      s"expected ${postRestartInputRows - 60} new silver rows " +
+        s"(dups suppressed by recovered state), got $silverDelta")
+
+    // final frontier per source: counters are monotone, so the max
+    // n_total row per source across both runs is its final state
+    val emitted1 = spark.read.parquet(gold1).as[StageCounts.Counts].collect()
+    val emitted2 = spark.read.parquet(gold2).as[StageCounts.Counts].collect()
+    val got = (emitted1 ++ emitted2).groupBy(_.source)
+      .map { case (s, rows) => s -> rows.maxBy(_.n_total) }
+
+    // the batch composition of the SAME stages over the SAME arrivals
+    // (duplicates included) is the parity oracle
+    val batch = ComposedPipeline.batchComposition(
+        spark.read.parquet(in).drop("ets"), freqF, scalF)
+      .collect().map { r =>
+        r.getString(0) -> StageCounts.Counts(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    assert(got.keySet == batch.keySet,
+      s"source sets differ: ${got.keySet} vs ${batch.keySet}")
+    got.foreach { case (s, c) =>
+      assert(c == batch(s), s"source $s: stream $c vs batch ${batch(s)}")
+    }
+
+    // the restart was load-bearing for the COUNTER state too: every
+    // source's frontier advanced across the boundary (post-restart
+    // emissions build on recovered counts, not zero)
+    val advanced = emitted2.exists { c2 =>
+      val before = emitted1.filter(_.source == c2.source)
+      before.nonEmpty && before.map(_.n_total).max < c2.n_total
+    }
+    assert(advanced,
+      "no source's counters advanced across the restart — recovery untested")
+  }
 }
