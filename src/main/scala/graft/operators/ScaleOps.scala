@@ -454,6 +454,94 @@ object ScaleOps {
       .drop("__c", "__b", "__s")
   }
 
+  /** What a dedup job is being asked to do — the advisor's input
+    * alongside the corpus aggregates (VERDICT r10 #8). */
+  sealed trait DedupTask
+  /** Byte-identical (or canonicalized) content duplicates. */
+  case object ExactContent extends DedupTask
+  /** Set-similarity near-duplicates at a Jaccard `threshold`;
+    * `exactRecall` = the caller needs every qualifying pair
+    * (contamination / legal holds), not a sketch's recall. */
+  final case class SetSimilarity(threshold: Double,
+                                 exactRecall: Boolean) extends DedupTask
+  /** Edit-distance matching (record linkage) within `maxDist`. */
+  final case class EditDistance(maxDist: Int, q: Int = 2) extends DedupTask
+
+  /** Corpus aggregates the advisor decides from — all already computed
+    * by the derivation helpers (one cheap scan):
+    * `n` rows, `avgShinglesPerDoc` (tokens or q-grams per key),
+    * `distinctShingles` (vocabulary size), `worstBlockOccupancy` (max
+    * rows sharing the coarsest blocking key — deriveFuzzyBlocking's
+    * neighborhood aggregate). */
+  final case class DedupCorpusStats(n: Long, avgShinglesPerDoc: Double,
+                                    distinctShingles: Long,
+                                    worstBlockOccupancy: Long)
+
+  /** The advisor's verdict: which operator, the predicted candidate
+    * volume its verify stage will face, and the rule that fired —
+    * LOG-ONLY (no plan changes): a driver logs this line before
+    * launching the job, and a human reads it when the job misbehaves. */
+  final case class DedupAdvice(operator: String, predictedCandidates: Long,
+                               rationale: String)
+
+  /** One documented decision procedure for the dedup tier
+    * (VERDICT r10 #8) — the rules the repo's operators each derive
+    * locally (deriveFuzzyBlocking, deriveShufflePartitions, the PPJoin
+    * prefix bound, the Ed-Join gram bound), collapsed into a single
+    * driver-side function over the SAME corpus aggregates. Integer
+    * arithmetic; every branch names the operator battery row that
+    * gates it.
+    *
+    * The shared primitive is the mean postings-list length
+    * `avgDf = n·shingles / vocab`: a prefix gram meets ~avgDf partners,
+    * so candidate volume ≈ rows × prefix length × avgDf — the quantity
+    * that actually bounds the verify stage, which a FIXED blocking key
+    * (first-char × band) cannot bound because its candidate count
+    * grows with the worst block's occupancy squared (the r10 lesson
+    * that made blockedFuzzyJoin `weak`). */
+  def adviseDedup(stats: DedupCorpusStats, task: DedupTask): DedupAdvice = {
+    require(stats.n >= 0 && stats.distinctShingles >= 0)
+    val n = stats.n
+    val avgDf = math.max(1L,
+      (n * stats.avgShinglesPerDoc).toLong / math.max(stats.distinctShingles, 1L))
+    val brute = if (n <= 3000L) Some(n * n / 2) else None
+    task match {
+      case _ if brute.isDefined =>
+        DedupAdvice("brute_force", brute.get,
+          s"n=$n is gate-scale: the all-pairs join (${brute.get} pairs) is " +
+            "cheaper than any index build (q_fuzzy_match / q_dedup_embed_cosine shape)")
+      case ExactContent =>
+        DedupAdvice("exact_digest", n,
+          "content equality needs one digest groupBy — shuffle carries " +
+            "digests only, never text (q_dedup_exact / q_dedup_canonical)")
+      case EditDistance(d, q) =>
+        val cand = n * (q.toLong * d + 1) * avgDf
+        DedupAdvice("qgram_edit_join", cand,
+          s"guaranteed recall at ed<=$d: candidates = n x (q*d+1) prefix " +
+            s"grams x avgDf=$avgDf postings (q_fuzzy_match_qgram); the fixed " +
+            s"first-char x band key would put worstBlock^2=" +
+            s"${stats.worstBlockOccupancy * stats.worstBlockOccupancy} pairs " +
+            "on one block and grows quadratically with the corpus " +
+            "(q_fuzzy_match_blocked, the r10 weak row)")
+      case SetSimilarity(t, exactRecall) =>
+        val prefixLen = math.max(1L,
+          (stats.avgShinglesPerDoc * (1.0 - t)).toLong + 1L)
+        val prefixCand = n * prefixLen * avgDf
+        if (exactRecall || prefixCand <= 64L * n)
+          DedupAdvice("prefix_filter_ppjoin", prefixCand,
+            s"jaccard>=$t with zero false negatives: candidates = n x " +
+              s"prefix=(1-t)*shingles+1=$prefixLen x avgDf=$avgDf " +
+              "(q_dedup_prefix_filter; verify granularity via " +
+              "deriveShufflePartitions)")
+        else
+          DedupAdvice("minhash_lsh", n * avgDf,
+            s"prefix-filter candidates ($prefixCand) exceed the 64n verify " +
+              "budget and sketch recall is acceptable: band-bucket equi-join " +
+              "bounds candidates by bucket collisions ~ n x avgDf " +
+              "(q_dedup_minhash / q_dedup_corpus)")
+    }
+  }
+
   /** Exact, bit-DETERMINISTIC quantiles of a long column — the
     * adaptive-policy primitive `approxQuantile` cannot provide
     * (VERDICT r10 #2): a Greenwald–Khanna sketch's result depends on

@@ -288,6 +288,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exact == bruteEq, "maxDist=0 must equal the exact self-match")
   }
 
+  test("adviseDedup picks the gated operator per task and corpus shape") {
+    import ScaleOps._
+    // gate-scale corpus: brute force beats any index build
+    val tiny = DedupCorpusStats(500, 40, 20000, 30)
+    assert(adviseDedup(tiny, EditDistance(2)).operator == "brute_force")
+    // exact content is always the digest groupBy
+    val big = DedupCorpusStats(500000000L, 40, 50000000L, 9153)
+    assert(adviseDedup(big, ExactContent).operator == "exact_digest")
+    // edit distance at scale: the q-gram join, never the fixed blocking
+    // key; predicted candidates follow the n x (qd+1) x avgDf bound
+    val ed = adviseDedup(big, EditDistance(maxDist = 4, q = 2))
+    assert(ed.operator == "qgram_edit_join")
+    val avgDf = (big.n * 40) / big.distinctShingles
+    assert(ed.predictedCandidates == big.n * 9L * avgDf)
+    assert(ed.rationale.contains("q_fuzzy_match_qgram"))
+    // set similarity with exact recall: PPJoin regardless of volume
+    val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
+    assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = true))
+      .operator == "prefix_filter_ppjoin")
+    // sketch recall acceptable + prefix candidates past the 64n budget
+    // (tiny vocabulary -> huge avgDf): MinHash LSH
+    assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = false))
+      .operator == "minhash_lsh")
+    // high threshold + diverse vocabulary -> short prefixes keep PPJoin
+    // under budget even without the recall requirement
+    val diverse = DedupCorpusStats(500000000L, 40, 20000000000L, 200)
+    assert(adviseDedup(diverse, SetSimilarity(0.9, exactRecall = false))
+      .operator == "prefix_filter_ppjoin")
+  }
+
   test("exactQuantiles equals the sorted-array type-1 definition on " +
     "random multisets (ties, skew, nulls, p=1.0)") {
     import spark.implicits._
