@@ -380,18 +380,22 @@ object RelationalQueries {
     // prefixFilterPairs contract): no blocking-key recall trade at
     // all, and candidate volume scales with gram rarity instead of a
     // fixed (prefix × band) key space — the property that kept
-    // q_fuzzy_match_blocked `weak` at the 100-TB bar. The verify-join
-    // granularity is data-derived (deriveQgramPartitions) and
-    // degenerates to the session constant at gate scale.
+    // q_fuzzy_match_blocked `weak` at the 100-TB bar. BOTH knobs are
+    // data-derived and purely physical (deriveQgramParams): recall is
+    // exact at ANY gram width, so q is chosen by the measured
+    // candidate-volume model n·(q·d+1)·avgDf(q) — the oracle needs no
+    // replay of the derivation, precisely because the result cannot
+    // depend on it. Granularity degenerates to the session constant
+    // at gate scale.
     Spec("q_fuzzy_match_qgram",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
-        val np = ScaleOps.deriveQgramPartitions(docs, "k", q = 2, maxDist = 4)
+        val (q, np) = ScaleOps.deriveQgramParams(docs, "k", maxDist = 4)
         ScaleOps.qgramFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
-            "s_a", "s_b", maxDist = 4, q = 2, partitions = np)
+            "s_a", "s_b", maxDist = 4, q = q, partitions = np)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))

@@ -586,9 +586,10 @@ object ScaleOps {
     * cheap aggregate over the key column, sized from the PREFIX-gram
     * table the join actually shuffles — `q·maxDist + 1` rows per
     * string, each carrying the full key string plus ~48 B of id/gram
-    * bookkeeping, both sides in flight at once (×2). Degenerates to
-    * the session constant at gate scale like every other derivation
-    * ([[deriveShufflePartitions]]). */
+    * bookkeeping; the right side replicates ×9 through the band ×
+    * position-bucket neighborhood explode (1 left + 9 right = ×10).
+    * Degenerates to the session constant at gate scale like every
+    * other derivation ([[deriveShufflePartitions]]). */
   def deriveQgramPartitions(df: DataFrame, c: String,
                             q: Int, maxDist: Int): Int = {
     val row = df.agg(count(lit(1)).as("n"),
@@ -597,7 +598,43 @@ object ScaleOps {
     val keyBytes = if (row.isNullAt(1)) 0L else row.getLong(1)
     val prefixRows = q.toLong * maxDist + 1L
     deriveShufflePartitions(df.sparkSession,
-      (keyBytes + 48L * n) * prefixRows * 2L)
+      (keyBytes + 48L * n) * prefixRows * 10L)
+  }
+
+  /** DATA-derived gram width + shuffle granularity for
+    * [[qgramFuzzyJoin]] (the deriveFuzzyBlocking pattern): recall is
+    * exact for ANY q (the prefix theorem is width-independent), so q
+    * is a PHYSICAL knob, and the right value is corpus-dependent —
+    * the candidate volume a width buys is
+    * `n · (q·maxDist+1) · avgDf(q)` where `avgDf(q) = grams/vocab(q)`
+    * is the mean postings-list length. On the 10× replica the probe
+    * measured exactly the predicted ordering (q=2: vocab 142,
+    * avgDf 9591, 138.6 s; q=4: vocab 1782, avgDf 708, 52.7 s —
+    * identical 210 429 pairs at every q; `QgramProbe`,
+    * bench/qgram_q_10x.jsonl). Walks q upward while the predicted
+    * volume keeps strictly improving; `qMax` defaults to 4 because
+    * the short-string fallback absorbs keys under `q·(maxDist+1)`
+    * chars — at q=5, d=4 that is 25 chars, swallowing typical
+    * first-4-words keys whole. One cheap aggregate per candidate q
+    * over the key projection. */
+  def deriveQgramParams(df: DataFrame, c: String, maxDist: Int,
+                        qMax: Int = 4): (Int, Int) = {
+    require(qMax >= 1)
+    def predicted(q: Int): Long = {
+      val grams = df.select(explode(transform(
+        sequence(lit(1), greatest(length(col(c)) - lit(q - 1), lit(0))),
+        i => col(c).substr(i, lit(q)))).as("__g"))
+      val row = grams.agg(count(lit(1)).as("t"),
+        count_distinct(col("__g")).as("v")).head()
+      val (total, vocab) = (row.getLong(0), row.getLong(1))
+      val n = df.count()
+      n * (q.toLong * maxDist + 1L) * (total / math.max(vocab, 1L))
+    }
+    var q = 1
+    var best = predicted(1)
+    while (q < qMax && { val p = predicted(q + 1); p < best && { best = p; true } })
+      q += 1
+    (q, deriveQgramPartitions(df, c, q, maxDist))
   }
 
   /** Guaranteed-recall edit-distance join (Ed-Join family: Xiao, Wang,
@@ -698,7 +735,7 @@ object ScaleOps {
     // — the occurrence-consistent total order the theorem needs — and
     // keep the first q·d+1
     def prefixGrams(g: DataFrame, posAs: String): DataFrame = {
-      val orig = g.columns.filter(_ != "__gp").map(col)
+      val orig = g.columns.filter(_ != "__gp").map(col).toSeq
       g.select(orig :+ explode(col("__gp")).as("__gp"): _*)
         .select(orig :+ col("__gp")("g").as("__g")
           :+ col("__gp")("p").as("__p"): _*)
@@ -711,20 +748,40 @@ object ScaleOps {
         .select(orig :+ col("__gp")("__g").as("__g")
           :+ col("__gp")("__p").as(posAs): _*)
     }
-    val pl0 = prefixGrams(lg, "__pl")
-    val pr0 = prefixGrams(rg, "__pr")
-    // derived granularity for the candidate join (deriveQgramPartitions
-    // at call sites): the explicit repartition REPLACES the join's own
+    // Ed-Join's LOCATION filter moved INTO the join key: a preserved
+    // gram shifts position by ≤ d and the pair's lengths differ by
+    // ≤ d, so with bucket width d the partner's length band and
+    // position bucket each differ by at most 1 — the right side emits
+    // its 3×3 neighborhood (×9 replication of small rows) and the
+    // equi-join key becomes (gram, band, posBucket), dividing each
+    // gram's postings join by the occupied cell count instead of
+    // filtering the products afterwards. A matching right row's 9
+    // replicas land in 9 DISTINCT cells, so a pair still meets at
+    // most once per shared prefix gram.
+    val w = math.max(d, 1)
+    val pl = prefixGrams(lg, "__pl")
+      .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
+      .withColumn("__pb", (col("__pl") / w).cast("long"))
+    val pr = prefixGrams(rg, "__pr")
+      .withColumn("__b",
+        explode(array((length(col(rightCol)) / w).cast("long") - 1,
+          (length(col(rightCol)) / w).cast("long"),
+          (length(col(rightCol)) / w).cast("long") + 1)))
+      .withColumn("__pb",
+        explode(array((col("__pr") / w).cast("long") - 1,
+          (col("__pr") / w).cast("long"),
+          (col("__pr") / w).cast("long") + 1)))
+    // derived granularity for the candidate join (deriveQgramParams at
+    // call sites): the explicit repartition REPLACES the join's own
     // exchange; no-op at gate scale (widenIfAbove)
-    val pl = widenIfAbove(pl0, partitions, col("__g"))
-    val pr = widenIfAbove(pr0, partitions, col("__g"))
-    val gramCand = pl.join(pr, Seq("__g"))
+    val plW = widenIfAbove(pl, partitions, col("__g"), col("__b"), col("__pb"))
+    val prW = widenIfAbove(pr, partitions, col("__g"), col("__b"), col("__pb"))
+    val gramCand = plW.join(prW, Seq("__g", "__b", "__pb"))
       .filter(abs(col("__pl") - col("__pr")) <= d)
-      .drop("__g", "__pl", "__pr")
+      .drop("__g", "__b", "__pb", "__pl", "__pr")
 
     // short×short fallback (theorem step 3): bounded by construction —
     // every key here is < q·(d+1) chars
-    val w = math.max(d, 1)
     val sl = left.filter(length(col(leftCol)) < shortLen)
       .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
     val sr = right.filter(length(col(rightCol)) < shortLen)
@@ -734,16 +791,22 @@ object ScaleOps {
       .drop("__b0")
     val shortCand = sl.join(sr, Seq("__b")).drop("__b")
 
-    // a pair can meet through several shared prefix grams (and shorts
-    // through both paths) — dedup BEFORE the expensive verify
+    // VERIFY before dedup: the candidate stream pipelines from the
+    // join straight through the length probe and the banded
+    // O(len·d) levenshtein inside one stage — it never shuffles. Only
+    // the MATCHED pairs (tiny by comparison) reach the distinct, so
+    // the dedup exchange carries matches, not candidates. A near-dup
+    // pair meeting through k shared prefix grams is verified k times —
+    // k ≤ q·d+1 extra verifies on the small matched set, orders less
+    // work than shuffling the full candidate volume (measured 1.9× on
+    // the 10× replica, bench/qgram_q_10x.jsonl).
     gramCand.unionByName(shortCand)
-      .dropDuplicates()
       .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= d)
-      // banded O(len·d) levenshtein with early -1 past the threshold
       .withColumn(distCol,
         levenshtein(col(leftCol), col(rightCol), math.max(d, 1))
           .cast("long"))
       .filter(col(distCol) >= 0 && col(distCol) <= d)
+      .dropDuplicates()
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1
