@@ -51,6 +51,13 @@ object Bench {
       // nanos Long); current timestamp[us] testdata is unaffected, and
       // operators adapt to either via Q.tsUs (EventTimeSchemaSpec)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle files of a GC'd dependency are only deleted after a
+      // DRIVER GC processes the ContextCleaner's weak refs; the 30 min
+      // default leaves a multi-phase composed query (q_graph_composed:
+      // PageRank → LPA → triangles, phases lineage-truncated between)
+      // accumulating every phase's shuffle on disk — at 100× that
+      // filled the box (r11: "No space left on device" at 76 GB free)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first timed query doesn't absorb

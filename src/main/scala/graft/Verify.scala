@@ -17,6 +17,9 @@ object Verify {
       // nanos Long); current timestamp[us] testdata is unaffected, and
       // operators adapt to either via Q.tsUs (EventTimeSchemaSpec)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let the ContextCleaner reclaim phase-truncated shuffle files
+      // inside long composed queries (see Bench.scala rationale)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -32,6 +32,15 @@ object GraphQueries {
     * localCheckpoint exists here) is still applied, but only to the
     * small per-round state tables (|V| rows), never to the edge list. */
   private def materialize(df: DataFrame): DataFrame = {
+    // already-cached fast path: a composed session that pinned this
+    // exact (canonical) plan via materializeShared owns the pin —
+    // re-persisting would only log "Asked to cache already cached
+    // data" and double-register the release. storageLevel is the
+    // public plan-equivalence probe into the CacheManager.
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      df.count()
+      return df
+    }
     val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // register BEFORE the materializing count: if the count dies
     // (OOM/cancellation), the harness' finally-side unpersistAll()

@@ -292,27 +292,57 @@ object PipelineQueries {
           .distinct()
         val e = GraphQueries.materializeShared(
           e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val nEdges = e.count()
+        // Each phase's SMALL result (top-100 / |V| labels / per-node
+        // counts) is eagerly localCheckpoint'ed — the per-round-state
+        // pattern pageRank itself uses — so the phase's iterative
+        // shuffle lineage becomes unreachable the moment the phase
+        // ends. Without the truncation the final union holds every
+        // phase's shuffle files ALIVE simultaneously: disk cost = the
+        // SUM of phase footprints instead of their MAX, which at the
+        // 100× replica filled the box (r11, 76 GB free → ENOSPC). The
+        // ContextCleaner then reclaims the dead files mid-query
+        // (periodicGC.interval is lowered in the Bench/Verify
+        // sessions for exactly this row).
         val ranksTop = GraphQueries.pageRank(e, GraphQueries.PageRankIters)
           .orderBy(col("r").desc, col("node")).limit(100)
           .select(col("node"), col("r").as("rank"))
+          .localCheckpoint()
         val labs = GraphQueries.labelPropagation(e, GraphQueries.LpaIters)
           .select(col("node"), col("lab"))
+          .localCheckpoint()
+        // the shared trade graph is done (both its consumers are
+        // checkpointed) — release its pin before the triangle phase
+        // builds the co-order graph, instead of holding both graphs
+        // cached at once (the harness' finally-side unpersistAll
+        // still releases the triangle-phase pins)
+        GraphQueries.unpersistAll()
         val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
         val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-        val eTri = a.join(b, "k").where(col("u") < col("v"))
-          .select(col("u"), col("v")).distinct()
+        val eTri = GraphQueries.materializeShared(
+          a.join(b, "k").where(col("u") < col("v"))
+            .select(col("u"), col("v")).distinct())
+        val nCoorder = eTri.count()
         val tri = GraphQueries.triangleCounts(eTri)
           .select(col("node"), col("n_tri"))
+          .localCheckpoint()
         def stat(name: String, df: DataFrame): DataFrame =
           df.select(lit(name).as("stat"), col("value").cast("long").as("value"))
-        stat("00_trade_edges_sym", e.agg(count(lit(1)).as("value")))
+        val ss = e.sparkSession
+        // edge counts were captured at materialization time — reading
+        // `e`/`eTri` here, after their pins are released, would silently
+        // recompute both graphs from lineage for a count
+        def statLit(name: String, v: Long): DataFrame = {
+          import ss.implicits._
+          Seq((name, v)).toDF("stat", "value")
+        }
+        statLit("00_trade_edges_sym", nEdges)
           .unionByName(stat("01_top100_rank_mass",
             ranksTop.agg(sum(col("rank")).as("value"))))
           .unionByName(stat("02_top100_communities",
             ranksTop.join(labs, Seq("node"))
               .agg(countDistinct(col("lab")).as("value"))))
-          .unionByName(stat("03_coorder_edges",
-            eTri.agg(count(lit(1)).as("value"))))
+          .unionByName(statLit("03_coorder_edges", nCoorder))
           .unionByName(stat("04_triangles_total",
             tri.agg(coalesce(sum(col("n_tri")), lit(0L)).as("value"))))
           .unionByName(stat("05_triangles_max",

@@ -412,6 +412,46 @@ object RelationalQueries {
              WHERE levenshtein(a.s, b.s) <= 4
              ORDER BY id_a, id_b""")),
 
+    // The LOW-ENTROPY-corpus exact form (the r11 head-to-head lesson):
+    // ScaleOps.segmentFuzzyJoin — Pass-Join-family disjoint-segment
+    // pigeonholing. Same oracle as q_fuzzy_match_qgram (brute force —
+    // both are exact-recall), different candidate bound: q-gram
+    // postings collapse on generated text (100×: vocab 4 782, mean df
+    // 3 090 → 2.6e10 predicted candidates, 747 s measured), while
+    // exact len/(d+1)-char segments at length-aligned positions stay
+    // selective (474 685 distinct (len, seg) keys on the same corpus).
+    // The candidate join needs no pre-join shuffle: the segment index
+    // (d+1 rows/string) broadcasts under deriveSegmentJoin's heap
+    // budget and windowed probe substrings are generated in-codegen
+    // inside the scan stage; only verified matches reach the dedup
+    // exchange.
+    Spec("q_fuzzy_match_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
+        val plan = ScaleOps.deriveSegmentJoin(docs, "k", maxDist = 4)
+        ScaleOps.segmentFuzzyJoin(
+            docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
+            docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
+            "s_a", "s_b", maxDist = 4,
+            broadcastIndex = plan.broadcastIndex,
+            partitions = plan.partitions)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH k AS (
+               SELECT doc_id,
+                      array_to_string((string_split(text, ' '))[1:4], ' ') AS s
+               FROM documents)
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+             FROM k a JOIN k b
+               ON a.doc_id < b.doc_id
+              AND abs(length(a.s) - length(b.s)) <= 4
+             WHERE levenshtein(a.s, b.s) <= 4
+             ORDER BY id_a, id_b""")),
+
     // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     // match each other — the semantics MERGE pipelines need when the
     // join key is itself nullable. Still a hash-partitionable equi

@@ -809,6 +809,192 @@ object ScaleOps {
       .dropDuplicates()
   }
 
+  /** Physical plan choice for [[segmentFuzzyJoin]]'s candidate join:
+    * broadcast the (small, `maxDist+1` rows per string) segment index
+    * when it fits a conservative heap fraction, else a derived-width
+    * shuffle join. One cheap aggregate, the deriveFuzzyBlocking
+    * pattern — recall does not depend on the choice. */
+  final case class SegmentJoinPlan(broadcastIndex: Boolean, partitions: Int)
+
+  /** Derive [[SegmentJoinPlan]] from the index-side key column: the
+    * hydrated broadcast estimate is `maxDist+1` segment rows per
+    * string, each carrying the original row (~key bytes + 48 B of id
+    * bookkeeping) plus its segment slice, ×2 for JVM object overhead
+    * in the in-memory relation. Broadcast while that fits a 1/16 heap
+    * budget (every task slot holds one copy of the hashed relation
+    * plus its probe stream); past it — the genuinely-large-left-side
+    * regime a 100 TB corpus is in — fall back to a shuffle join whose
+    * width comes from [[deriveShufflePartitions]] over the probe
+    * table's in-flight bytes (≈ `(2·maxDist+1)²` windowed substring
+    * rows per probe string, each carrying the full key). */
+  def deriveSegmentJoin(df: DataFrame, c: String, maxDist: Int): SegmentJoinPlan = {
+    val row = df.agg(count(lit(1)).as("n"),
+      sum(octet_length(col(c))).as("kb")).head()
+    val n = row.getLong(0)
+    val keyBytes = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val m = maxDist.toLong + 1L
+    val idxBytes = (keyBytes + 48L * n) * m * 2L
+    val ss = df.sparkSession
+    val heap = ss.conf.getOption("spark.executor.memory").map(parseJvmBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val probeRows = (2L * maxDist + 1L) * (2L * maxDist + 1L)
+    val probeBytes = (keyBytes + 48L * n) * probeRows
+    SegmentJoinPlan(idxBytes <= heap / 16L,
+      deriveShufflePartitions(ss, probeBytes))
+  }
+
+  /** Guaranteed-recall edit-distance join by DISJOINT-segment
+    * pigeonholing (Pass-Join family: Li, Deng & Feng, ICDE'11) — the
+    * low-entropy-corpus complement to [[qgramFuzzyJoin]]. Both are
+    * exact (result == the brute-force `levenshtein ≤ maxDist` join on
+    * distinct rows; ScaleOpsSpec pins both against the same brute
+    * force), but their candidate volumes are bounded by different
+    * corpus statistics: q-gram prefix filtering degrades when the
+    * gram vocabulary is small (generated/templated text: the 100×
+    * documents corpus measures vocab 4 782 over 14.8 M 4-gram
+    * occurrences — mean postings 3 090, predicted candidates 2.6e10),
+    * while segment matching keys on EXACT `len/(d+1)`-char substrings
+    * at length-aligned positions, whose selectivity survives a small
+    * word alphabet (measured 474 685 distinct (len, seg) values over
+    * the same corpus' 2.5 M segment rows).
+    *
+    * Why it is exact: split each left string s into `d+1` DISJOINT
+    * segments (even split, longer segments last). An edit script of
+    * ≤ d operations touches at most d segments, so some segment i is
+    * untouched and maps IDENTICALLY to a substring of r starting at
+    * `st = p_i + δ`. Aligning prefixes and suffixes around that match
+    * gives `|δ| + |Δ − δ| ≤ d` where `Δ = |r| − |s|` — so probing r's
+    * substrings of segment length at `δ ∈ [⌈(Δ−d)/2⌉, ⌊(Δ+d)/2⌋]`
+    * (≤ d+1 starts per segment) over partner lengths `|r|−d ≤ |s| ≤
+    * |r|+d` finds every true pair; banded `levenshtein` verify then
+    * removes false positives. Left strings shorter than `d+1` chars
+    * have zero-length segments the pigeonhole cannot use — they take
+    * a bounded length-band fallback (the [[qgramFuzzyJoin]] step-3
+    * argument; such strings only pair with rights shorter than
+    * `2d+1` chars).
+    *
+    * Spark shape — the property that makes this the 100 TB plan: the
+    * candidate join needs NO pre-join shuffle at all in the common
+    * case. The segment index is `d+1` rows per left string; under
+    * [[deriveSegmentJoin]]'s heap budget it broadcasts, and the probe
+    * side's windowed substrings are GENERATED inside the scan stage
+    * (one `explode` over an in-codegen array — never materialized),
+    * stream through the broadcast hash join and the banded-levenshtein
+    * verify in the same stage, and only MATCHED pairs reach the
+    * dedup exchange. Past the broadcast budget both sides hash-join
+    * at derived width — still shuffling `O(d²)` small rows per
+    * string, never candidates.
+    *
+    * Contract: same as [[qgramFuzzyJoin]] — distinct input rows,
+    * non-colliding column names, output = left ++ right ++ `distCol`,
+    * pair order unspecified.
+    */
+  def segmentFuzzyJoin(left: DataFrame, right: DataFrame,
+                       leftCol: String, rightCol: String,
+                       maxDist: Int,
+                       distCol: String = "dist",
+                       broadcastIndex: Boolean = true,
+                       partitions: Int = 0): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val dup = left.columns.intersect(right.columns)
+    require(dup.isEmpty,
+      s"left/right column names must not collide: ${dup.mkString(", ")}")
+    val reserved = Seq("__l", "__i", "__g", "__sp", "__b", "__b0", distCol)
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"columns collide with segmentFuzzyJoin internals: ${clash.mkString(", ")}")
+    val d = maxDist
+    val m = d + 1 // disjoint segments; pigeonhole needs edits < m
+
+    // even-split segmentation of a length-l string, longer segments
+    // last (the Pass-Join convention): base = ⌊l/m⌋, k = l mod m;
+    // segment i ∈ [1, m] has length base+1 iff i > m−k, and starts at
+    // (i−1)·base + max(0, i−1−(m−k)) + 1 — all in-codegen integer
+    // arithmetic on the length column
+    def segLen(l: Column, i: Column): Column =
+      floor(l / m).cast("int") +
+        when(i > lit(m) - (l % m), lit(1)).otherwise(lit(0))
+    def segPos(l: Column, i: Column): Column =
+      ((i - 1) * floor(l / m).cast("int") +
+        greatest(lit(0), i - 1 - (lit(m) - (l % m))) + lit(1)).cast("int")
+
+    // index side: m segment rows per string of length ≥ m, keyed by
+    // (exact length, segment ordinal, segment text)
+    val ll = length(col(leftCol))
+    val idx = left.filter(ll >= m)
+      .select(left.columns.map(col) :+ ll.as("__l") :+ explode(
+        transform(sequence(lit(1), lit(m)),
+          i => struct(i.as("i"),
+            col(leftCol).substr(segPos(ll, i), segLen(ll, i)).as("g"))))
+        .as("__sp"): _*)
+      .select(left.columns.map(col) :+ col("__l")
+        :+ col("__sp")("i").as("__i") :+ col("__sp")("g").as("__g"): _*)
+
+    // probe side: for each partner length l2 = |r|−Δ (Δ ∈ [−d, d],
+    // l2 ≥ m) and segment i of THAT length's segmentation, the
+    // window-bounded substrings substr(r, p_i+δ, len_i) — built as one
+    // in-codegen nested array and exploded once; out-of-range starts
+    // are dropped by the post-explode filter (cheap: the array is
+    // ≤ (2d+1)·m·(d+1) structs)
+    val lr = length(col(rightCol))
+    val probeArr = flatten(transform(sequence(lit(-d), lit(d)), { dl =>
+      val l2 = (lr - dl).cast("int")
+      flatten(transform(sequence(lit(1), lit(m)), { i =>
+        val p = segPos(l2, i)
+        val sl = segLen(l2, i)
+        val lo = ceil((dl - lit(d)).cast("double") / 2.0).cast("int")
+        val hi = floor((dl + lit(d)).cast("double") / 2.0).cast("int")
+        transform(sequence(lo, hi), { delta =>
+          val st = p + delta
+          struct(l2.as("l"), i.as("i"), st.as("st"), sl.as("sl"),
+            col(rightCol).substr(st, sl).as("g"))
+        })
+      }))
+    }))
+    val probe = right
+      .select(right.columns.map(col) :+ explode(probeArr).as("__sp"): _*)
+      .filter(col("__sp")("l") >= m && col("__sp")("st") >= 1 &&
+        col("__sp")("st") + col("__sp")("sl") - 1 <= lr)
+      .select(right.columns.map(col) :+ col("__sp")("l").as("__l")
+        :+ col("__sp")("i").as("__i") :+ col("__sp")("g").as("__g"): _*)
+
+    val segCand =
+      if (broadcastIndex)
+        probe.join(broadcast(idx), Seq("__l", "__i", "__g"))
+          .drop("__l", "__i", "__g")
+      else {
+        val keys = Seq(col("__l"), col("__i"), col("__g"))
+        widenIfAbove(idx, partitions, keys: _*)
+          .hint("shuffle_hash")
+          .join(widenIfAbove(probe, partitions, keys: _*),
+            Seq("__l", "__i", "__g"))
+          .drop("__l", "__i", "__g")
+      }
+
+    // left-short fallback: strings under m chars have zero-length
+    // segments — bounded length-band equi-join (right partner is
+    // under m+d = 2d+1 chars by the length filter in verify)
+    val w = math.max(d, 1)
+    val sl0 = left.filter(length(col(leftCol)) < m)
+      .withColumn("__b", (length(col(leftCol)) / w).cast("long"))
+    val sr0 = right.filter(length(col(rightCol)) < m + d)
+      .withColumn("__b0", (length(col(rightCol)) / w).cast("long"))
+      .withColumn("__b",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val shortCand = sl0.join(sr0, Seq("__b")).drop("__b")
+
+    // verify inline (same stage as the candidate join — candidates
+    // never shuffle), dedup only the matched pairs
+    segCand.unionByName(shortCand)
+      .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= d)
+      .withColumn(distCol,
+        levenshtein(col(leftCol), col(rightCol), math.max(d, 1))
+          .cast("long"))
+      .filter(col(distCol) >= 0 && col(distCol) <= d)
+      .dropDuplicates()
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `salts`
     * reducers — phase 2 merges the partials. Works for any

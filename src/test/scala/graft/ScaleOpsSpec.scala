@@ -261,6 +261,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("segment fuzzy join equals full brute force (guaranteed recall) " +
+    "on both physical paths, incl. short strings and maxDist=0") {
+    import spark.implicits._
+    // same adversarial shape as the qgram pin: dense near-matches over
+    // tiny alphabets, lengths 0..14 straddling the d+1 short cutoff so
+    // the zero-length-segment fallback runs on every d tried
+    for ((alpha, seed) <- Seq(("ab", 7), ("abc", 11))) {
+      val rnd = new scala.util.Random(seed)
+      val strs = (0 until 150).map { i =>
+        val len = rnd.nextInt(15)
+        (i.toLong + 1000L * seed,
+          (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      }.distinct
+      val a = strs.toDF("id_a", "s_a")
+      val b = strs.toDF("id_b", "s_b")
+      for (d <- Seq(0, 1, 2, 4)) {
+        val brute = a.crossJoin(b)
+          .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+          .filter(col("dist") <= d)
+          .select("id_a", "id_b", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        for (bcast <- Seq(true, false)) {
+          val got = ScaleOps.segmentFuzzyJoin(a, b, "s_a", "s_b",
+              maxDist = d, broadcastIndex = bcast,
+              partitions = if (bcast) 0 else 257)
+            .select("id_a", "id_b", "dist").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(got.length == got.toSet.size,
+            s"duplicate pairs at alpha=$alpha d=$d bcast=$bcast")
+          assert(got.toSet == brute,
+            s"alpha=$alpha d=$d bcast=$bcast: " +
+              s"missing=${(brute -- got.toSet).take(5)} " +
+              s"extra=${(got.toSet -- brute).take(5)}")
+        }
+      }
+    }
+  }
+
+  test("deriveSegmentJoin: broadcast under the heap budget, derived " +
+    "shuffle width above it") {
+    import spark.implicits._
+    val small = (0 until 50).map(i => (i.toLong, s"string number $i"))
+      .toDF("id", "k")
+    val plan = ScaleOps.deriveSegmentJoin(small, "k", maxDist = 4)
+    assert(plan.broadcastIndex,
+      "a 50-row index must fit any heap's broadcast budget")
+    assert(plan.partitions >= spark.conf
+      .get("spark.sql.shuffle.partitions").toInt || plan.partitions > 0)
+  }
+
   test("qgram fuzzy join: derived partitions are physical only; " +
     "maxDist=0 degenerates to the exact join") {
     import spark.implicits._
