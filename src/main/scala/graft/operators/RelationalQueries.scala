@@ -435,7 +435,8 @@ object RelationalQueries {
             docs.select(col("doc_id").as("id_b"), col("k").as("s_b")),
             "s_a", "s_b", maxDist = 4,
             broadcastIndex = plan.broadcastIndex,
-            partitions = plan.partitions)
+            partitions = plan.partitions,
+            symmetric = true)
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("dist"))
           .orderBy(col("id_a"), col("id_b"))

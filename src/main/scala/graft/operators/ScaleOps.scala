@@ -516,13 +516,27 @@ object ScaleOps {
             "digests only, never text (q_dedup_exact / q_dedup_canonical)")
       case EditDistance(d, q) =>
         val cand = n * (q.toLong * d + 1) * avgDf
-        DedupAdvice("qgram_edit_join", cand,
-          s"guaranteed recall at ed<=$d: candidates = n x (q*d+1) prefix " +
-            s"grams x avgDf=$avgDf postings (q_fuzzy_match_qgram); the fixed " +
-            s"first-char x band key would put worstBlock^2=" +
-            s"${stats.worstBlockOccupancy * stats.worstBlockOccupancy} pairs " +
-            "on one block and grows quadratically with the corpus " +
-            "(q_fuzzy_match_blocked, the r10 weak row)")
+        if (cand <= 64L * n)
+          DedupAdvice("qgram_edit_join", cand,
+            s"guaranteed recall at ed<=$d: candidates = n x (q*d+1) prefix " +
+              s"grams x avgDf=$avgDf postings (q_fuzzy_match_qgram); the fixed " +
+              s"first-char x band key would put worstBlock^2=" +
+              s"${stats.worstBlockOccupancy * stats.worstBlockOccupancy} pairs " +
+              "on one block and grows quadratically with the corpus " +
+              "(q_fuzzy_match_blocked, the r10 weak row)")
+        else
+          // low-entropy corpus: gram postings are long (avgDf high), so
+          // the gram prefix filter stops filtering — exact-substring
+          // segment keys survive a small alphabet. The 100× replica
+          // measured the crossover: qgram 747 s vs segment 333 s at
+          // avgDf 3090 (bench_r11_fuzzy_100x / bench_r11_segment_100x).
+          DedupAdvice("segment_edit_join", n * (2L * d + 1L) * (d + 1L),
+            s"guaranteed recall at ed<=$d with gram postings too long to " +
+              s"filter (avgDf=$avgDf puts qgram candidates at $cand > 64n): " +
+              s"disjoint-segment pigeonholing keys on exact len/(d+1)-char " +
+              "substrings; probe volume is n x (2d+1)(d+1) windowed " +
+              "substrings and candidates scale with segment-key rarity " +
+              "(q_fuzzy_match_segment)")
       case SetSimilarity(t, exactRecall) =>
         val prefixLen = math.max(1L,
           (stats.avgShinglesPerDoc * (1.0 - t)).toLong + 1L)
@@ -888,13 +902,24 @@ object ScaleOps {
     * Contract: same as [[qgramFuzzyJoin]] — distinct input rows,
     * non-colliding column names, output = left ++ right ++ `distCol`,
     * pair order unspecified.
+    *
+    * `symmetric = true` declares the SELF-JOIN contract: left and
+    * right are the same relation under a positional column rename
+    * (column i of left corresponds to column i of right). The probe
+    * then only visits partner lengths ≤ its own (each unordered pair
+    * is found once, from its longer side) and every verified match is
+    * re-emitted mirrored — halving probe and verify work, which is
+    * where this operator's time goes (the 100× replica measured
+    * 1.4e9 candidate verifies). Results are identical to the
+    * asymmetric run (ScaleOpsSpec pins it).
     */
   def segmentFuzzyJoin(left: DataFrame, right: DataFrame,
                        leftCol: String, rightCol: String,
                        maxDist: Int,
                        distCol: String = "dist",
                        broadcastIndex: Boolean = true,
-                       partitions: Int = 0): DataFrame = {
+                       partitions: Int = 0,
+                       symmetric: Boolean = false): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     val dup = left.columns.intersect(right.columns)
     require(dup.isEmpty,
@@ -936,8 +961,14 @@ object ScaleOps {
     // in-codegen nested array and exploded once; out-of-range starts
     // are dropped by the post-explode filter (cheap: the array is
     // ≤ (2d+1)·m·(d+1) structs)
+    require(!symmetric || left.columns.length == right.columns.length,
+      "symmetric mode needs positionally-corresponding left/right columns")
     val lr = length(col(rightCol))
-    val probeArr = flatten(transform(sequence(lit(-d), lit(d)), { dl =>
+    // symmetric: Δ = |r| − l2 ≥ 0 only — the pair is discovered from
+    // its LONGER side once, and the mirror union below restores the
+    // other orientation
+    val probeArr = flatten(transform(
+      sequence(lit(if (symmetric) 0 else -d), lit(d)), { dl =>
       val l2 = (lr - dl).cast("int")
       flatten(transform(sequence(lit(1), lit(m)), { i =>
         val p = segPos(l2, i)
@@ -985,14 +1016,35 @@ object ScaleOps {
     val shortCand = sl0.join(sr0, Seq("__b")).drop("__b")
 
     // verify inline (same stage as the candidate join — candidates
-    // never shuffle), dedup only the matched pairs
-    segCand.unionByName(shortCand)
+    // never shuffle), dedup only the matched pairs.
+    // (Measured non-optimization, kept as a note: lexicographically
+    // orienting EQUAL-length candidates before verify — memcmp gate,
+    // mirror restores — ran 365 s vs 333 s at 100×: the banded
+    // thresholded levenshtein already abandons false candidates
+    // within a few band rows, so the per-candidate compare cost more
+    // than the halved true-pair DP saved.)
+    val verified = segCand.unionByName(shortCand)
       .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= d)
       .withColumn(distCol,
         levenshtein(col(leftCol), col(rightCol), math.max(d, 1))
           .cast("long"))
       .filter(col(distCol) >= 0 && col(distCol) <= d)
-      .dropDuplicates()
+    // symmetric mode found each unordered pair from its longer side
+    // only — re-emit the mirrored orientation (positional rename;
+    // edit distance is symmetric). Equal-length pairs and the short
+    // fallback arrive in both orientations already; the dedup below
+    // absorbs the overlap (matches only — never candidates).
+    val emitted =
+      if (!symmetric) verified
+      else {
+        val lc = left.columns
+        val rc = right.columns
+        verified.unionByName(verified.select(
+          (lc.indices.map(i => col(rc(i)).as(lc(i))) ++
+            rc.indices.map(i => col(lc(i)).as(rc(i)))
+            :+ col(distCol)): _*))
+      }
+    emitted.dropDuplicates()
   }
 
   /** Two-phase salted aggregation for skewed group keys: phase 1

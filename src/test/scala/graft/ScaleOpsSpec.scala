@@ -282,16 +282,16 @@ class ScaleOpsSpec extends AnyFunSuite {
           .filter(col("dist") <= d)
           .select("id_a", "id_b", "dist").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        for (bcast <- Seq(true, false)) {
+        for (bcast <- Seq(true, false); sym <- Seq(false, true)) {
           val got = ScaleOps.segmentFuzzyJoin(a, b, "s_a", "s_b",
               maxDist = d, broadcastIndex = bcast,
-              partitions = if (bcast) 0 else 257)
+              partitions = if (bcast) 0 else 257, symmetric = sym)
             .select("id_a", "id_b", "dist").collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
           assert(got.length == got.toSet.size,
-            s"duplicate pairs at alpha=$alpha d=$d bcast=$bcast")
+            s"duplicate pairs at alpha=$alpha d=$d bcast=$bcast sym=$sym")
           assert(got.toSet == brute,
-            s"alpha=$alpha d=$d bcast=$bcast: " +
+            s"alpha=$alpha d=$d bcast=$bcast sym=$sym: " +
               s"missing=${(brute -- got.toSet).take(5)} " +
               s"extra=${(got.toSet -- brute).take(5)}")
         }
@@ -346,13 +346,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     // exact content is always the digest groupBy
     val big = DedupCorpusStats(500000000L, 40, 50000000L, 9153)
     assert(adviseDedup(big, ExactContent).operator == "exact_digest")
-    // edit distance at scale: the q-gram join, never the fixed blocking
-    // key; predicted candidates follow the n x (qd+1) x avgDf bound
-    val ed = adviseDedup(big, EditDistance(maxDist = 4, q = 2))
+    // edit distance at scale over a DIVERSE gram vocabulary (short
+    // postings): the q-gram join, never the fixed blocking key;
+    // predicted candidates follow the n x (qd+1) x avgDf bound
+    val diverseGrams = DedupCorpusStats(500000000L, 40, 4000000000L, 9153)
+    val ed = adviseDedup(diverseGrams, EditDistance(maxDist = 4, q = 2))
     assert(ed.operator == "qgram_edit_join")
-    val avgDf = (big.n * 40) / big.distinctShingles
-    assert(ed.predictedCandidates == big.n * 9L * avgDf)
+    val avgDf = (diverseGrams.n * 40) / diverseGrams.distinctShingles
+    assert(ed.predictedCandidates == diverseGrams.n * 9L * avgDf)
     assert(ed.rationale.contains("q_fuzzy_match_qgram"))
+    // edit distance over a LOW-ENTROPY corpus (long postings blunt the
+    // gram prefix filter — the r11 100x head-to-head): segment join
+    val edLow = adviseDedup(big, EditDistance(maxDist = 4, q = 2))
+    assert(edLow.operator == "segment_edit_join")
+    assert(edLow.predictedCandidates == big.n * 9L * 5L)
+    assert(edLow.rationale.contains("q_fuzzy_match_segment"))
     // set similarity with exact recall: PPJoin regardless of volume
     val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
     assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = true))
