@@ -230,21 +230,31 @@ object WarehouseQueries {
     // explicit rsd 0.01 — the default 0.05 rsd measurably exceeds 5 %
     // on the 15 k-distinct key), which the oracle replays as TRUE. The
     // sketch itself still runs on the Spark side every time the row
-    // does.
+    // does. The exact and sketch sides are SEPARATE one-row aggregates
+    // glued by a 1×1 crossJoin: putting countDistinct and the rsd-0.01
+    // sketch in ONE aggregate drags the 4×2731-word HLL buffers
+    // through the multi-distinct Expand rewrite, which abandons
+    // HashAggregate for an interpreted SortAggregate that copies the
+    // ~11k-field buffer row per input row — measured 18.6 s vs 1.9 s
+    // for the split at sf0.01 (r11 ProfProbe); production mode
+    // (exact=false above) never mixes them so it was never affected.
     Spec("q_profile_columns_approx",
       (s, dir) => {
         val cols = ProfiledOrderCols
-        val aggs = cols.flatMap { c =>
+        val orders = t(s, dir, "orders")
+        val exactAggs = cols.flatMap { c =>
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
             countDistinct(col(c)).as(s"dist_$c"),
-            approx_count_distinct(col(c), 0.01).as(s"approx_$c"),
             min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c"))
         }
+        val sketchAggs = cols.map(c =>
+          approx_count_distinct(col(c), 0.01).as(s"approx_$c"))
         val stackArgs = cols.map(c =>
           s"'$c', null_$c, dist_$c, approx_$c, min_$c, max_$c")
           .mkString(", ")
-        t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        orders.agg(exactAggs.head, exactAggs.tail: _*)
+          .crossJoin(orders.agg(sketchAggs.head, sketchAggs.tail: _*))
           .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
             "(col_name, n_null, n_distinct, approx, min_v, max_v)")
           .select(col("col_name"), col("n_null"), col("n_distinct"),
