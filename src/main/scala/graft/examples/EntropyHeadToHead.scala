@@ -78,7 +78,9 @@ object EntropyHeadToHead {
     // corpus gram statistics at the derived q + the advisor's verdict
     val (q, np) = ScaleOps.deriveQgramParams(docs, "k", maxDist = d)
     val grams = docs.select(explode(transform(
-      sequence(lit(1), greatest(length(col("k")) - lit(q - 1), lit(0))),
+      when(length(col("k")) >= q,
+        sequence(lit(1), length(col("k")) - lit(q - 1)))
+        .otherwise(array().cast("array<int>")),
       i => col("k").substr(i, lit(q)))).as("__g"))
     val g = grams.agg(count(lit(1)).as("t"),
       count_distinct(col("__g")).as("v")).head()

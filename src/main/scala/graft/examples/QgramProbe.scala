@@ -33,7 +33,9 @@ object QgramProbe {
     val n = docs.count()
     qs.foreach { q =>
       val grams = docs.select(explode(transform(
-        sequence(lit(1), greatest(length(col("k")) - lit(q - 1), lit(0))),
+        when(length(col("k")) >= q,
+          sequence(lit(1), length(col("k")) - lit(q - 1)))
+          .otherwise(array().cast("array<int>")),
         i => col("k").substr(i, lit(q)))).as("g"))
       val row = grams.agg(count(lit(1)).as("total"),
         countDistinct(col("g")).as("vocab")).head()

@@ -576,23 +576,42 @@ object ScaleOps {
     * small-by-construction contract as the broadcast stat tables).
     * Totals and cut rows are 1-row broadcasts; corpus rows are never
     * globally sorted. */
+  /** Distinct-value cardinality past which [[exactQuantiles]] warns:
+    * the cumulative window runs single-partition over the distinct
+    * table, so a caller violating the integer-grid contract (raw
+    * high-cardinality longs) would silently serialize it through one
+    * task — make the violation observable (ADVICE r11). */
+  val ExactQuantilesGridWarnAt: Long = 10L * 1000 * 1000
+
   def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       "quantile fractions must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(c).isNotNull)
       .groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("cnt"))
+    // one eager aggregate gives BOTH the total (previously a lazy
+    // 1-row crossJoin — same number of passes over df either way) and
+    // the distinct-value cardinality the grid contract needs checked
+    val totRow = counts.agg(sum(col("cnt")).as("n"),
+      count(lit(1)).as("nv")).head()
+    val n = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val nv = totRow.getLong(1)
+    if (nv > ExactQuantilesGridWarnAt)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"exactQuantiles($c): $nv distinct values exceed the integer-grid " +
+          s"contract bound ($ExactQuantilesGridWarnAt); the cumulative " +
+          "window will serialize them through ONE task — scale the column " +
+          "to a bounded grid (e.g. floor(score*1e4)) before calling")
     // distinct-value table: grid-bounded by contract (see scaladoc)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy(col("v"))))
-    val tot = counts.agg(sum(col("cnt")).as("n"))
     val ptab = df.sparkSession.createDataFrame(
       ps.map(Tuple1(_))).toDF("p")
     // ceil(p·n) in IEEE double then long — an oracle replays the same
     // expression bit-for-bit (CAST(ceiling(p * n) AS BIGINT))
-    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ptab))
+    cum.crossJoin(broadcast(ptab))
       .filter(col("cum") >=
-        ceil(col("p") * col("n").cast("double")).cast("long"))
+        ceil(col("p") * lit(n).cast("double")).cast("long"))
       .groupBy(col("p")).agg(min(col("v")).as("value"))
   }
 
@@ -634,14 +653,20 @@ object ScaleOps {
   def deriveQgramParams(df: DataFrame, c: String, maxDist: Int,
                         qMax: Int = 4): (Int, Int) = {
     require(qMax >= 1)
+    val n = df.count() // hoisted: one count, not one per candidate q
     def predicted(q: Int): Long = {
+      // guard sequence(1, 0): Spark's sequence DESCENDS when start >
+      // stop, so an unguarded bound of 0 emits two phantom grams
+      // (positions 1 and 0) for every string shorter than q, inflating
+      // total/vocab and skewing avgDf (ADVICE r11)
       val grams = df.select(explode(transform(
-        sequence(lit(1), greatest(length(col(c)) - lit(q - 1), lit(0))),
+        when(length(col(c)) >= q,
+          sequence(lit(1), length(col(c)) - lit(q - 1)))
+          .otherwise(array().cast("array<int>")),
         i => col(c).substr(i, lit(q)))).as("__g"))
       val row = grams.agg(count(lit(1)).as("t"),
         count_distinct(col("__g")).as("v")).head()
       val (total, vocab) = (row.getLong(0), row.getLong(1))
-      val n = df.count()
       n * (q.toLong * maxDist + 1L) * (total / math.max(vocab, 1L))
     }
     var q = 1
@@ -729,9 +754,15 @@ object ScaleOps {
 
     // positional q-grams as an in-codegen array expression: element i
     // of the array is (substr(s, i, q), i) — no UDF, no explode yet
+    // when-guarded: sequence(1, 0) would DESCEND to [1, 0] and emit two
+    // phantom grams for strings shorter than q (recall-safe — such
+    // strings ride the short fallback and verify removes false
+    // positives — but the phantoms inflate the df table; ADVICE r11)
     def gramsOf(c: String): Column =
       transform(
-        sequence(lit(1), greatest(length(col(c)) - lit(q - 1), lit(0))),
+        when(length(col(c)) >= q,
+          sequence(lit(1), length(col(c)) - lit(q - 1)))
+          .otherwise(array().cast("array<int>")),
         i => struct(col(c).substr(i, lit(q)).as("g"), i.as("p")))
     val lg = left.withColumn("__gp", gramsOf(leftCol))
     val rg = right.withColumn("__gp", gramsOf(rightCol))

@@ -30,11 +30,28 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object ComposedPipeline {
 
-  /** Schema of the silver (scored-docs) handoff table. */
+  /** Schema of the silver (scored-docs) handoff table. `batch_id` is
+    * the writing micro-batch's id — the partition key that makes the
+    * foreachBatch sink idempotent (see [[idempotentAppend]]). */
   val SilverSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("source", StringType),
-    StructField("tier", StringType)))
+    StructField("tier", StringType),
+    StructField("batch_id", LongType)))
+
+  /** Exactly-once-effective parquet append for a foreachBatch sink.
+    * foreachBatch is at-least-once: a crash between the sink write and
+    * the checkpoint commit replays the micro-batch on restart. A blind
+    * `mode(append)` would then double-append the rows. The standard
+    * fix: partition by the (deterministic) micro-batch id and OVERWRITE
+    * dynamically — a replayed batch rewrites its own `batch_id=N`
+    * partition in place instead of duplicating it. */
+  private def idempotentAppend(mb: DataFrame, batchId: Long,
+                               dir: String): Unit =
+    mb.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
 
   /** Q1 — curate: file-source ingest of document batches (must carry
     * an `ets` event-time column) → content dedup within `delay` →
@@ -54,12 +71,13 @@ object ComposedPipeline {
     graft.operators.TextQueries.redactInPlace(deduped)
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         val scored = graft.operators.TextQueries
           .scoreAgainstLm(mb, lmFreq, lmScal)
-        mb.select(col("doc_id"), col("source"))
-          .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id"))
-          .write.mode("append").parquet(silverDir)
+        idempotentAppend(
+          mb.select(col("doc_id"), col("source"))
+            .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id")),
+          batchId, silverDir)
         ()
       }
       .start()
@@ -80,20 +98,32 @@ object ComposedPipeline {
       .writeStream.outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
-        (ds: org.apache.spark.sql.Dataset[StageCounts.Counts], _: Long) =>
-          ds.write.mode("append").parquet(goldDir); ()
+        (ds: org.apache.spark.sql.Dataset[StageCounts.Counts], batchId: Long) =>
+          idempotentAppend(ds.toDF(), batchId, goldDir); ()
       }
       .start()
   }
 
   /** The SAME stages composed as one batch plan — the parity oracle:
     * distinct content → scrub → LM score → per-source tier counts.
-    * Returns (source, n_total, n_head, n_middle, n_tail). */
+    * Returns (source, n_total, n_head, n_middle, n_tail).
+    *
+    * Determinism of the dedup winner: the batch side keeps the
+    * MIN-`doc_id` row per content fingerprint (the same canonical
+    * choice as CorpusPipelineDemo's exact dedup), so the oracle is a
+    * pure function of its input. The streaming side keeps the FIRST
+    * ARRIVAL, so stream == batch parity additionally requires that
+    * docs sharing a text either agree on `source` (tier always agrees
+    * — same text) or arrive in `doc_id` order, which StreamingSpec's
+    * ordered file drops guarantee. */
   def batchComposition(allInput: DataFrame,
                        lmFreq: DataFrame, lmScal: DataFrame): DataFrame = {
     val deduped = allInput
       .withColumn("fp", md5(col("text")))
-      .dropDuplicates("fp").drop("fp")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("fp", "__rk")
     val scrubbed = graft.operators.TextQueries.redactInPlace(deduped)
     val scored = graft.operators.TextQueries
       .scoreAgainstLm(scrubbed, lmFreq, lmScal)

@@ -272,7 +272,9 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_chi_square",         // class-margin (|langs| rows) broadcast × vocab grid
       "q_mmr_diversify",      // broadcast query set vs corpus (relevance leg)
       "q_pmi_bigrams",        // 1-row token-total and bigram-total crossJoins
-      "q_rolling_distinct")   // 1-row broadcast max-day crossJoin
+      "q_rolling_distinct",   // 1-row broadcast max-day crossJoin
+      "q_exact_quantile",     // tiny broadcast p-table crossJoin
+      "q_profile_columns_approx") // 1x1 crossJoin gluing exact+sketch agg rows
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
