@@ -35,6 +35,32 @@ object CorpusPipelineDemo {
     spark.stop()
   }
 
+  /** Corpus aggregates for the LOG-ONLY dedup advisor (VERDICT r11 #5
+    * / r12 #6): the SAME 3-token shingle sets the near-dup stage
+    * measures Jaccard over, plus the coarsest blocking-key occupancy —
+    * three cheap aggregate jobs, the EntropyHeadToHead/derivation
+    * pattern. */
+  def dedupStats(spark: SparkSession,
+                 sfDir: String): graft.operators.ScaleOps.DedupCorpusStats = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val row = docs.select(explode(graft.functions.TextFunctions
+        .shingleSetFast(col("text"))).as("__sh"))
+      .agg(count(lit(1)).as("t"), count_distinct(col("__sh")).as("v")).head()
+    val worst = docs.groupBy(substring(col("text"), 1, 1)).count()
+      .agg(max("count")).head().getLong(0)
+    graft.operators.ScaleOps.DedupCorpusStats(n,
+      row.getLong(0).toDouble / math.max(n, 1L), row.getLong(1), worst)
+  }
+
+  /** One advice line per dedup stage — operator + predicted candidate
+    * volume only (the rationale prose stays in the DedupAdvice for
+    * log readers; this line is the machine-greppable part). */
+  private def adviceLine(stage: String,
+                         a: graft.operators.ScaleOps.DedupAdvice): String =
+    s"""{"stage":"$stage","advice":"${a.operator}",""" +
+      s""""predicted_candidates":${a.predictedCandidates}}"""
+
   /** Runs the composed pipeline; returns the JSON stage summary. */
   def run(spark: SparkSession, sfDir: String): String = {
     val q = graft.SparkEntry.queries
@@ -62,6 +88,24 @@ object CorpusPipelineDemo {
       }
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val nDocs = docs.count()
+
+      // LOG-ONLY operating-point advice before each dedup stage
+      // (VERDICT r11 #5): the advisor reads the corpus' own shingle
+      // statistics and names the operator it would route a production
+      // job to — a driver log line to read when the job misbehaves,
+      // never a plan change. At gate scale it honestly says
+      // brute_force for the near-dup stage (n ≤ 3000: the all-pairs
+      // join IS cheaper than the MinHash index build the demo runs for
+      // composition coverage); CorpusPipelineSpec pins that the same
+      // stats at production n route to exactly the operators the
+      // stages call (exact_digest for 2b, minhash_lsh for 3).
+      val advStats = dedupStats(spark, sfDir)
+      println(adviceLine("canonical_exact_dedup", graft.operators.ScaleOps
+        .adviseDedup(advStats, graft.operators.ScaleOps.ExactContent)))
+      // 0.5 = DedupQueries.MinhashJaccardThreshold (the stage-3 gate)
+      println(adviceLine("near_dup_dedup", graft.operators.ScaleOps
+        .adviseDedup(advStats,
+          graft.operators.ScaleOps.SetSimilarity(0.5, exactRecall = false))))
 
       // 1. PII scrub (map-only; audit counts aggregated for the report)
       val scrub = graft.operators.TextQueries.redact(docs)

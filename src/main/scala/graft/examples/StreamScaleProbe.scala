@@ -3,29 +3,45 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale probe for the composed STREAMING pipeline (VERDICT r11 #4):
-  * the batch compositions have 100×/48 g/8 g runs, but
+import graft.streaming.ComposedPipeline
+
+/** Scale probe for the composed STREAMING pipeline (VERDICT r11 #4 /
+  * r12 #3): the batch compositions have 100×/48 g/8 g runs, but
   * [[graft.streaming.ComposedPipeline]] shipped with only an sf0.1
   * parity probe — its scale claims ("state bounded by arrival rate ×
-  * delay") were argued, not measured. This probe measures, at a
-  * replica scale (10× by default):
+  * delay") were argued, not measured. Every leg drives the SHIPPED
+  * entry points ([[ComposedPipeline.startCurate]] /
+  * [[ComposedPipeline.startCounts]]) — no inline re-implementation
+  * (VERDICT r12 "What's wrong #3"), so the numbers describe the
+  * production pipeline. This probe measures, at a replica scale (10×
+  * by default):
   *
   *  1. sustained BACKLOG drain rate: a pre-written backlog of
   *     `nFiles` parquet files drained by the curate query
   *     (ingest → watermarked dedup → scrub → per-batch LM scoring →
-  *     idempotent silver append), docs/sec over the whole drain;
+  *     idempotent silver append). The backlog is written in EVENT-TIME
+  *     order (`repartitionByRange(ets)` + sort within partitions —
+  *     ADVICE r12: a round-robin backlog puts the full event-time
+  *     range in every file, so the first trigger jumps the watermark
+  *     to ~max(ets) and later rows are dropped as late, confounding
+  *     the drain rate with late-dropping), approximating the arrival
+  *     order a live stream would have. Reports input docs/sec AND
+  *     silver rows/sec (survivor throughput).
   *  2. dedup STATE size vs watermark delay: the same backlog drained
   *     under a short and a long delay — state rows after the drain
   *     come from the query's own StateOperatorProgress, showing
   *     eviction (short delay ⇒ rows ≪ corpus) vs full retention;
-  *  3. RESTART recovery: half the backlog drained, both queries
-  *     killed, the other half PLUS duplicates of pre-restart docs
-  *     dropped while down, queries restarted from their checkpoints —
-  *     wall time to first batch (state reload) and to full drain,
-  *     with the recovered-state suppression verified by row count.
+  *  3. RESTART recovery of BOTH queries: half the backlog drained
+  *     through Q1+Q2, both killed, the other half PLUS duplicates of
+  *     pre-restart docs dropped while down, both restarted from their
+  *     checkpoints — wall time to Q1's first batch (state reload) and
+  *     to full drain, recovered-state dup suppression verified
+  *     against the DISTINCT-TEXT count (the corpus may carry
+  *     intrinsic duplicate texts; ADVICE r12), and Q2's recovered
+  *     counter frontier checked monotone against its pre-kill total.
   *
   * Event times are deterministic (`ets = epoch + doc_id seconds`), so
-  * with N docs the event-time span is N seconds and a `delaySec ≪ N`
+  * with N docs the event-time span is ~N seconds and a `delaySec ≪ N`
   * watermark must evict aggressively while `delaySec ≫ N` retains one
   * fingerprint per distinct doc — the two operating points probed.
   *
@@ -59,10 +75,14 @@ object StreamScaleProbe {
 
     def path(parts: String*): String =
       Paths.get(work, parts: _*).toString
+    // locale-pinned double formatting (ADVICE r12: f"%.2f" is
+    // locale-sensitive — a comma-decimal default locale would emit
+    // invalid JSON)
     def jline(kv: (String, Any)*): Unit =
       println(kv.map {
         case (k, v: String) => s""""$k":"$v""""
-        case (k, v: Double) => f""""$k":$v%.2f"""
+        case (k, v: Double) =>
+          s""""$k":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))}"""
         case (k, v) => s""""$k":$v"""
       }.mkString("{", ",", "}"))
 
@@ -73,35 +93,27 @@ object StreamScaleProbe {
       Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
         .map(_.memoryUsedBytes).sum
 
-    def startCurate(inDir: String, tag: String, delay: String) = {
-      val deduped = graft.streaming.StreamingDedup.dedupeByContent(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", mft.toString).parquet(inDir),
-        "ets", delay)
-      graft.operators.TextQueries.redactInPlace(deduped)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", path(tag, "cp1"))
-        .foreachBatch { (mb: DataFrame, batchId: Long) =>
-          val scored = graft.operators.TextQueries
-            .scoreAgainstLm(mb, lmFreq, lmScal)
-          mb.select(col("doc_id"), col("source"))
-            .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(path(tag, "silver"))
-          ()
-        }
-        .start()
-    }
+    // event-time-ordered backlog: range-partition on ets so file k
+    // holds the k-th slice of event time, and arrival order (the file
+    // source reads in path order here) approximates the live stream
+    // the state-bound argument assumes
+    def writeBacklog(rows: DataFrame, files: Int, dir: String,
+                     mode: String): Unit =
+      rows.repartitionByRange(math.max(files, 1), col("ets"))
+        .sortWithinPartitions("ets")
+        .write.mode(mode).parquet(dir)
+
+    def startCurate(inDir: String, tag: String, delay: String) =
+      ComposedPipeline.startCurate(spark, schema, inDir,
+        path(tag, "silver"), path(tag, "cp1"), lmFreq, lmScal,
+        delay, maxFilesPerTrigger = mft)
 
     // ---- 1+2: full-backlog drain at two watermark delays ------------
     for ((delay, delayTag) <- Seq(
         ("100 seconds", "short"), ("1000 days", "long"))) {
       val tag = s"drain_$delayTag"
       Files.createDirectories(Paths.get(path(tag)))
-      docs.repartition(nFiles).write.mode("overwrite")
-        .parquet(path(tag, "in"))
+      writeBacklog(docs, nFiles, path(tag, "in"), "overwrite")
       val t0 = System.nanoTime()
       val q = startCurate(path(tag, "in"), tag, delay)
       try q.processAllAvailable() finally q.stop()
@@ -110,23 +122,29 @@ object StreamScaleProbe {
       jline("probe" -> "backlog_drain", "delay" -> delay,
         "n_docs" -> nDocs, "files" -> nFiles, "max_files_per_trigger" -> mft,
         "sec" -> sec, "docs_per_sec" -> nDocs / sec,
-        "silver_rows" -> drained,
+        "silver_rows" -> drained, "silver_rows_per_sec" -> drained / sec,
         "state_rows" -> stateRows(q), "state_bytes" -> stateBytes(q))
     }
 
-    // ---- 3: kill/restart with backlog queued while down -------------
+    // ---- 3: kill/restart of BOTH queries, backlog queued while down -
     {
       val tag = "restart"
       Files.createDirectories(Paths.get(path(tag)))
+      val halfFiles = math.max(nFiles / 2, 1)
       val half = docs.filter(col("doc_id") % 2 === 0)
       val rest = docs.filter(col("doc_id") % 2 === 1)
       val dups = docs.filter(col("doc_id") % 20 === 0) // pre-restart dups
-      half.repartition(nFiles / 2).write.mode("append").parquet(path(tag, "in"))
+      writeBacklog(half, halfFiles, path(tag, "in"), "append")
       val qa = startCurate(path(tag, "in"), tag, "1000 days")
       try qa.processAllAvailable() finally qa.stop()
+      val q2a = ComposedPipeline.startCounts(spark, path(tag, "silver"),
+        path(tag, "gold_a"), path(tag, "cp2"))
+      try q2a.processAllAvailable() finally q2a.stop()
       val silverBefore = spark.read.parquet(path(tag, "silver")).count()
+      val goldBeforeMax = spark.read.parquet(path(tag, "gold_a"))
+        .agg(coalesce(max(col("n_total")), lit(0L))).head().getLong(0)
 
-      rest.repartition(nFiles / 2).write.mode("append").parquet(path(tag, "in"))
+      writeBacklog(rest, halfFiles, path(tag, "in"), "append")
       dups.repartition(2).write.mode("append").parquet(path(tag, "in"))
       val t0 = System.nanoTime()
       val qb = startCurate(path(tag, "in"), tag, "1000 days")
@@ -139,8 +157,21 @@ object StreamScaleProbe {
       }
       try qb.processAllAvailable() finally qb.stop()
       val totalSec = (System.nanoTime() - t0) / 1e9
+      val q2b = ComposedPipeline.startCounts(spark, path(tag, "silver"),
+        path(tag, "gold_b"), path(tag, "cp2"))
+      try q2b.processAllAvailable() finally q2b.stop()
       val silverAfter = spark.read.parquet(path(tag, "silver")).count()
-      val expectedNew = rest.count()
+      // the dedup keys on content fingerprint, so the expected NEW
+      // silver rows are the DISTINCT texts of `rest` not already seen
+      // in `half` — not rest.count(): the corpus may carry intrinsic
+      // duplicate texts (ADVICE r12)
+      val expectedNew = rest.select(col("text")).distinct()
+        .join(half.select(col("text")).distinct(), Seq("text"), "left_anti")
+        .count()
+      // Q2's recovered counter frontier must build on the pre-kill
+      // totals (monotone counts), not restart from zero
+      val goldAfterMax = spark.read.parquet(path(tag, "gold_b"))
+        .agg(coalesce(max(col("n_total")), lit(0L))).head().getLong(0)
       jline("probe" -> "restart_recovery",
         "queued_rows" -> (rest.count() + dups.count()),
         "first_batch_sec" -> firstBatchSec, "drain_sec" -> totalSec,
@@ -148,6 +179,9 @@ object StreamScaleProbe {
         "expected_new_rows" -> expectedNew,
         "dups_suppressed_by_recovered_state" ->
           (silverAfter - silverBefore == expectedNew),
+        "gold_total_before_kill" -> goldBeforeMax,
+        "gold_total_after_restart" -> goldAfterMax,
+        "counter_state_recovered" -> (goldAfterMax > goldBeforeMax),
         "state_rows" -> stateRows(qb), "state_bytes" -> stateBytes(qb))
     }
     spark.stop()

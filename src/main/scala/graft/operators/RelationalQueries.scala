@@ -322,6 +322,14 @@ object RelationalQueries {
     // and pair volume 1.93e8; the pMax=8 ceiling lets the derivation
     // keep walking the occupancy curve at corpus scale, at the same
     // documented recall trade (edits inside the first 8 chars).
+    //
+    // RETIRE-OR-KEEP decision (VERDICT r11 #7 / r12 #7): KEPT — the
+    // exact segment join dominates it at every measured operating
+    // point, but this row is the LOSSY BASELINE every fuzzy
+    // head-to-head (FuzzyTierRemeasure, EntropyHeadToHead, the
+    // advisor's rationale prose) compares the exact operators
+    // against; retiring it would leave the measured "exact recall AND
+    // faster" claims without their in-battery reference row.
     Spec("q_fuzzy_match_blocked",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"),
@@ -387,10 +395,79 @@ object RelationalQueries {
     // replay of the derivation, precisely because the result cannot
     // depend on it. Granularity degenerates to the session constant
     // at gate scale.
+    //
+    // GATE OPERATING POINT (VERDICT r12 #2): the gate key is
+    // gram-DIVERSE — 20 base64 chars of the document's md5 (the
+    // EntropyHeadToHead corpus shape: ~6 bits/char, 4-gram vocabulary
+    // 64⁴ ≈ 16.7 M ≫ corpus grams, postings ≈ 1), with deterministic
+    // planted single-edit mutants (id + 1e9, every 5th doc; position
+    // and replacement char hash-derived, so DuckDB replays them
+    // bit-for-bit) giving a non-trivial match set. This is the corpus
+    // profile adviseDedup actually ROUTES to the q-gram join;
+    // the low-entropy profile it routes AWAY (first-4-words keys on
+    // generated text, avgDf ≈ 3 090 at 100×, where the old gate burned
+    // 647 s = 24 % of the r11 100× battery) is kept as the downsized
+    // adversarial row below.
     Spec("q_fuzzy_match_qgram",
       (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
+        val b = t(s, dir, "documents").select(col("doc_id").as("id"),
+          expr("substring(base64(unhex(md5(text))), 1, 20)").as("k"))
+        val alphabet =
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+        val mut = b.filter(col("id") % 5 === 0)
+          .withColumn("__p",
+            expr("(ascii(substring(md5(concat(k, 'p')), 1, 1)) % 20) + 1"))
+          .withColumn("__c",
+            expr(s"substring('$alphabet', " +
+              "(ascii(substring(md5(concat(k, 'c')), 1, 1)) % 64) + 1, 1)"))
+          .select((col("id") + 1000000000L).as("id"),
+            expr("concat(substring(k, 1, __p - 1), __c, " +
+              "substring(k, __p + 1, 20 - __p))").as("k"))
+        val u = b.unionByName(mut)
+        val (q, np) = ScaleOps.deriveQgramParams(u, "k", maxDist = 4)
+        ScaleOps.qgramFuzzyJoin(
+            u.select(col("id").as("id_a"), col("k").as("s_a")),
+            u.select(col("id").as("id_b"), col("k").as("s_b")),
+            "s_a", "s_b", maxDist = 4, q = q, partitions = np)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH b AS (
+               SELECT doc_id AS id,
+                      substr(base64(unhex(md5(text))), 1, 20) AS k
+               FROM documents),
+             m AS (
+               SELECT id + 1000000000 AS id,
+                      substr(k, 1, p - 1) || c || substr(k, p + 1, 20 - p) AS k
+               FROM (SELECT id, k,
+                       (ascii(substr(md5(k || 'p'), 1, 1)) % 20) + 1 AS p,
+                       substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/',
+                              (ascii(substr(md5(k || 'c'), 1, 1)) % 64) + 1, 1) AS c
+                     FROM b WHERE id % 5 = 0)),
+             u AS (SELECT id, k FROM b UNION ALL SELECT id, k FROM m)
+             SELECT a.id AS id_a, b2.id AS id_b,
+                    CAST(levenshtein(a.k, b2.k) AS BIGINT) AS dist
+             FROM u a JOIN u b2
+               ON a.id < b2.id
+             WHERE levenshtein(a.k, b2.k) <= 4
+             ORDER BY id_a, id_b""")),
+
+    // The documented ADVERSARIAL leg of the q-gram row (VERDICT r12
+    // #2): the LOW-ENTROPY corpus profile — first-4-words keys over
+    // generated text, where gram postings collapse (100×: vocab
+    // 4 782, avgDf ≈ 3 090) and adviseDedup routes production jobs to
+    // the segment join instead. Kept deliberately DOWNSIZED (every
+    // 4th doc: candidate volume ∝ n²/vocab, so ~1/16 of the full-
+    // corpus cost that made the old gate 24 % of the 100× battery) so
+    // the battery still prices the operator's worst-case profile
+    // without letting a mismatched operating point dominate the wall.
+    Spec("q_fuzzy_match_qgram_lowent",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("k"))
         val (q, np) = ScaleOps.deriveQgramParams(docs, "k", maxDist = 4)
         ScaleOps.qgramFuzzyJoin(
             docs.select(col("doc_id").as("id_a"), col("k").as("s_a")),
@@ -403,7 +480,8 @@ object RelationalQueries {
       Some("""WITH k AS (
                SELECT doc_id,
                       array_to_string((string_split(text, ' '))[1:4], ' ') AS s
-               FROM documents)
+               FROM documents
+               WHERE doc_id % 4 = 0)
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                     CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
              FROM k a JOIN k b

@@ -506,14 +506,18 @@ object ScaleOps {
       (n * stats.avgShinglesPerDoc).toLong / math.max(stats.distinctShingles, 1L))
     val brute = if (n <= 3000L) Some(n * n / 2) else None
     task match {
-      case _ if brute.isDefined =>
-        DedupAdvice("brute_force", brute.get,
-          s"n=$n is gate-scale: the all-pairs join (${brute.get} pairs) is " +
-            "cheaper than any index build (q_fuzzy_match / q_dedup_embed_cosine shape)")
+      // exact content FIRST: the digest groupBy is O(n) — the brute
+      // all-pairs shortcut is never cheaper for plain equality, even
+      // at gate scale (it exists for the similarity tasks, whose index
+      // BUILD can cost more than n²/2 verifies on tiny corpora)
       case ExactContent =>
         DedupAdvice("exact_digest", n,
           "content equality needs one digest groupBy — shuffle carries " +
             "digests only, never text (q_dedup_exact / q_dedup_canonical)")
+      case _ if brute.isDefined =>
+        DedupAdvice("brute_force", brute.get,
+          s"n=$n is gate-scale: the all-pairs join (${brute.get} pairs) is " +
+            "cheaper than any index build (q_fuzzy_match / q_dedup_embed_cosine shape)")
       case EditDistance(d, q) =>
         val cand = n * (q.toLong * d + 1) * avgDf
         if (cand <= 64L * n)
@@ -575,7 +579,17 @@ object ScaleOps {
     * window is a deliberate, bounded choice (the same
     * small-by-construction contract as the broadcast stat tables).
     * Totals and cut rows are 1-row broadcasts; corpus rows are never
-    * globally sorted. */
+    * globally sorted.
+    *
+    * Evaluation contract (ADVICE r12): this function is EAGER — the
+    * total/cardinality aggregate runs at CALL time (one job over the
+    * grouped counts), even if the returned DataFrame is never
+    * executed, because the grid-contract check must observe the
+    * distinct-value cardinality before the plan is handed back. All
+    * in-tree callers execute the result immediately (the cut is a
+    * driver scalar), so the former lazy 1-row-crossJoin plan bought
+    * them nothing; a caller that needs laziness should compute the
+    * cumulative table itself. */
   /** Distinct-value cardinality past which [[exactQuantiles]] warns:
     * the cumulative window runs single-partition over the distinct
     * table, so a caller violating the integer-grid contract (raw

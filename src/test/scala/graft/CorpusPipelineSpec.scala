@@ -32,4 +32,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // every surviving doc yields at least one retrieval chunk
     assert(kv("chunks") >= kv("after_dedup_and_split"))
   }
+
+  test("the logged dedup advice names the operator each demo stage " +
+    "actually calls (VERDICT r12 #6)") {
+    import graft.operators.ScaleOps
+    val stats = graft.examples.CorpusPipelineDemo
+      .dedupStats(spark, "/root/testdata/sf0.001")
+    // stage 2b is DedupQueries.canonicalDigest — a digest groupBy:
+    // the advisor names it at EVERY scale
+    assert(ScaleOps.adviseDedup(stats, ScaleOps.ExactContent)
+      .operator == "exact_digest")
+    // stage 3 is the MinHash+LSH near-dup keep-set. At gate scale the
+    // honest advice is brute_force (n <= 3000: all-pairs beats any
+    // index build); at production n — same per-doc shingle profile,
+    // vocabulary held fixed (generated text: postings GROW with the
+    // corpus, the conservative low-entropy assumption) — the advisor
+    // must route to exactly the operator the stage calls.
+    val task = ScaleOps.SetSimilarity(0.5, exactRecall = false)
+    assert(ScaleOps.adviseDedup(stats, task).operator == "brute_force")
+    val atScale = stats.copy(n = 500L * 1000 * 1000)
+    assert(ScaleOps.adviseDedup(atScale, task).operator == "minhash_lsh")
+  }
 }
