@@ -1,0 +1,175 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{asDouble, cosine}
+import graft.operators.{ExtraSimilarityQueries, ScaleOps, VectorQueries}
+
+/** ANN recall-vs-latency operating curve at replica scale (VERDICT
+  * r11 #8 / r12 #8): the battery's IVF and PQ gates pin ONE
+  * oracle-replayed operating point each; this probe sweeps the two
+  * search knobs over the SAME production paths —
+  * [[ExtraSimilarityQueries.lloydTrain]]/`assignTo` for the IVF
+  * `nprobe` curve and [[VectorQueries.pqSub]]/`pqCodes`/`pqLut` for
+  * the PQ `m` curve — giving the similarity tier the measured
+  * operating-point story the dedup tier has.
+  *
+  *  - IVF: one trained codebook (`cells` Lloyd cells), corpus
+  *    assigned once; per `nprobe` the timed leg is query assign →
+  *    cell-routed cosine → native top-k. `scanned_frac` (candidates /
+  *    brute pairs) is the scale-relevant cost — at 100 TB latency is
+  *    proportional to it, while at replica scale fixed overheads
+  *    flatten the wall-clock curve.
+  *  - PQ: per `m` (subDim = dim/m) the codebook is the first-16
+  *    corpus vectors' subvectors (the gate's init convention); encode
+  *    timed separately from the ADC search (LUT join + integer sum +
+  *    top-k). Recall vs the exact-L2 brute top-k (ADC approximates
+  *    L2, so that is its honest reference; the IVF legs use cosine
+  *    like their gate).
+  *
+  * Corpus split is deterministic: replica ids < 1000 are the original
+  * sf copy — queries = every 10th of those (100 queries), corpus =
+  * ids ≥ 1000.
+  *
+  * Usage: runMain graft.examples.AnnOperatingCurve <sfDir> [cells]
+  * Emits one JSON line per operating point (tee to bench/).
+  */
+object AnnOperatingCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cells = if (args.length > 1) args(1).toInt else 64
+    val iters = 2
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def secSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 1000)
+      .select(col("vec_id"), col("embedding").as("ev"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = corpus.count()
+    val qraw = e.filter(col("vec_id") < 1000 && col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQueries = qraw.count()
+
+    def recallOf(approx: DataFrame, truth: DataFrame): Double = {
+      val m = truth.join(approx,
+          truth("query_id") === approx("qi") && truth("vec_id") === approx("vi"),
+          "left")
+        .agg(count(col("vi")).as("hit"), count(lit(1)).as("tot")).head()
+      m.getLong(0).toDouble / m.getLong(1)
+    }
+
+    // ---- brute references (cosine for IVF, exact L2 for PQ) --------
+    val tb = System.nanoTime()
+    val bruteCos = ScaleOps.topKPerKey(
+        corpus.crossJoin(broadcast(qraw.select(col("query_id"), col("qv"))))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("ev")).as("cos")),
+        Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bruteCos.count()
+    val bruteSec = secSince(tb)
+    println(s"""{"probe":"ann_curve_brute","n_corpus":$nCorpus,""" +
+      s""""n_queries":$nQueries,"k":$k,"sec":${fmt(bruteSec)}}""")
+
+    // ---- IVF nprobe sweep ------------------------------------------
+    val tTrain = System.nanoTime()
+    val init = corpus.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cent_id"), asDouble(col("ev")).as("cv"))
+    val cents = ExtraSimilarityQueries.lloydTrain(
+      corpus.select(col("vec_id"), col("ev")), init, iters)
+    val trainSec = secSince(tTrain)
+    val tAssign = System.nanoTime()
+    val corpusAssigned = ExtraSimilarityQueries.assignTo(cents)(
+        corpus.select(col("vec_id"), col("ev")), "vec_id", "ev")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusAssigned.count()
+    val assignSec = secSince(tAssign)
+    println(s"""{"probe":"ivf_build","cells":$cells,"iters":$iters,""" +
+      s""""train_sec":${fmt(trainSec)},"assign_sec":${fmt(assignSec)}}""")
+
+    for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+      val queries = ExtraSimilarityQueries.assignTo(cents, keepN = nprobe)(
+          qraw.select(col("query_id"), col("qv")), "query_id", "qv")
+        .withColumnRenamed("cent_id", "q_cent")
+      val routed = queries.join(corpusAssigned,
+          col("q_cent") === col("cent_id"))
+      val t0 = System.nanoTime()
+      val ivf = ScaleOps.topKPerKey(
+          routed.select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("ev")).as("cos")),
+          Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), k)
+        .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ivf.count()
+      val searchSec = secSince(t0)
+      val candidates = routed.count()
+      val recall = recallOf(ivf, bruteCos)
+      ivf.unpersist()
+      println(s"""{"probe":"ivf_curve","cells":$cells,"nprobe":$nprobe,""" +
+        s""""search_sec":${fmt(searchSec)},"recall":${fmt(recall)},""" +
+        s""""candidates":$candidates,""" +
+        s""""scanned_frac":${fmt(candidates.toDouble / (nCorpus * nQueries))}}""")
+    }
+
+    // ---- PQ m sweep -------------------------------------------------
+    val dim = 64
+    val ks = 16
+    val bruteL2 = ScaleOps.topKPerKey(
+        corpus.crossJoin(broadcast(qraw.select(col("query_id"), col("qv"))))
+          .select(col("query_id"), col("vec_id"),
+            VectorQueries.pqSqd(asDouble(col("qv")), asDouble(col("ev")))
+              .as("d2")),
+        Seq(col("query_id")), Seq(col("d2"), col("vec_id")), k)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bruteL2.count()
+    val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
+      .select(col("vec_id").as("cb_id"))
+    for (m <- Seq(2, 4, 8, 16)) {
+      val subDim = dim / m
+      val corpusSub = VectorQueries.pqSub(
+        corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+      val cb = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
+        .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val tEnc = System.nanoTime()
+      val codes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val encodeSec = secSince(tEnc)
+      val lut = VectorQueries.pqLut(
+        VectorQueries.pqSub(qraw.select(col("query_id").as("vec_id"),
+          col("embedding")), "query_id", m, subDim), cb, "query_id")
+      val t0 = System.nanoTime()
+      val pqTop = ScaleOps.topKPerKey(
+          codes.join(broadcast(lut), Seq("m", "code"))
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(sum(col("pd")).as("adc")),
+          Seq(col("query_id")), Seq(col("adc"), col("vec_id")), k)
+        .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pqTop.count()
+      val searchSec = secSince(t0)
+      val recall = recallOf(pqTop, bruteL2)
+      pqTop.unpersist(); codes.unpersist()
+      println(s"""{"probe":"pq_curve","m":$m,"sub_dim":$subDim,"ks":$ks,""" +
+        s""""encode_sec":${fmt(encodeSec)},"search_sec":${fmt(searchSec)},""" +
+        s""""recall":${fmt(recall)},""" +
+        s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")
+    }
+    spark.stop()
+  }
+}

@@ -94,14 +94,31 @@ object StreamScaleProbe {
         .map(_.memoryUsedBytes).sum
 
     // event-time-ordered backlog: range-partition on ets so file k
-    // holds the k-th slice of event time, and arrival order (the file
-    // source reads in path order here) approximates the live stream
-    // the state-bound argument assumes
+    // holds the k-th slice of event time, then re-stamp file mtimes in
+    // path order — FileStreamSource orders discovered files by
+    // MODIFICATION TIME, and a parallel parquet write lands all parts
+    // within the same few ms, so without the re-stamp arrival order is
+    // an mtime-tie coin flip and the ADVICE r12 late-drop confound
+    // returns through the back door. With both, arrival approximates
+    // the live stream the state-bound argument assumes.
+    var mtimeBase = System.currentTimeMillis() - 7200L * 1000
     def writeBacklog(rows: DataFrame, files: Int, dir: String,
-                     mode: String): Unit =
+                     mode: String): Unit = {
       rows.repartitionByRange(math.max(files, 1), col("ets"))
         .sortWithinPartitions("ets")
         .write.mode(mode).parquet(dir)
+      // stamp only the files THIS call wrote (append mode interleaves
+      // job UUIDs in the names, so a name sort across jobs would not
+      // be arrival order): fresh parts carry ~now mtimes, everything
+      // already stamped sits 2 h in the past
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.lastModified > cutoff)
+        .sortBy(_.getName)
+      parts.foreach { f =>
+        f.setLastModified(mtimeBase); mtimeBase += 2000L
+      }
+    }
 
     def startCurate(inDir: String, tag: String, delay: String) =
       ComposedPipeline.startCurate(spark, schema, inDir,
@@ -131,9 +148,16 @@ object StreamScaleProbe {
       val tag = "restart"
       Files.createDirectories(Paths.get(path(tag)))
       val halfFiles = math.max(nFiles / 2, 1)
-      val half = docs.filter(col("doc_id") % 2 === 0)
-      val rest = docs.filter(col("doc_id") % 2 === 1)
-      val dups = docs.filter(col("doc_id") % 20 === 0) // pre-restart dups
+      // split on BLOCK parity, not doc_id parity: `source` derives
+      // from doc_id mod the source count, so a doc_id%2 split gives
+      // each half a DISJOINT source set and the counter-recovery
+      // check below could never observe a recovered count advancing
+      // (the first probe run hit exactly that — every post-restart
+      // source legitimately started from zero)
+      val blockPar = pmod(floor(col("doc_id") / 32), lit(2))
+      val half = docs.filter(blockPar === 0)
+      val rest = docs.filter(blockPar === 1)
+      val dups = half.filter(col("doc_id") % 10 === 0) // pre-restart dups
       writeBacklog(half, halfFiles, path(tag, "in"), "append")
       val qa = startCurate(path(tag, "in"), tag, "1000 days")
       try qa.processAllAvailable() finally qa.stop()
@@ -141,11 +165,20 @@ object StreamScaleProbe {
         path(tag, "gold_a"), path(tag, "cp2"))
       try q2a.processAllAvailable() finally q2a.stop()
       val silverBefore = spark.read.parquet(path(tag, "silver")).count()
-      val goldBeforeMax = spark.read.parquet(path(tag, "gold_a"))
-        .agg(coalesce(max(col("n_total")), lit(0L))).head().getLong(0)
+      // per-source pre-kill frontier (the latest row per source)
+      def frontier(goldDir: String): Map[String, Long] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("batch_id").desc)
+        spark.read.parquet(goldDir)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("source"), col("n_total")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val frontBefore = frontier(path(tag, "gold_a"))
 
       writeBacklog(rest, halfFiles, path(tag, "in"), "append")
-      dups.repartition(2).write.mode("append").parquet(path(tag, "in"))
+      writeBacklog(dups, 2, path(tag, "in"), "append")
       val t0 = System.nanoTime()
       val qb = startCurate(path(tag, "in"), tag, "1000 days")
       // time-to-first-batch = checkpoint + state reload cost
@@ -168,10 +201,18 @@ object StreamScaleProbe {
       val expectedNew = rest.select(col("text")).distinct()
         .join(half.select(col("text")).distinct(), Seq("text"), "left_anti")
         .count()
-      // Q2's recovered counter frontier must build on the pre-kill
-      // totals (monotone counts), not restart from zero
-      val goldAfterMax = spark.read.parquet(path(tag, "gold_b"))
-        .agg(coalesce(max(col("n_total")), lit(0L))).head().getLong(0)
+      // Q2's recovered counters must have counted EVERY silver row
+      // exactly once across both runs: final frontier per source
+      // (gold_b, falling back to gold_a for sources untouched after
+      // the restart) == total silver rows per source. A reset state
+      // store would leave post-restart totals counting only new rows.
+      val frontAfter = frontier(path(tag, "gold_b"))
+      val silverPerSource = spark.read.parquet(path(tag, "silver"))
+        .groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counterRecovered = silverPerSource.forall { case (src, total) =>
+        frontAfter.getOrElse(src, frontBefore.getOrElse(src, 0L)) == total
+      }
       jline("probe" -> "restart_recovery",
         "queued_rows" -> (rest.count() + dups.count()),
         "first_batch_sec" -> firstBatchSec, "drain_sec" -> totalSec,
@@ -179,9 +220,12 @@ object StreamScaleProbe {
         "expected_new_rows" -> expectedNew,
         "dups_suppressed_by_recovered_state" ->
           (silverAfter - silverBefore == expectedNew),
-        "gold_total_before_kill" -> goldBeforeMax,
-        "gold_total_after_restart" -> goldAfterMax,
-        "counter_state_recovered" -> (goldAfterMax > goldBeforeMax),
+        "gold_sources_before" -> frontBefore.size,
+        "gold_total_before_kill" -> frontBefore.values.sum,
+        "gold_total_after_restart" ->
+          silverPerSource.keys.toSeq.map(s =>
+            frontAfter.getOrElse(s, frontBefore.getOrElse(s, 0L))).sum,
+        "counter_state_recovered" -> counterRecovered,
         "state_rows" -> stateRows(qb), "state_bytes" -> stateBytes(qb))
     }
     spark.stop()

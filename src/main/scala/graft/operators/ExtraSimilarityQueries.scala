@@ -36,8 +36,8 @@ object ExtraSimilarityQueries {
     * `keepN > 1` keeps the N nearest cells per row (one output row per
     * cell) — the IVF `nprobe` search knob: probing more cells trades
     * candidate volume for recall, the corpus side always keeps 1. */
-  private def assignTo(cents: org.apache.spark.sql.DataFrame,
-                       keepN: Int = 1)(
+  private[graft] def assignTo(cents: org.apache.spark.sql.DataFrame,
+                              keepN: Int = 1)(
       df: org.apache.spark.sql.DataFrame, idCol: String,
       vCol: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col(idCol))
@@ -57,12 +57,24 @@ object ExtraSimilarityQueries {
     * pair of tiny aggregations; an emptied cell keeps its previous
     * centroid. Returns (cent_id, cv: array<double>). */
   private def lloydCentroids(e: org.apache.spark.sql.DataFrame,
-                             iters: Int): org.apache.spark.sql.DataFrame = {
-    val corpus = e.filter(col("vec_id") >= 20)
-      .select(col("vec_id"), col("embedding").as("ev"))
-    var cents = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cent_id"),
-        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+                             iters: Int): org.apache.spark.sql.DataFrame =
+    lloydTrain(
+      e.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding").as("ev")),
+      e.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cent_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv")),
+      iters)
+
+  /** The parameterized trainer behind [[lloydCentroids]] — exposed
+    * (private[graft]) so the ANN operating-curve probe
+    * ([[graft.examples.AnnOperatingCurve]]) sweeps cell counts over
+    * the SAME production training path the gate exercises.
+    * `corpus` = (vec_id, ev), `init` = (cent_id, cv double[]). */
+  private[graft] def lloydTrain(corpus: org.apache.spark.sql.DataFrame,
+                                init: org.apache.spark.sql.DataFrame,
+                                iters: Int): org.apache.spark.sql.DataFrame = {
+    var cents = init
     for (_ <- 0 until iters) {
       val means = assignTo(cents)(corpus, "vec_id", "ev")
         .select(col("cent_id"),
@@ -79,7 +91,7 @@ object ExtraSimilarityQueries {
     // k-means pattern — centers ARE driver state: nCells × dim doubles,
     // KBs). Without this, every consumer branch (corpus assign, query
     // assign, recall legs) re-executes the whole Lloyd lineage.
-    val spark = e.sparkSession
+    val spark = corpus.sparkSession
     import spark.implicits._
     cents.select(col("cent_id"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))

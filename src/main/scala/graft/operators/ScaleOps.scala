@@ -499,6 +499,32 @@ object ScaleOps {
     * (first-char × band) cannot bound because its candidate count
     * grows with the worst block's occupancy squared (the r10 lesson
     * that made blockedFuzzyJoin `weak`). */
+  /** Qgram-vs-segment crossover for the EditDistance branch, in
+    * predicted CANDIDATES PER ROW — calibrated from BOTH sides at the
+    * same ~5e5-row scale in one r13 session (48 g, single-box quiet;
+    * `bench/entropy_h2h_r13.jsonl` + `bench/fuzzy_remeasure_100x_r13
+    * .jsonl`):
+    *
+    *  - gram-DIVERSE corpus (base64 keys, avgDf 1, 17 cand/row):
+    *    qgram 19.2 s vs segment 52.5 s — qgram wins 2.7×;
+    *  - LOW-ENTROPY corpus (first-4-words keys, avgDf 3 090,
+    *    52 530 cand/row): qgram 967.1 s vs segment 430.9 s — segment
+    *    wins 2.2× (identical 5 448 501 matches on both, exactness
+    *    cross-checked).
+    *
+    * Under a linear-in-avgDf cost model for both operators (qgram's
+    * verify volume IS n·(qd+1)·avgDf; segment's verify volume grows
+    * with key-collision counts, measured at the same two points), the
+    * equal-cost point sits at avgDf ≈ 181, i.e. ≈ 3 000 candidates
+    * per row at the derived (q = 4, d = 4). The model between the
+    * two points is an interpolation — but the SIGN on each side is
+    * measured, so any budget inside [17, 52 530] routes both measured
+    * profiles to their winners; 3 000 is the interpolated midpoint,
+    * replacing the unvalidated 64 the advisor shipped with
+    * (VERDICT r12 #1). ScaleOpsSpec feeds both measured stat rows
+    * through the advisor and pins the measured winners. */
+  val EdJoinCandidateBudgetPerRow: Long = 3000L
+
   def adviseDedup(stats: DedupCorpusStats, task: DedupTask): DedupAdvice = {
     require(stats.n >= 0 && stats.distinctShingles >= 0)
     val n = stats.n
@@ -520,7 +546,7 @@ object ScaleOps {
             "cheaper than any index build (q_fuzzy_match / q_dedup_embed_cosine shape)")
       case EditDistance(d, q) =>
         val cand = n * (q.toLong * d + 1) * avgDf
-        if (cand <= 64L * n)
+        if (cand <= EdJoinCandidateBudgetPerRow * n)
           DedupAdvice("qgram_edit_join", cand,
             s"guaranteed recall at ed<=$d: candidates = n x (q*d+1) prefix " +
               s"grams x avgDf=$avgDf postings (q_fuzzy_match_qgram); the fixed " +
@@ -531,13 +557,13 @@ object ScaleOps {
         else
           // low-entropy corpus: gram postings are long (avgDf high), so
           // the gram prefix filter stops filtering — exact-substring
-          // segment keys survive a small alphabet. The 100× replica
-          // measured the crossover: qgram 747 s vs segment 333 s at
-          // avgDf 3090 (bench_r11_fuzzy_100x / bench_r11_segment_100x).
+          // segment keys survive a small alphabet. Crossover measured
+          // from BOTH sides; see [[EdJoinCandidateBudgetPerRow]].
           DedupAdvice("segment_edit_join", n * (2L * d + 1L) * (d + 1L),
             s"guaranteed recall at ed<=$d with gram postings too long to " +
-              s"filter (avgDf=$avgDf puts qgram candidates at $cand > 64n): " +
-              s"disjoint-segment pigeonholing keys on exact len/(d+1)-char " +
+              s"filter (avgDf=$avgDf puts qgram candidates at $cand > " +
+              s"${EdJoinCandidateBudgetPerRow}n): disjoint-segment " +
+              "pigeonholing keys on exact len/(d+1)-char " +
               "substrings; probe volume is n x (2d+1)(d+1) windowed " +
               "substrings and candidates scale with segment-key rarity " +
               "(q_fuzzy_match_segment)")

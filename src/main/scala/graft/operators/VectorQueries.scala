@@ -16,6 +16,47 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
   import Q._
 
+  /** Parameterized PQ building blocks, shared by the `q_ann_pq_recall`
+    * gate (m = 8, subDim = 8 — the oracle-replayed operating point)
+    * and the ANN operating-curve probe
+    * ([[graft.examples.AnnOperatingCurve]]), which sweeps `m` over the
+    * SAME production path instead of a private copy. */
+  private[graft] def pqSqd(a: org.apache.spark.sql.Column,
+                           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = graft.functions.VectorFunctions.dot _
+    d(a, a) - lit(2) * d(a, b) + d(b, b)
+  }
+
+  /** Subvector explode: (idAs, m, sv) — `m` subspaces of `subDim`
+    * dims each over the `embedding` column. */
+  private[graft] def pqSub(df: org.apache.spark.sql.DataFrame, idAs: String,
+                           m: Int, subDim: Int): org.apache.spark.sql.DataFrame =
+    df.select(col("vec_id").as(idAs), expr(
+      s"""inline(transform(sequence(0, ${m - 1}), mi -> named_struct(
+           'm', CAST(mi AS BIGINT),
+           'sv', slice(CAST(embedding AS ARRAY<DOUBLE>), mi*$subDim+1, $subDim))))"""))
+
+  /** Code assignment: arg-min sub-centroid per (id, m) as a PARTIAL
+    * aggregate (min over a (dist, code) struct — state never leaves
+    * the mapper). `cb` = (cb_m, code, cv). */
+  private[graft] def pqCodes(sub: org.apache.spark.sql.DataFrame,
+                             cb: org.apache.spark.sql.DataFrame,
+                             idCol: String): org.apache.spark.sql.DataFrame =
+    sub.join(broadcast(cb), col("m") === col("cb_m"))
+      .withColumn("__d", pqSqd(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("__d").as("d"), col("code").as("c"))).as("mn"))
+      .select(col(idCol), col("m"), col("mn.c").as("code"))
+
+  /** Per-query ADC lookup table: floor-scaled integer-micros partial
+    * squared distances per (id, m, code) — order-free exact sums. */
+  private[graft] def pqLut(sub: org.apache.spark.sql.DataFrame,
+                           cb: org.apache.spark.sql.DataFrame,
+                           idCol: String): org.apache.spark.sql.DataFrame =
+    sub.join(broadcast(cb), col("m") === col("cb_m"))
+      .select(col(idCol), col("m"), col("code"),
+        floor(pqSqd(col("sv"), col("cv")) * 1000000).cast("long").as("pd"))
+
   val specs: Seq[Spec] = Seq(
 
     // Per-label mean embedding (the k-means "update centroids" step /
@@ -181,28 +222,15 @@ object VectorQueries {
     Spec("q_ann_pq_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        def subs(df: org.apache.spark.sql.DataFrame, idAs: String) =
-          df.select(col("vec_id").as(idAs), expr(
-            """inline(transform(sequence(0, 7), mi -> named_struct(
-                 'm', CAST(mi AS BIGINT),
-                 'sv', slice(CAST(embedding AS ARRAY<DOUBLE>), mi*8+1, 8))))"""))
-        val d = graft.functions.VectorFunctions.dot _
         def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          d(a, a) - lit(2) * d(a, b) + d(b, b)
-        val corpusSub = subs(e.filter(col("vec_id") >= 20), "vec_id")
+          pqSqd(a, b)
+        val corpusSub = pqSub(e.filter(col("vec_id") >= 20), "vec_id", 8, 8)
         val cb = corpusSub.filter(col("vec_id") < 36)
           .select(col("m").as("cb_m"), col("vec_id").as("code"),
             col("sv").as("cv"))
-        val codes = corpusSub
-          .join(broadcast(cb), col("m") === col("cb_m"))
-          .withColumn("__d", sqd(col("sv"), col("cv")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("__d").as("d"), col("code").as("c"))).as("mn"))
-          .select(col("vec_id"), col("m"), col("mn.c").as("code"))
-        val lut = subs(e.filter(col("vec_id") < 20), "query_id")
-          .join(broadcast(cb), col("m") === col("cb_m"))
-          .select(col("query_id"), col("m"), col("code"),
-            floor(sqd(col("sv"), col("cv")) * 1000000).cast("long").as("pd"))
+        val codes = pqCodes(corpusSub, cb, "vec_id")
+        val lut = pqLut(
+          pqSub(e.filter(col("vec_id") < 20), "query_id", 8, 8), cb, "query_id")
         val adc = codes.join(broadcast(lut), Seq("m", "code"))
           .groupBy(col("query_id"), col("vec_id"))
           .agg(sum(col("pd")).as("adc"))

@@ -361,6 +361,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(edLow.operator == "segment_edit_join")
     assert(edLow.predictedCandidates == big.n * 9L * 5L)
     assert(edLow.rationale.contains("q_fuzzy_match_segment"))
+    // the TWO MEASURED corpus profiles (r13 head-to-heads, both sides
+    // of the crossover — bench/entropy_h2h_r13.jsonl +
+    // bench/fuzzy_remeasure_100x_r13.jsonl): the advisor must route
+    // each to its measured winner
+    val measuredDiverse = DedupCorpusStats( // base64 keys: qgram 19.2 s < segment 52.5 s
+      n = 520000L, avgShinglesPerDoc = 17.0,
+      distinctShingles = 6708991L, worstBlockOccupancy = 8200L)
+    val advDiverse = adviseDedup(measuredDiverse, EditDistance(maxDist = 4, q = 4))
+    assert(advDiverse.operator == "qgram_edit_join")
+    val measuredLowEntropy = DedupCorpusStats( // first-4-words keys: segment 430.9 s < qgram 967.1 s
+      n = 500000L, avgShinglesPerDoc = 29.5602,
+      distinctShingles = 4782L, worstBlockOccupancy = 97000L)
+    val advLow = adviseDedup(measuredLowEntropy, EditDistance(maxDist = 4, q = 4))
+    assert(advLow.operator == "segment_edit_join")
     // set similarity with exact recall: PPJoin regardless of volume
     val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
     assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = true))
