@@ -127,7 +127,6 @@ object AnnOperatingCurve {
 
     // ---- PQ m sweep -------------------------------------------------
     val dim = 64
-    val ks = 16
     val bruteL2 = ScaleOps.topKPerKey(
         corpus.crossJoin(broadcast(qraw.select(col("query_id"), col("qv"))))
           .select(col("query_id"), col("vec_id"),
@@ -137,10 +136,17 @@ object AnnOperatingCurve {
       .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bruteL2.count()
-    val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
-      .select(col("vec_id").as("cb_id"))
-    for (m <- Seq(2, 4, 8, 16)) {
+    // sweep BOTH PQ knobs over the same production path: subspace
+    // count m at the gate's ks = 16, then codebook size ks at the
+    // gate's m = 8 (the knob the m-sweep's knee points at — recall
+    // saturates in m once 16 codes can tile the subspace, so the
+    // remaining headroom is codes-per-subspace). Codebooks stay the
+    // gate's sampling convention (first-ks corpus subvectors).
+    for ((m, ks) <- Seq((2, 16), (4, 16), (8, 16), (16, 16),
+                        (8, 64), (8, 256))) {
       val subDim = dim / m
+      val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
+        .select(col("vec_id").as("cb_id"))
       val corpusSub = VectorQueries.pqSub(
         corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
       val cb = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
@@ -168,6 +174,54 @@ object AnnOperatingCurve {
       println(s"""{"probe":"pq_curve","m":$m,"sub_dim":$subDim,"ks":$ks,""" +
         s""""encode_sec":${fmt(encodeSec)},"search_sec":${fmt(searchSec)},""" +
         s""""recall":${fmt(recall)},""" +
+        s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")
+    }
+
+    // ---- composed IVF+PQ (the q_ann_ivfpq_recall production shape) --
+    // ADC scoring INSIDE the probed cells: candidate volume from the
+    // IVF tier, bytes-per-candidate from the PQ tier. Recall vs the
+    // exact-L2 brute reference prices BOTH approximations at once —
+    // the number the gate row pins at oracle scale, measured here at
+    // replica scale across the nprobe x ks grid.
+    for ((nprobe, ks) <- Seq((1, 256), (4, 256), (16, 256), (16, 16))) {
+      val m = 8; val subDim = dim / m
+      val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
+        .select(col("vec_id").as("cb_id"))
+      val corpusSub = VectorQueries.pqSub(
+        corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+      val cb = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
+        .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val codes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val lut = VectorQueries.pqLut(
+        VectorQueries.pqSub(qraw.select(col("query_id").as("vec_id"),
+          col("embedding")), "query_id", m, subDim), cb, "query_id")
+      val queries = ExtraSimilarityQueries.assignTo(cents, keepN = nprobe)(
+          qraw.select(col("query_id"), col("qv")), "query_id", "qv")
+        .withColumnRenamed("cent_id", "q_cent")
+      val candidates = queries.select(col("query_id"), col("q_cent"))
+        .join(corpusAssigned.select(col("vec_id"), col("cent_id")),
+          col("q_cent") === col("cent_id"))
+        .select(col("query_id"), col("vec_id"))
+      val t0 = System.nanoTime()
+      val top = ScaleOps.topKPerKey(
+          candidates.join(codes, Seq("vec_id"))
+            .join(broadcast(lut), Seq("query_id", "m", "code"))
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(sum(col("pd")).as("adc")),
+          Seq(col("query_id")), Seq(col("adc"), col("vec_id")), k)
+        .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      top.count()
+      val searchSec = secSince(t0)
+      val nCand = candidates.count()
+      val recall = recallOf(top, bruteL2)
+      top.unpersist(); codes.unpersist()
+      println(s"""{"probe":"ivfpq_curve","cells":$cells,"nprobe":$nprobe,""" +
+        s""""m":$m,"ks":$ks,"search_sec":${fmt(searchSec)},""" +
+        s""""recall":${fmt(recall)},"candidates":$nCand,""" +
+        s""""scanned_frac":${fmt(nCand.toDouble / (nCorpus * nQueries))},""" +
         s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")
     }
     spark.stop()

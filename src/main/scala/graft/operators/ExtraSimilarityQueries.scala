@@ -256,6 +256,146 @@ object ExtraSimilarityQueries {
                ON b.query_id = i.query_id AND b.vec_id = i.vec_id
              GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // The COMPOSED production ANN shape — IVF cell routing to bound
+    // the candidate set, then PQ asymmetric-distance (ADC) scoring
+    // INSIDE the probed cells instead of full-precision vectors. At
+    // 100 TB this is the only tier that scales on both axes at once:
+    // IVF cuts candidates to ~nprobe/C of the corpus (measured 1.6 %
+    // at nprobe 1, `bench/ann_curve_10x_r13.jsonl`) and PQ cuts the
+    // bytes TOUCHED per candidate 32x (8-byte codes vs 256-byte raw
+    // vectors), so scan cost drops on volume x width. Recall is
+    // audited against the exact-L2 brute top-k (ADC approximates L2),
+    // so the row prices the composed approximation: cell-pruning
+    // misses AND quantization misses land in the same recall number.
+    // Every stage reuses an oracle-proven production path: the trained
+    // Lloyd codebook + nprobe assignment of q_ann_ivf_recall, the
+    // pqSub/pqCodes/pqLut blocks of q_ann_pq_recall.
+    Spec("q_ann_ivfpq_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // IVF tier: trained cells; each query probes NProbe cells
+        val cents = lloydCentroids(e, LloydIters)
+        val corpusCells = assignTo(cents)(
+          e.filter(col("vec_id") >= 20)
+            .select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
+          .select(col("vec_id"), col("cent_id"))
+        val qraw = e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val queries = assignTo(cents, keepN = NProbe)(qraw, "query_id", "qv")
+          .withColumnRenamed("cent_id", "q_cent")
+        // PQ tier: the q_ann_pq_recall codebook/codes over the same corpus
+        val corpusSub = VectorQueries.pqSub(
+          e.filter(col("vec_id") >= 20), "vec_id", 8, 8)
+        val cb = corpusSub.filter(col("vec_id") < 36)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        val codes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
+        val lut = VectorQueries.pqLut(
+          VectorQueries.pqSub(
+            e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+              .select(col("vec_id"), col("embedding")), "query_id", 8, 8),
+          cb, "query_id")
+        // composed search: ADC summed ONLY over (query, candidate)
+        // pairs the probed cells admit — the LUT is per-query tiny
+        // (queries x m x ks rows), broadcast; candidate volume is the
+        // IVF-pruned set, never the corpus
+        val candidates = queries.select(col("query_id"), col("q_cent"))
+          .join(corpusCells, col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("vec_id"))
+        val adc = candidates.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+        val ivfpq = ScaleOps.topKPerKey(adc,
+            Seq(col("query_id")), Seq(col("adc"), col("vec_id")), K)
+          .select(col("query_id").as("query_id_p"), col("vec_id").as("vec_id_p"))
+        // exact-L2 brute reference over the FULL corpus
+        val qd = qraw.select(col("query_id"), asDouble(col("qv")).as("qdv"))
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), asDouble(col("embedding")).as("cdv"))
+        val brute = ScaleOps.topKPerKey(
+            craw.crossJoin(broadcast(qd))
+              .select(col("query_id"), col("vec_id"),
+                VectorQueries.pqSqd(col("qdv"), col("cdv")).as("d2")),
+            Seq(col("query_id")), Seq(col("d2"), col("vec_id")), K)
+          .select(col("query_id"), col("vec_id"))
+        brute.join(ivfpq,
+            col("query_id") === col("query_id_p") &&
+              col("vec_id") === col("vec_id_p"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_p")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             a1 AS (${assignSql("c0", "vid", "e.vec_id >= 20")}),
+             c1 AS (${meansSql("a1", "c0")}),
+             a2 AS (${assignSql("c1", "vid", "e.vec_id >= 20")}),
+             c2 AS (${meansSql("a2", "c1")}),
+             corpus AS (${assignSql("c2", "vec_id", "e.vec_id >= 20")}),
+             queries AS (
+               SELECT vid AS query_id, cent_id AS q_cent FROM (
+                 ${assignSql("c2", "vid",
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13",
+                   maxRank = NProbe)}) z),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                    WHERE vec_id >= 20 AND vec_id < 36),
+             codes AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv), cb.code) AS rn
+                 FROM sub s JOIN cb ON s.m = cb.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             lut AS (
+               SELECT s.vec_id AS query_id, s.m, cb.code,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                        AS BIGINT) AS pd
+               FROM sub s JOIN cb ON s.m = cb.m
+               WHERE s.vec_id >= $NCentroids AND s.vec_id < 13),
+             cand AS (SELECT q.query_id, c.vec_id
+                      FROM queries q JOIN corpus c ON q.q_cent = c.cent_id),
+             adc AS (
+               SELECT l.query_id, cd.vec_id, sum(l.pd) AS adc
+               FROM cand x
+               JOIN codes cd ON x.vec_id = cd.vec_id
+               JOIN lut l ON l.query_id = x.query_id
+                 AND cd.m = l.m AND cd.code = l.code
+               GROUP BY l.query_id, cd.vec_id),
+             pq AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+                 FROM adc) y WHERE rn <= $K),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER (
+                     PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(c.v, c.v)
+                         - 2 * list_dot_product(q.v, c.v)
+                         + list_dot_product(q.v, q.v), c.vec_id) AS rn
+                 FROM e q CROSS JOIN e c
+                 WHERE q.vec_id >= $NCentroids AND q.vec_id < 13
+                   AND c.vec_id >= 20) z2 WHERE rn <= $K)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(p.vec_id) AS n_recovered,
+                    round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 4)
+                      AS recall
+             FROM brute b LEFT JOIN pq p
+               ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id""")),
+
     // Recall audit for the approximate path: per query, how many of the
     // exact top-k the hyperplane-LSH bucket search recovered. The
     // operational metric for tuning bits-vs-recall at scale.

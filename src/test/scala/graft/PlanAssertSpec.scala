@@ -252,6 +252,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_recall",         // contains the brute leg
       "q_ann_ivf_recall",     // brute leg + 8-row codebook crossJoins
       "q_ann_pq_recall",      // exact-L2 brute leg: 20-row query broadcast
+      "q_ann_ivfpq_recall",   // brute leg + 8-row codebook crossJoins
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_dedup_embed_blocked", // same 8-row codebook crossJoin (pairs leg)
