@@ -177,6 +177,48 @@ object AnnOperatingCurve {
         s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")
     }
 
+    // ---- trained sub-codebooks (the q_ann_pq_trained_recall path) ---
+    // Per-subspace Lloyd from the same sampled init: the estimator the
+    // ks sweep points at (sampling saturates at +0.4 pts for 16x more
+    // codes; training changes the estimator, not the sample size).
+    for ((m, ks, iters) <- Seq((8, 16, 2), (8, 64, 2), (8, 256, 2))) {
+      val subDim = dim / m
+      val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
+        .select(col("vec_id").as("cb_id"))
+      val corpusSub = VectorQueries.pqSub(
+        corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+      val cb0 = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
+        .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val tTr = System.nanoTime()
+      val cbT = VectorQueries.pqTrain(corpusSub, cb0, iters)
+      val trainSecPq = secSince(tTr)
+      val tEnc = System.nanoTime()
+      val codes = VectorQueries.pqCodes(corpusSub, cbT, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val encodeSec = secSince(tEnc)
+      val lut = VectorQueries.pqLut(
+        VectorQueries.pqSub(qraw.select(col("query_id").as("vec_id"),
+          col("embedding")), "query_id", m, subDim), cbT, "query_id")
+      val t0 = System.nanoTime()
+      val pqTop = ScaleOps.topKPerKey(
+          codes.join(broadcast(lut), Seq("m", "code"))
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(sum(col("pd")).as("adc")),
+          Seq(col("query_id")), Seq(col("adc"), col("vec_id")), k)
+        .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pqTop.count()
+      val searchSec = secSince(t0)
+      val recall = recallOf(pqTop, bruteL2)
+      pqTop.unpersist(); codes.unpersist()
+      println(s"""{"probe":"pq_trained_curve","m":$m,"sub_dim":$subDim,""" +
+        s""""ks":$ks,"iters":$iters,"train_sec":${fmt(trainSecPq)},""" +
+        s""""encode_sec":${fmt(encodeSec)},"search_sec":${fmt(searchSec)},""" +
+        s""""recall":${fmt(recall)},""" +
+        s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")
+    }
+
     // ---- composed IVF+PQ (the q_ann_ivfpq_recall production shape) --
     // ADC scoring INSIDE the probed cells: candidate volume from the
     // IVF tier, bytes-per-candidate from the PQ tier. Recall vs the

@@ -57,6 +57,48 @@ object VectorQueries {
       .select(col(idCol), col("m"), col("code"),
         floor(pqSqd(col("sv"), col("cv")) * 1000000).cast("long").as("pd"))
 
+  /** Per-subspace Lloyd refinement of a PQ codebook — the TRAINED
+    * alternative to the sampled first-ks convention, after the r13
+    * ks sweep showed sampling saturates (16→256 codes bought +0.4 pts
+    * recall at 10×, `bench/ann_curve_10x_r13.jsonl`): assign every
+    * corpus subvector to its nearest sub-centroid (the same arg-min
+    * [[pqCodes]] the encoder runs), recompute each (m, code)
+    * sub-centroid as the element-wise mean of its cell; emptied codes
+    * keep their previous centroid. Cost shape at 100 TB matches the
+    * IVF trainer: per iteration one broadcast-assign pass over the
+    * subvectors plus an (m, code, pos)-keyed mean whose output is
+    * m × ks × subDim values — never corpus-sized. The result is
+    * driver-materialized (KBs) like [[ExtraSimilarityQueries]]'
+    * Lloyd codebook so consumer branches don't re-run the lineage.
+    * `cb0` = (cb_m, code, cv double[]). */
+  private[graft] def pqTrain(corpusSub: org.apache.spark.sql.DataFrame,
+                             cb0: org.apache.spark.sql.DataFrame,
+                             iters: Int): org.apache.spark.sql.DataFrame = {
+    var cb = cb0
+    for (_ <- 0 until iters) {
+      val assigned = pqCodes(corpusSub, cb, "vec_id")
+      val means = assigned.join(corpusSub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(avg(col("val")).as("v"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cv_new"))
+        .select(col("m").as("mm_m"), col("code").as("mm_code"), col("cv_new"))
+      cb = cb.join(means,
+          col("cb_m") === col("mm_m") && col("code") === col("mm_code"),
+          "left")
+        .select(col("cb_m"), col("code"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    val spark = corpusSub.sparkSession
+    import spark.implicits._
+    cb.select(col("cb_m"), col("code"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq.toDF("cb_m", "code", "cv")
+  }
+
   val specs: Seq[Spec] = Seq(
 
     // Per-label mean embedding (the k-means "update centroids" step /
@@ -283,6 +325,145 @@ object VectorQueries {
                           + list_dot_product(cb.cv, cb.cv)) * 1000000)
                         AS BIGINT) AS pd
                FROM sub s JOIN cb ON s.m = cb.m
+               WHERE s.vec_id < 20),
+             adc AS (
+               SELECT l.query_id, c.vec_id, sum(l.pd) AS adc
+               FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+               GROUP BY l.query_id, c.vec_id),
+             pq AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+                 FROM adc) y WHERE rn <= 5),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER (
+                     PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(c.v, c.v)
+                         - 2 * list_dot_product(q.v, c.v)
+                         + list_dot_product(q.v, q.v), c.vec_id) AS rn
+                 FROM e q CROSS JOIN e c
+                 WHERE q.vec_id < 20 AND c.vec_id >= 20) z WHERE rn <= 5)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(p.vec_id) AS n_recovered,
+                    round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 4)
+                      AS recall
+             FROM brute b LEFT JOIN pq p
+               ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id""")),
+
+    // TRAINED-codebook PQ recall audit: identical search to
+    // q_ann_pq_recall but the codebook is refined by two per-subspace
+    // Lloyd iterations ([[pqTrain]]) from the same sampled init — the
+    // estimator the r13 ks sweep identified as the real next knob
+    // (sampling saturated: 16→256 codes bought +0.4 pts). The oracle
+    // replays BOTH training iterations as unrolled CTEs (assign with
+    // the arg-min the encoder runs, element-wise mean per (m, code),
+    // emptied codes keep their previous centroid — the IVF oracle's
+    // a1/c1/a2/c2 pattern keyed by (m, code) instead of cent_id), so
+    // the trained codebook itself is gate-checked, not just the
+    // search over it.
+    Spec("q_ann_pq_trained_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val corpusSub = pqSub(e.filter(col("vec_id") >= 20), "vec_id", 8, 8)
+        val cb0 = corpusSub.filter(col("vec_id") < 36)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        val cb = pqTrain(corpusSub, cb0, 2)
+        val codes = pqCodes(corpusSub, cb, "vec_id")
+        val lut = pqLut(
+          pqSub(e.filter(col("vec_id") < 20), "query_id", 8, 8), cb, "query_id")
+        val adc = codes.join(broadcast(lut), Seq("m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+        val pqTop = ScaleOps.topKPerKey(adc,
+            Seq(col("query_id")), Seq(col("adc"), col("vec_id")), 5)
+          .select(col("query_id").as("query_id_p"), col("vec_id").as("vec_id_p"))
+        val qraw = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+        val brute = ScaleOps.topKPerKey(
+            craw.crossJoin(broadcast(qraw))
+              .select(col("query_id"), col("vec_id"),
+                pqSqd(col("qv"), col("cv")).as("d2")),
+            Seq(col("query_id")), Seq(col("d2"), col("vec_id")), 5)
+          .select(col("query_id"), col("vec_id"))
+        brute.join(pqTop,
+            col("query_id") === col("query_id_p") &&
+              col("vec_id") === col("vec_id_p"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_p")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                     WHERE vec_id >= 20 AND vec_id < 36),
+             a1 AS (
+               SELECT vec_id, m, code, sv FROM (
+                 SELECT s.vec_id, s.m, c.code, s.sv, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, c.cv)
+                         + list_dot_product(c.cv, c.cv), c.code) AS rn
+                 FROM sub s JOIN cb0 c ON s.m = c.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             cb1 AS (
+               SELECT p.m, p.code, coalesce(mm.cv, p.cv) AS cv
+               FROM cb0 p LEFT JOIN (
+                 SELECT m, code, list(mv ORDER BY pos) AS cv FROM (
+                   SELECT m, code, pos, avg(val) AS mv FROM (
+                     SELECT m, code, unnest(sv) AS val,
+                            unnest(range(1, len(sv) + 1)) AS pos
+                     FROM a1) q1 GROUP BY m, code, pos) q2
+                 GROUP BY m, code) mm
+               ON p.m = mm.m AND p.code = mm.code),
+             a2 AS (
+               SELECT vec_id, m, code, sv FROM (
+                 SELECT s.vec_id, s.m, c.code, s.sv, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, c.cv)
+                         + list_dot_product(c.cv, c.cv), c.code) AS rn
+                 FROM sub s JOIN cb1 c ON s.m = c.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             cb2 AS (
+               SELECT p.m, p.code, coalesce(mm.cv, p.cv) AS cv
+               FROM cb1 p LEFT JOIN (
+                 SELECT m, code, list(mv ORDER BY pos) AS cv FROM (
+                   SELECT m, code, pos, avg(val) AS mv FROM (
+                     SELECT m, code, unnest(sv) AS val,
+                            unnest(range(1, len(sv) + 1)) AS pos
+                     FROM a2) q1 GROUP BY m, code, pos) q2
+                 GROUP BY m, code) mm
+               ON p.m = mm.m AND p.code = mm.code),
+             codes AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT s.vec_id, s.m, c.code, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, c.cv)
+                         + list_dot_product(c.cv, c.cv), c.code) AS rn
+                 FROM sub s JOIN cb2 c ON s.m = c.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             lut AS (
+               SELECT s.vec_id AS query_id, s.m, c.code,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, c.cv)
+                          + list_dot_product(c.cv, c.cv)) * 1000000)
+                        AS BIGINT) AS pd
+               FROM sub s JOIN cb2 c ON s.m = c.m
                WHERE s.vec_id < 20),
              adc AS (
                SELECT l.query_id, c.vec_id, sum(l.pd) AS adc
