@@ -299,7 +299,10 @@ object ExtraSimilarityQueries {
         // pairs the probed cells admit — the LUT is per-query tiny
         // (queries x m x ks rows), broadcast; candidate volume is the
         // IVF-pruned set, never the corpus
-        val candidates = queries.select(col("query_id"), col("q_cent"))
+        // the query batch is small by contract (queries ≪ corpus), so
+        // broadcast IT against the corpus-scale cell table — the scan
+        // stays one corpus pass with no corpus shuffle
+        val candidates = broadcast(queries.select(col("query_id"), col("q_cent")))
           .join(corpusCells, col("q_cent") === col("cent_id"))
           .select(col("query_id"), col("vec_id"))
         val adc = candidates.join(codes, Seq("vec_id"))
