@@ -15,6 +15,11 @@ object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE off (ADVICE r13): executedPlan.toString on an un-executed
+      // query prints the INITIAL AdaptiveSparkPlan (isFinalPlan=false),
+      // whose join lines can differ from the runtime strategy this
+      // probe exists to audit — match PlanAssertSpec's static-plan view
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -8,9 +8,11 @@ import graft.operators.ScaleOps
 /** Re-measure the LOW-ENTROPY fuzzy tier at replica scale on current
   * code (VERDICT r12 #5): the phantom-gram fix deliberately changed
   * `deriveQgramParams`' gram statistics and the gram tables
-  * `qgramFuzzyJoin` builds, so BASELINE.md's committed 100× numbers
-  * (qgram 747 s / segment 333 s / blocked 413 s, avgDf 3 090) describe
-  * r11 code. This probe re-runs all three operators over the SAME
+  * `qgramFuzzyJoin` builds, invalidating the pre-fix 100× walls. The
+  * RAN record lives in `bench/fuzzy_remeasure_100x_r13.jsonl`
+  * (qgram 967.1 s / segment 430.9 s / blocked 424.8 s at avgDf 3 090,
+  * identical exact match sets). This probe re-runs all three
+  * operators over the SAME
   * corpus shape the r11 battery used — first-4-words keys over the
   * FULL documents table (the battery's `q_fuzzy_match_qgram` gate has
   * since moved to a gram-diverse key with a downsized low-entropy

@@ -102,21 +102,27 @@ object StreamScaleProbe {
     // returns through the back door. With both, arrival approximates
     // the live stream the state-bound argument assumes.
     var mtimeBase = System.currentTimeMillis() - 7200L * 1000
+    // stamp only the files THIS call wrote (append mode interleaves
+    // job UUIDs in the names, so a name sort across jobs would not be
+    // arrival order). Freshness is tracked by an explicit set of
+    // already-stamped paths, NOT an mtime cutoff (ADVICE r13): with a
+    // cutoff, a run stamping more than ~1800 files walks mtimeBase
+    // past now-1h and later calls would re-stamp earlier files,
+    // scrambling the event-time arrival order the drain/restart
+    // measurements depend on.
+    val stamped = scala.collection.mutable.Set.empty[String]
     def writeBacklog(rows: DataFrame, files: Int, dir: String,
                      mode: String): Unit = {
       rows.repartitionByRange(math.max(files, 1), col("ets"))
         .sortWithinPartitions("ets")
         .write.mode(mode).parquet(dir)
-      // stamp only the files THIS call wrote (append mode interleaves
-      // job UUIDs in the names, so a name sort across jobs would not
-      // be arrival order): fresh parts carry ~now mtimes, everything
-      // already stamped sits 2 h in the past
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
       val parts = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.lastModified > cutoff)
+        .filter(f => f.getName.startsWith("part-") &&
+          !stamped.contains(f.getAbsolutePath))
         .sortBy(_.getName)
       parts.foreach { f =>
         f.setLastModified(mtimeBase); mtimeBase += 2000L
+        stamped += f.getAbsolutePath
       }
     }
 

@@ -81,7 +81,13 @@ object VectorQueries {
         .select(col("m"), col("code"),
           posexplode(col("sv")).as(Seq("pos", "val")))
         .groupBy(col("m"), col("code"), col("pos"))
-        .agg(avg(col("val")).as("v"))
+        // snap each mean to the micros grid (ADVICE r13): avg over
+        // doubles is shuffle-merge-order sensitive in the last ULP,
+        // and a raw double feeding the next iteration's arg-min (or
+        // the final LUT's floor(x*1e6)) can flip a near-tie across
+        // runs/engines — the same order-free integer convention pqLut
+        // already uses keeps the trained codebook bit-stable
+        .agg((floor(avg(col("val")) * 1e6) / 1e6).as("v"))
         .groupBy(col("m"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("cv_new"))
@@ -423,7 +429,7 @@ object VectorQueries {
                SELECT p.m, p.code, coalesce(mm.cv, p.cv) AS cv
                FROM cb0 p LEFT JOIN (
                  SELECT m, code, list(mv ORDER BY pos) AS cv FROM (
-                   SELECT m, code, pos, avg(val) AS mv FROM (
+                   SELECT m, code, pos, floor(avg(val) * 1000000) / 1000000 AS mv FROM (
                      SELECT m, code, unnest(sv) AS val,
                             unnest(range(1, len(sv) + 1)) AS pos
                      FROM a1) q1 GROUP BY m, code, pos) q2
@@ -442,7 +448,7 @@ object VectorQueries {
                SELECT p.m, p.code, coalesce(mm.cv, p.cv) AS cv
                FROM cb1 p LEFT JOIN (
                  SELECT m, code, list(mv ORDER BY pos) AS cv FROM (
-                   SELECT m, code, pos, avg(val) AS mv FROM (
+                   SELECT m, code, pos, floor(avg(val) * 1000000) / 1000000 AS mv FROM (
                      SELECT m, code, unnest(sv) AS val,
                             unnest(range(1, len(sv) + 1)) AS pos
                      FROM a2) q1 GROUP BY m, code, pos) q2

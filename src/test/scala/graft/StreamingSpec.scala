@@ -901,4 +901,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(gold).count() == goldOnce,
       "replayed counts batch changed gold row count")
   }
+
+  test("FORCED handoff replay: a silver batch partition rewritten under " +
+    "new part-file names (Q1 crash-replay) leaves the gold counter " +
+    "frontier unchanged, and later batches still count") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ComposedPipeline, StageCounts}
+    import spark.implicits._
+
+    // The test above pins each SINK's idempotence; this one drives the
+    // replay through the silver→gold HANDOFF (VERDICT r13 #4): the
+    // idempotent silver overwrite emits NEW part-file names, which
+    // Q2's file source — its checkpoint already past the pre-crash
+    // files — ingests as fresh input. StageCounts' (batch_id, doc_id)
+    // replay memory must drop those rows, or gold double-counts the
+    // replayed batch.
+    val dir = Files.createTempDirectory("handoffreplay")
+    val silver = dir.resolve("silver").toString
+    val gold = dir.resolve("gold").toString
+    val cp2 = dir.resolve("cp2").toString
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (freq0, scal0) = graft.operators.TextQueries.trainUnigramLm(docs)
+    val freqF = freq0.localCheckpoint()
+    val scalF = scal0.localCheckpoint()
+    val b0 = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val b2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+
+    def frontier(): Map[String, StageCounts.Counts] =
+      spark.read.parquet(gold).as[StageCounts.Counts].collect()
+        .groupBy(_.source).map { case (s, rows) => s -> rows.maxBy(_.n_total) }
+
+    ComposedPipeline.curateBatch(b0, 0L, silver, freqF, scalF)
+    ComposedPipeline.curateBatch(b1, 1L, silver, freqF, scalF)
+    val q2a = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2a.processAllAvailable() finally q2a.stop()
+    val before = frontier()
+    assert(before.values.map(_.n_total).sum == 150L,
+      s"expected 150 docs counted before the replay, got $before")
+
+    // the crash-replay: same batchId, same rows, NEW part-file names
+    ComposedPipeline.curateBatch(b0, 0L, silver, freqF, scalF)
+    val q2b = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2b.processAllAvailable() finally q2b.stop()
+    assert(frontier() == before,
+      s"replayed silver partition moved the gold frontier: " +
+        s"$before -> ${frontier()}")
+
+    // the replay memory must not over-drop: a genuinely new batch
+    // still advances every touched source's counters by its rows
+    ComposedPipeline.curateBatch(b2, 2L, silver, freqF, scalF)
+    val q2c = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2c.processAllAvailable() finally q2c.stop()
+    val after = frontier()
+    assert(after.values.map(_.n_total).sum == 180L,
+      s"expected 180 docs counted after batch 2, got $after")
+  }
 }
