@@ -115,6 +115,98 @@ object ClusteredAnnProbe {
         s""""trained":$trained,"train_sec":${fmt(trainSec)},""" +
         s""""search_sec":${fmt(searchSec)},"recall":${fmt(recall)}}""")
     }
+
+    // ---- composed IVF legs: raw-PQ vs RESIDUAL-PQ ------------------
+    // (the q_ann_ivfpq_residual_recall operator at manifold geometry):
+    // same trained IVF routing and candidate sets for all four legs,
+    // so the recall delta isolates the ENCODING — raw codes spend
+    // resolution separating clusters the routing already separated;
+    // residual codes (v − cell centroid) spend it all within-cell.
+    val cellsN = 64
+    val nprobe = 4
+    val ks = 256
+    val initC = corpus.orderBy(col("vec_id")).limit(cellsN)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("cv"))
+    val cells = graft.operators.ExtraSimilarityQueries.snapMicros(
+      graft.operators.ExtraSimilarityQueries.lloydTrain(
+        corpus.select(col("vec_id"), col("embedding").as("ev")), initC, 2))
+    val corpusCells = graft.operators.ExtraSimilarityQueries.assignTo(cells)(
+        corpus.select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
+      .select(col("vec_id"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusCells.count()
+    val csub = graft.operators.ExtraSimilarityQueries
+      .centroidSub(cells, m, subDim)
+    val rsub = graft.operators.ExtraSimilarityQueries.residualSub(
+        corpusSub, corpusCells, csub, "vec_id", "cent_id")
+      .select(col("vec_id"), col("m"), col("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rsub.count()
+    val qAssign = graft.operators.ExtraSimilarityQueries
+      .assignTo(cells, keepN = nprobe)(
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id", "qv")
+      .select(col("query_id"), col("cent_id").as("q_cent"))
+    val candidates = broadcast(qAssign)
+      .join(corpusCells, col("q_cent") === col("cent_id"))
+      .select(col("query_id"), col("q_cent"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candidates.count()
+    // routing ceiling: the recall any encoding could reach with these
+    // candidate sets
+    val ceiling = recallOf(candidates
+      .select(col("query_id").as("qi"), col("vec_id").as("vi")))
+    println(s"""{"probe":"clustered_ivf_routing","cells":$cellsN,""" +
+      s""""nprobe":$nprobe,"candidates":$nCand,""" +
+      s""""scanned_frac":${fmt(nCand.toDouble / (nCorpus * nQ))},""" +
+      s""""routing_recall_ceiling":${fmt(ceiling)}}""")
+
+    for ((residual, trained) <- Seq((false, false), (false, true),
+                                    (true, false), (true, true))) {
+      val encSub = if (residual) rsub else corpusSub
+      val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
+        .select(col("vec_id").as("cb_id"))
+      val cb0 = encSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
+        .select(col("m").as("cb_m"), col("vec_id").as("code"),
+          col("sv").as("cv"))
+      val cb = if (trained) VectorQueries.pqTrain(encSub, cb0, 2) else cb0
+      val codes = VectorQueries.pqCodes(encSub, cb, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val t0 = System.nanoTime()
+      val adc = if (residual) {
+        val qres = graft.operators.ExtraSimilarityQueries.residualSub(
+          querySub, qAssign, csub, "query_id", "q_cent")
+        val lut = qres.join(broadcast(cb), col("m") === col("cb_m"))
+          .select(col("query_id"), col("q_cent"), col("m"), col("code"),
+            floor(VectorQueries.pqSqd(col("sv"), col("cv")) * 1000000)
+              .cast("long").as("pd"))
+        candidates.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "q_cent", "m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+      } else {
+        val lut = VectorQueries.pqLut(querySub, cb, "query_id")
+        candidates.select(col("query_id"), col("vec_id"))
+          .join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+      }
+      val top = ScaleOps.topKPerKey(adc,
+          Seq(col("query_id")), Seq(col("adc"), col("vec_id")), k)
+        .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      top.count()
+      val searchSec = secSince(t0)
+      val recall = recallOf(top)
+      top.unpersist(); codes.unpersist()
+      println(s"""{"probe":"clustered_ivfpq","cells":$cellsN,""" +
+        s""""nprobe":$nprobe,"m":$m,"ks":$ks,"residual":$residual,""" +
+        s""""trained":$trained,"search_sec":${fmt(searchSec)},""" +
+        s""""recall":${fmt(recall)}}""")
+    }
     spark.stop()
   }
 }

@@ -123,6 +123,44 @@ object ExtraSimilarityQueries {
              FROM $assigned) GROUP BY cent_id, pos)
          GROUP BY cent_id) m ON p.cent_id = m.cent_id"""
 
+  /** Micros-grid snap of a trained codebook (the pqTrain convention):
+    * centroid means are shuffle-merge-order sensitive in the last ULP,
+    * and the RESIDUAL composition feeds them through subtraction into
+    * every downstream arg-min/LUT — quantizing makes the whole
+    * residual chain bit-replayable cross-engine. */
+  private[graft] def snapMicros(cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cents.select(col("cent_id"),
+      transform(col("cv"), x => floor(x * 1e6) / 1e6).as("cv"))
+
+  /** Centroid subvectors: (cent_id, m, csv) — the per-subspace slices
+    * of each IVF centroid, for residualizing PQ subvectors. */
+  private[graft] def centroidSub(cents: org.apache.spark.sql.DataFrame,
+                                 m: Int, subDim: Int)
+      : org.apache.spark.sql.DataFrame =
+    cents.select(col("cent_id"), expr(
+      s"""inline(transform(sequence(0, ${m - 1}), mi -> named_struct(
+           'm', CAST(mi AS BIGINT),
+           'csv', slice(cv, mi*$subDim+1, $subDim))))"""))
+
+  /** Residualize PQ subvectors against their assigned cell's centroid
+    * (the IVF-ADC encoding of Jegou/Douze/Schmid's PQ paper §IV):
+    * `sub` = (idCol, m, sv), `assign` = (idCol, centKey) — one row per
+    * (id, probed cell) — `csub` = [[centroidSub]] keyed by `centKey`.
+    * Output (idCol, centKey, m, sv − csv). Corpus side has one cell
+    * per vector; the query side keeps nprobe rows so each probed cell
+    * gets its own residual LUT. */
+  private[graft] def residualSub(sub: org.apache.spark.sql.DataFrame,
+                                 assign: org.apache.spark.sql.DataFrame,
+                                 csub: org.apache.spark.sql.DataFrame,
+                                 idCol: String, centKey: String)
+      : org.apache.spark.sql.DataFrame =
+    sub.join(assign, Seq(idCol))
+      .join(broadcast(csub.withColumnRenamed("cent_id", centKey)),
+        Seq(centKey, "m"))
+      .select(col(idCol), col(centKey), col("m"),
+        zip_with(col("sv"), col("csv"), (a, b) => a - b).as("sv"))
+
   // same seeded hyperplanes as SimilarityQueries (seed 42) so the two
   // modules' buckets agree
   private def bucketSqlPublic(vexpr: String): String =
@@ -376,6 +414,172 @@ object ExtraSimilarityQueries {
                JOIN lut l ON l.query_id = x.query_id
                  AND cd.m = l.m AND cd.code = l.code
                GROUP BY l.query_id, cd.vec_id),
+             pq AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+                 FROM adc) y WHERE rn <= $K),
+             brute AS (
+               SELECT query_id, vec_id FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER (
+                     PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(c.v, c.v)
+                         - 2 * list_dot_product(q.v, c.v)
+                         + list_dot_product(q.v, q.v), c.vec_id) AS rn
+                 FROM e q CROSS JOIN e c
+                 WHERE q.vec_id >= $NCentroids AND q.vec_id < 13
+                   AND c.vec_id >= 20) z2 WHERE rn <= $K)
+             SELECT b.query_id, count(*) AS n_brute,
+                    count(p.vec_id) AS n_recovered,
+                    round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 4)
+                      AS recall
+             FROM brute b LEFT JOIN pq p
+               ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+             GROUP BY b.query_id ORDER BY b.query_id""")),
+
+    // RESIDUAL IVF+PQ (IVF-ADC proper — Jegou/Douze/Schmid, TPAMI'11
+    // §IV; r14, motivated by the clustered-manifold probe): identical
+    // composition to q_ann_ivfpq_recall, but PQ encodes each vector's
+    // RESIDUAL (v − its cell centroid) instead of the raw vector, and
+    // each query builds one LUT PER PROBED CELL from (q − that cell's
+    // centroid). On clustered corpora raw-vector codes spend their
+    // resolution separating clusters — information the IVF routing
+    // already paid for — while residuals re-center every cell at the
+    // origin so all code resolution goes to within-cell geometry
+    // (measured on the clustered mixture: raw-PQ recall 0.06–0.10 vs
+    // residual's recovery, bench/clustered_ann_r14.jsonl). Cost shape
+    // is unchanged: same candidate volume, same 8-byte codes, the LUT
+    // grows nprobe× (still queries × nprobe × m × ks — broadcast-tiny).
+    // The cell centroids are snapped to the micros grid ([[snapMicros]],
+    // the pqTrain ADVICE r13 convention) because residual SUBTRACTION
+    // propagates centroid ULPs into every downstream arg-min — snapped,
+    // the whole chain is bit-replayable and the oracle unrolls it
+    // end-to-end (Lloyd chain → quantize → residualize → codes/LUT →
+    // ADC → recall).
+    Spec("q_ann_ivfpq_residual_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = snapMicros(lloydCentroids(e, LloydIters))
+        val corpusE = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding"))
+        val corpusCells = assignTo(cents)(
+            corpusE.select(col("vec_id"), col("embedding").as("ev")),
+            "vec_id", "ev")
+          .select(col("vec_id"), col("cent_id"))
+        val qraw = e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val queries = assignTo(cents, keepN = NProbe)(qraw, "query_id", "qv")
+          .withColumnRenamed("cent_id", "q_cent")
+          .select(col("query_id"), col("q_cent"))
+        val csub = centroidSub(cents, 8, 8)
+        // corpus residual subvectors + residual-space codebook/codes
+        val rsub = residualSub(
+          VectorQueries.pqSub(corpusE, "vec_id", 8, 8),
+          corpusCells, csub, "vec_id", "cent_id")
+        val cb = rsub.filter(col("vec_id") < 36)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        val codes = VectorQueries.pqCodes(
+          rsub.select(col("vec_id"), col("m"), col("sv")), cb, "vec_id")
+        // per-(query, probed cell) residual LUT
+        val qr = residualSub(
+          VectorQueries.pqSub(
+            e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+              .select(col("vec_id"), col("embedding")), "query_id", 8, 8),
+          queries, csub, "query_id", "q_cent")
+        val lut = qr.join(broadcast(cb), col("m") === col("cb_m"))
+          .select(col("query_id"), col("q_cent"), col("m"), col("code"),
+            floor(VectorQueries.pqSqd(col("sv"), col("cv")) * 1000000)
+              .cast("long").as("pd"))
+        // composed search: candidates carry the admitting cell so ADC
+        // picks that cell's residual LUT; broadcast the small-by-
+        // contract query batch (the r13 SMJ lesson) and the LUT
+        val candidates = broadcast(queries)
+          .join(corpusCells, col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("q_cent"), col("vec_id"))
+        val adc = candidates.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "q_cent", "m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+        val ivfpq = ScaleOps.topKPerKey(adc,
+            Seq(col("query_id")), Seq(col("adc"), col("vec_id")), K)
+          .select(col("query_id").as("query_id_p"), col("vec_id").as("vec_id_p"))
+        val qd = qraw.select(col("query_id"), asDouble(col("qv")).as("qdv"))
+        val craw = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), asDouble(col("embedding")).as("cdv"))
+        val brute = ScaleOps.topKPerKey(
+            craw.crossJoin(broadcast(qd))
+              .select(col("query_id"), col("vec_id"),
+                VectorQueries.pqSqd(col("qdv"), col("cdv")).as("d2")),
+            Seq(col("query_id")), Seq(col("d2"), col("vec_id")), K)
+          .select(col("query_id"), col("vec_id"))
+        brute.join(ivfpq,
+            col("query_id") === col("query_id_p") &&
+              col("vec_id") === col("vec_id_p"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_brute"),
+            count(col("vec_id_p")).as("n_recovered"))
+          .select(col("query_id"), col("n_brute"), col("n_recovered"),
+            round(col("n_recovered").cast("double") / col("n_brute"), 4)
+              .as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             a1 AS (${assignSql("c0", "vid", "e.vec_id >= 20")}),
+             c1 AS (${meansSql("a1", "c0")}),
+             a2 AS (${assignSql("c1", "vid", "e.vec_id >= 20")}),
+             c2 AS (${meansSql("a2", "c1")}),
+             c2q AS (SELECT cent_id,
+                            [floor(x * 1000000) / 1000000 FOR x IN cv] AS cv
+                     FROM c2),
+             corpus AS (${assignSql("c2q", "vec_id", "e.vec_id >= 20")}),
+             queries AS (
+               SELECT vid AS query_id, cent_id AS q_cent FROM (
+                 ${assignSql("c2q", "vid",
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13",
+                   maxRank = NProbe)}) z),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             csub AS (SELECT cent_id, CAST(mi AS BIGINT) AS m,
+                             cv[mi*8+1 : mi*8+8] AS csv
+                      FROM c2q, UNNEST(generate_series(0, 7)) AS t(mi)),
+             rsub AS (SELECT s.vec_id, s.m,
+                             [s.sv[i] - cs.csv[i] FOR i IN generate_series(1, 8)] AS sv
+                      FROM sub s JOIN corpus a ON s.vec_id = a.vec_id
+                      JOIN csub cs ON cs.cent_id = a.cent_id AND cs.m = s.m
+                      WHERE s.vec_id >= 20),
+             cb AS (SELECT m, vec_id AS code, sv AS cv FROM rsub
+                    WHERE vec_id < 36),
+             codes AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT r.vec_id, r.m, cb.code, row_number() OVER (
+                     PARTITION BY r.vec_id, r.m ORDER BY
+                       list_dot_product(r.sv, r.sv)
+                         - 2 * list_dot_product(r.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv), cb.code) AS rn
+                 FROM rsub r JOIN cb ON r.m = cb.m) x WHERE rn = 1),
+             qr AS (SELECT s.vec_id AS query_id, q.q_cent, s.m,
+                           [s.sv[i] - cs.csv[i] FOR i IN generate_series(1, 8)] AS sv
+                    FROM sub s JOIN queries q ON s.vec_id = q.query_id
+                    JOIN csub cs ON cs.cent_id = q.q_cent AND cs.m = s.m),
+             lut AS (
+               SELECT qr.query_id, qr.q_cent, qr.m, cb.code,
+                      CAST(floor((list_dot_product(qr.sv, qr.sv)
+                          - 2 * list_dot_product(qr.sv, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                        AS BIGINT) AS pd
+               FROM qr JOIN cb ON qr.m = cb.m),
+             cand AS (SELECT q.query_id, q.q_cent, c.vec_id
+                      FROM queries q JOIN corpus c ON q.q_cent = c.cent_id),
+             adc AS (
+               SELECT x.query_id, cd.vec_id, sum(l.pd) AS adc
+               FROM cand x
+               JOIN codes cd ON x.vec_id = cd.vec_id
+               JOIN lut l ON l.query_id = x.query_id AND l.q_cent = x.q_cent
+                 AND cd.m = l.m AND cd.code = l.code
+               GROUP BY x.query_id, cd.vec_id),
              pq AS (
                SELECT query_id, vec_id FROM (
                  SELECT query_id, vec_id, row_number() OVER (

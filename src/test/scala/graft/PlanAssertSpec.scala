@@ -253,6 +253,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_ivf_recall",     // brute leg + 8-row codebook crossJoins
       "q_ann_pq_recall",      // exact-L2 brute leg: 20-row query broadcast
       "q_ann_ivfpq_recall",   // brute leg + 8-row codebook crossJoins
+      "q_ann_ivfpq_residual_recall", // same brute leg + codebook crossJoins
       "q_ann_pq_trained_recall", // exact-L2 brute leg: 20-row query broadcast
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
