@@ -100,6 +100,13 @@ object AnnOperatingCurve {
     val assignSec = secSince(tAssign)
     println(s"""{"probe":"ivf_build","cells":$cells,"iters":$iters,""" +
       s""""train_sec":${fmt(trainSec)},"assign_sec":${fmt(assignSec)}}""")
+    // measured geometry → the adviseAnn decision (calibration source)
+    val geo = ExtraSimilarityQueries.annGeometryStats(
+      corpus.select(col("vec_id"), col("ev")), cents, corpusAssigned)
+    val advE = ScaleOps.adviseAnn(geo, ks = 256)
+    println(s"""{"probe":"ann_geometry","n":${geo.n},""" +
+      s""""cells":${geo.cells},"explained":${fmt(geo.explained)},""" +
+      s""""advice":"${advE.encoding}"}""")
 
     for (nprobe <- Seq(1, 2, 4, 8, 16)) {
       val queries = ExtraSimilarityQueries.assignTo(cents, keepN = nprobe)(
@@ -229,36 +236,71 @@ object AnnOperatingCurve {
     // sub-codebooks ([[VectorQueries.pqTrain]]) — the production
     // composition a user would actually run, since the trained
     // estimator measured better than sampling at every ks.
-    for ((nprobe, ks, trained) <- Seq(
-        (1, 256, false), (4, 256, false), (16, 256, false), (16, 16, false),
-        (1, 256, true), (4, 256, true), (16, 256, true))) {
+    // The `residual` legs (r14) encode (v - cell centroid) with
+    // per-(query, probed cell) LUTs - the q_ann_ivfpq_residual_recall
+    // operator - completing the geometry story: on THIS near-isotropic
+    // corpus residual gains should be modest, vs the 5-6x recall
+    // multiplier ClusteredAnnProbe measures on manifold-shaped data.
+    val csub = ExtraSimilarityQueries.centroidSub(cents, 8, 8)
+    for ((nprobe, ks, trained, residual) <- Seq(
+        (1, 256, false, false), (4, 256, false, false),
+        (16, 256, false, false), (16, 16, false, false),
+        (1, 256, true, false), (4, 256, true, false), (16, 256, true, false),
+        (1, 256, false, true), (4, 256, false, true),
+        (1, 256, true, true), (4, 256, true, true))) {
       val m = 8; val subDim = dim / m
       val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
         .select(col("vec_id").as("cb_id"))
-      val corpusSub = VectorQueries.pqSub(
+      val rawSub = VectorQueries.pqSub(
         corpus.select(col("vec_id"), col("embedding")), "vec_id", m, subDim)
+      val corpusSub = if (residual)
+        ExtraSimilarityQueries.residualSub(rawSub,
+            corpusAssigned.select(col("vec_id"), col("cent_id")),
+            csub, "vec_id", "cent_id")
+          .select(col("vec_id"), col("m"), col("sv"))
+        else rawSub
       val cb0 = corpusSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
         .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sv").as("cv"))
       val cb = if (trained) VectorQueries.pqTrain(corpusSub, cb0, 2) else cb0
       val codes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       codes.count()
-      val lut = VectorQueries.pqLut(
-        VectorQueries.pqSub(qraw.select(col("query_id").as("vec_id"),
-          col("embedding")), "query_id", m, subDim), cb, "query_id")
+      val qsubRaw = VectorQueries.pqSub(qraw.select(
+        col("query_id").as("vec_id"), col("embedding")), "query_id", m, subDim)
       val queries = ExtraSimilarityQueries.assignTo(cents, keepN = nprobe)(
           qraw.select(col("query_id"), col("qv")), "query_id", "qv")
         .withColumnRenamed("cent_id", "q_cent")
-      val candidates = queries.select(col("query_id"), col("q_cent"))
-        .join(corpusAssigned.select(col("vec_id"), col("cent_id")),
-          col("q_cent") === col("cent_id"))
-        .select(col("query_id"), col("vec_id"))
       val t0 = System.nanoTime()
-      val top = ScaleOps.topKPerKey(
-          candidates.join(codes, Seq("vec_id"))
+      val (candidates, adc) = if (residual) {
+        val qres = ExtraSimilarityQueries.residualSub(qsubRaw,
+          queries.select(col("query_id"), col("q_cent")),
+          csub, "query_id", "q_cent")
+        val lut = qres.join(broadcast(cb), col("m") === col("cb_m"))
+          .select(col("query_id"), col("q_cent"), col("m"), col("code"),
+            floor(VectorQueries.pqSqd(col("sv"), col("cv")) * 1000000)
+              .cast("long").as("pd"))
+        val cand = queries.select(col("query_id"), col("q_cent"))
+          .join(corpusAssigned.select(col("vec_id"), col("cent_id")),
+            col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("q_cent"), col("vec_id"))
+        (cand.select(col("query_id"), col("vec_id")),
+          cand.join(codes, Seq("vec_id"))
+            .join(broadcast(lut), Seq("query_id", "q_cent", "m", "code"))
+            .groupBy(col("query_id"), col("vec_id"))
+            .agg(sum(col("pd")).as("adc")))
+      } else {
+        val lut = VectorQueries.pqLut(qsubRaw, cb, "query_id")
+        val cand = queries.select(col("query_id"), col("q_cent"))
+          .join(corpusAssigned.select(col("vec_id"), col("cent_id")),
+            col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("vec_id"))
+        (cand,
+          cand.join(codes, Seq("vec_id"))
             .join(broadcast(lut), Seq("query_id", "m", "code"))
             .groupBy(col("query_id"), col("vec_id"))
-            .agg(sum(col("pd")).as("adc")),
+            .agg(sum(col("pd")).as("adc")))
+      }
+      val top = ScaleOps.topKPerKey(adc,
           Seq(col("query_id")), Seq(col("adc"), col("vec_id")), k)
         .select(col("query_id").as("qi"), col("vec_id").as("vi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -268,7 +310,7 @@ object AnnOperatingCurve {
       val recall = recallOf(top, bruteL2)
       top.unpersist(); codes.unpersist()
       println(s"""{"probe":"ivfpq_curve","cells":$cells,"nprobe":$nprobe,""" +
-        s""""m":$m,"ks":$ks,"trained":$trained,""" +
+        s""""m":$m,"ks":$ks,"trained":$trained,"residual":$residual,""" +
         s""""search_sec":${fmt(searchSec)},""" +
         s""""recall":${fmt(recall)},"candidates":$nCand,""" +
         s""""scanned_frac":${fmt(nCand.toDouble / (nCorpus * nQueries))},""" +

@@ -143,6 +143,15 @@ object ClusteredAnnProbe {
       .select(col("vec_id"), col("m"), col("sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rsub.count()
+    // measured geometry → the adviseAnn decision (calibration source)
+    val geo = graft.operators.ExtraSimilarityQueries.annGeometryStats(
+      corpus.select(col("vec_id"), col("embedding").as("ev")),
+      cells, corpusCells)
+    val adv = ScaleOps.adviseAnn(geo, ks = 256)
+    println(s"""{"probe":"clustered_geometry","n":${geo.n},""" +
+      s""""cells":${geo.cells},"explained":${fmt(geo.explained)},""" +
+      s""""advice":"${adv.encoding}"}""")
+
     val qAssign = graft.operators.ExtraSimilarityQueries
       .assignTo(cells, keepN = nprobe)(
         queries.select(col("vec_id").as("query_id"),

@@ -161,6 +161,33 @@ object ExtraSimilarityQueries {
       .select(col(idCol), col(centKey), col("m"),
         zip_with(col("sv"), col("csv"), (a, b) => a - b).as("sv"))
 
+  /** One-pass geometry aggregates for [[ScaleOps.adviseAnn]]: total
+    * corpus variance Σ‖v − μ‖² (= Σ‖v‖² − n‖μ‖², one scalar agg plus
+    * a dim-sized mean) and the within-cell residual Σ‖v − c(v)‖²
+    * (one agg over the broadcast codebook join) — never corpus-sized
+    * state, the advisor reads two doubles. */
+  private[graft] def annGeometryStats(corpus: org.apache.spark.sql.DataFrame,
+                                      cents: org.apache.spark.sql.DataFrame,
+                                      assigned: org.apache.spark.sql.DataFrame)
+      : ScaleOps.AnnCorpusStats = {
+    val vd = corpus.select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("ev")).as("v"))
+    val normRow = vd.agg(
+      sum(graft.functions.VectorFunctions.dot(col("v"), col("v"))).as("ss"),
+      count(lit(1)).as("n")).head()
+    val (sumSq, n) = (normRow.getDouble(0), normRow.getLong(1))
+    val mu = vd.select(posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("pos").agg(avg("val").as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val totalSse = sumSq - n * mu.map(x => x * x).sum
+    val within = vd.join(assigned.select(col("vec_id"), col("cent_id")),
+        Seq("vec_id"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .agg(sum(VectorQueries.pqSqd(col("v"), col("cv"))).as("w"))
+      .head().getDouble(0)
+    ScaleOps.AnnCorpusStats(n, cents.count(), totalSse, within)
+  }
+
   // same seeded hyperplanes as SimilarityQueries (seed 42) so the two
   // modules' buckets agree
   private def bucketSqlPublic(vexpr: String): String =

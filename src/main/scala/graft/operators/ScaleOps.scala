@@ -484,6 +484,70 @@ object ScaleOps {
   final case class DedupAdvice(operator: String, predictedCandidates: Long,
                                rationale: String)
 
+  /** Corpus geometry for the ANN encoding decision: `totalSse` =
+    * Σ‖v − μ‖² (variance around the global mean), `withinSse` =
+    * Σ‖v − c(v)‖² (residual variance after the trained IVF cells) —
+    * both one-aggregate cheap ([[ExtraSimilarityQueries
+    * .annGeometryStats]]). Their ratio is the fraction of corpus
+    * variance the cell structure explains — the single number that
+    * separates manifold-shaped embedding corpora from isotropic
+    * ones. */
+  final case class AnnCorpusStats(n: Long, cells: Long,
+                                  totalSse: Double, withinSse: Double) {
+    def explained: Double =
+      if (totalSse <= 0) 0.0 else 1.0 - withinSse / totalSse
+  }
+
+  final case class AnnAdvice(encoding: String, explained: Double,
+                             rationale: String)
+
+  /** Cell-explained-variance crossover for the PQ encoding choice,
+    * calibrated r14 from BOTH measured geometries
+    * (`bench/clustered_ann_r14.jsonl` + `bench/ann_curve_10x_r14
+    * .jsonl`, identical trained routing + candidate sets per pair):
+    *
+    *  - clustered K=32 mixture (measured explained 0.89–0.98 across
+    *    sigma 0.35/0.15): residual codes 0.32–0.38 recall vs raw
+    *    0.06–0.10 — a 5–6× multiplier;
+    *  - near-isotropic `embeddings` corpus (measured explained 0.14
+    *    at the 10× replica over the same 64 trained cells): residual
+    *    0.911–0.917 vs raw 0.908–0.920 — within noise of each other,
+    *    not worth the nprobe× LUT.
+    *
+    * 0.5 is the interpolated midpoint of [0.14, 0.89]; as with
+    * [[EdJoinCandidateBudgetPerRow]] the SIGN on each side is
+    * measured, so any threshold inside the bracket routes both
+    * measured geometries to their winners. */
+  val ResidualExplainedThreshold: Double = 0.5
+
+  /** One documented decision procedure for the ANN tier, mirroring
+    * [[adviseDedup]]: raw-PQ vs RESIDUAL-PQ from measured cell
+    * geometry, with the trained-codebook precondition the clustered
+    * probe exposed (training below the mode count collapses onto
+    * heavy modes — measured 0.011 → 0.003 at ks=16 vs K=32). */
+  def adviseAnn(stats: AnnCorpusStats, ks: Long): AnnAdvice = {
+    require(stats.n >= 0 && stats.cells > 0)
+    val e = stats.explained
+    val ksNote =
+      if (ks < stats.cells)
+        s"; WARNING ks=$ks < cells=${stats.cells}: train the codebook " +
+          "only at ks above the mode count (q_ann_pq_trained_recall " +
+          "inverted below it on the clustered probe)"
+      else ""
+    if (e >= ResidualExplainedThreshold)
+      AnnAdvice("residual_pq", e,
+        f"cells explain ${e * 100}%.0f%% of corpus variance — raw codes " +
+          "would re-encode cluster structure the IVF routing already " +
+          "paid for; residual encoding measured 5-6x recall at identical " +
+          "candidate volume (q_ann_ivfpq_residual_recall)" + ksNote)
+    else
+      AnnAdvice("raw_pq", e,
+        f"cells explain only ${e * 100}%.0f%% of corpus variance — " +
+          "near-isotropic geometry, residual re-centering buys ~nothing " +
+          "and costs an nprobe-times larger LUT (q_ann_ivfpq_recall)" +
+          ksNote)
+  }
+
   /** One documented decision procedure for the dedup tier
     * (VERDICT r10 #8) — the rules the repo's operators each derive
     * locally (deriveFuzzyBlocking, deriveShufflePartitions, the PPJoin

@@ -394,6 +394,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       distinctShingles = 38416L, worstBlockOccupancy = 37143L)
     assert(adviseDedup(boundarySegment, EditDistance(maxDist = 4, q = 4))
       .operator == "segment_edit_join")
+    // ANN encoding advisor (r14): the two MEASURED geometries —
+    // clustered K=32 mixture (explained 0.95, residual 5-6x recall)
+    // and the near-isotropic embeddings corpus (explained 0.18,
+    // residual ≈ raw) — must route to their measured winners, and the
+    // ks < cells trained-codebook inversion must be warned
+    val clusteredGeo = AnnCorpusStats(50000L, 64L,
+      totalSse = 1000.0, withinSse = 50.0) // explained 0.95
+    assert(adviseAnn(clusteredGeo, ks = 256).encoding == "residual_pq")
+    val isotropicGeo = AnnCorpusStats(19000L, 64L,
+      totalSse = 1000.0, withinSse = 820.0) // explained 0.18
+    assert(adviseAnn(isotropicGeo, ks = 256).encoding == "raw_pq")
+    assert(adviseAnn(clusteredGeo, ks = 16).rationale.contains("WARNING"))
+    assert(!adviseAnn(clusteredGeo, ks = 64).rationale.contains("WARNING"))
+
     // set similarity with exact recall: PPJoin regardless of volume
     val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
     assert(adviseDedup(headHeavy, SetSimilarity(0.8, exactRecall = true))
