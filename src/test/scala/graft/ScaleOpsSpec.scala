@@ -338,6 +338,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exact == bruteEq, "maxDist=0 must equal the exact self-match")
   }
 
+  test("annGeometryStats decomposes variance exactly (hand-computed)") {
+    import spark.implicits._
+    // 4 vectors in 2 dims around two well-separated cells:
+    // mean = (5,1); total SSE = 4 x (25 + 1) = 104
+    // cells (0,1) and (10,1): within SSE = 4 x 1 = 4 -> explained 100/104
+    val corpus = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 2.0)),
+      (2L, Seq(10.0, 0.0)), (3L, Seq(10.0, 2.0)))
+      .toDF("vec_id", "ev")
+    val cents = Seq((0L, Seq(0.0, 1.0)), (1L, Seq(10.0, 1.0)))
+      .toDF("cent_id", "cv")
+    val assigned = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("vec_id", "cent_id")
+    val geo = graft.operators.ExtraSimilarityQueries
+      .annGeometryStats(corpus, cents, assigned)
+    assert(geo.n == 4 && geo.cells == 2)
+    assert(math.abs(geo.totalSse - 104.0) < 1e-9, geo.totalSse)
+    assert(math.abs(geo.withinSse - 4.0) < 1e-9, geo.withinSse)
+    assert(math.abs(geo.explained - 100.0 / 104.0) < 1e-12)
+    // and the advisor reads it: well-separated cells -> residual_pq
+    assert(ScaleOps.adviseAnn(geo, ks = 4).encoding == "residual_pq")
+  }
+
   test("adviseDedup picks the gated operator per task and corpus shape") {
     import ScaleOps._
     // gate-scale corpus: brute force beats any index build
