@@ -23,6 +23,45 @@ object Bench {
                               box: Option[Double]): Option[Double] =
     box.filter(_ > 0).map(b => calMedian(cals) / b)
 
+  /** Max/min ratio over a row's successful pass timings (None with
+    * fewer than two). */
+  private[graft] def passSpread(passes: Seq[Either[String, Double]])
+      : Option[Double] = {
+    val ts = passes.collect { case Right(t) => t }
+    if (ts.size < 2) None else Some(ts.max / math.max(ts.min, 1e-9))
+  }
+
+  /** The noisy-row trigger (VERDICT r14 #2): true when a row's pass
+    * timings spread wider than [[SpreadRemeasureRatio]] AND the slow
+    * pass is ≥ [[SpreadMinSec]]. Such a spread means at least one
+    * decorrelated pass absorbed a contention window — min-of-passes
+    * screens the TOTAL, but the row's RECORD carries the spread as
+    * uncertainty (r14's 100× artifact shipped q_graph_pagerank at
+    * 171.6/64.1 s, readable only as "somewhere under 64 s") — so
+    * Bench re-runs the row in isolation after the battery and keeps
+    * the overall min. The absolute floor keeps sub-second rows, whose
+    * JIT/cache jitter routinely spans 2–3×, out of the net. */
+  private[graft] def spreadSuspect(passes: Seq[Either[String, Double]])
+      : Boolean =
+    passSpread(passes).exists(_ > SpreadRemeasureRatio) &&
+      passes.collect { case Right(t) => t }.max >= SpreadMinSec
+
+  /** Pass-spread ratio above which a row is re-measured in isolation
+    * (~2.5×, the threshold VERDICT r14 #2 prescribes). */
+  private[graft] val SpreadRemeasureRatio = 2.5
+
+  /** Minimum slow-pass wall for the spread trigger (seconds). */
+  private[graft] val SpreadMinSec = 1.0
+
+  /** Bandwidth-leg suspect threshold — deliberately WIDER than the
+    * CPU leg's 1.2 (ADVICE r14 #3): the committed bandwidth constant
+    * rests on only two quiet runs whose within-run samples span
+    * 0.27–0.38 s (up to 1.27× the 0.30 constant), so a 1.2 cut would
+    * false-flag a genuinely quiet run whose median lands ≳0.36.
+    * Tighten toward the CPU leg's 1.2 once enough additional quiet
+    * medians are accumulated in bench/box_constant.json. */
+  private[graft] val BandwidthSuspectRatio = 1.35
+
   /** A committed quiet-box constant by key, if present. */
   private[graft] def readBoxKey(path: String, key: String): Option[Double] =
     try {
@@ -156,15 +195,24 @@ object Bench {
     // fanned across all cores, so a bandwidth-starved session is
     // machine-detectable (`bandwidth_vs_box`) instead of judge-
     // inferred from preserved wall ratios.
-    val bwArr: Array[Long] = {
+    // lazy (ADVICE r14 #4): the 512 MB array exists from first use of
+    // the bandwidth leg, not from bench startup — a subset run that
+    // dies in warm-up never pays the heap floor
+    lazy val bwArr: Array[Long] = {
       val n = 64 * 1024 * 1024
       val a = new Array[Long](n)
       var i = 0; while (i < n) { a(i) = i.toLong; i += 1 }
       a
     }
     def bandwidth(): Double = {
+      // snapshot the lazy val into a plain local OUTSIDE the hot loop:
+      // a lazy-val read inside the loop goes through the LazyRef's
+      // volatile check every element, which blocks array-ref hoisting
+      // and vectorization — measured 1.85x the quiet constant on an
+      // idle box when the r15 lazy change first landed
+      val a = bwArr
       val threads = Runtime.getRuntime.availableProcessors()
-      val n = bwArr.length
+      val n = a.length
       val chunk = n / threads
       val passes = 128
       val t0 = System.nanoTime()
@@ -176,7 +224,7 @@ object Bench {
           var p = 0
           while (p < passes) {
             var i = s0
-            while (i < e0) { s += bwArr(i); i += 1 }
+            while (i < e0) { s += a(i); i += 1 }
             p += 1
           }
           if (s == 42L) System.err.print("")
@@ -203,6 +251,13 @@ object Bench {
     val bwSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def sample(): Unit = {
       calSamples += calibrate()
+      // cooldown BETWEEN the legs too (ADVICE r14 #4): the CPU spin
+      // leaves the box thermally perturbed, and a bandwidth sample
+      // taken immediately after it inherits that noise — let it decay
+      // so the leg measures DRAM contention, not the heat the
+      // previous leg injected (box_constant.json notes the r15
+      // sequence change for future quiet-median accumulation)
+      Thread.sleep(1000)
       bwSamples += cooled(bandwidth())
     }
     val calEvery = 55
@@ -266,7 +321,7 @@ object Bench {
     }
     def suspectVsRecord(v: Double, r: Double): Boolean = v > 2.5 * r + 0.3
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val screened: Seq[(String, QueryResult)] = results.map { case (name, q) =>
+    val recordScreened: Seq[(String, QueryResult)] = results.map { case (name, q) =>
       (q.value, records.get(name),
           // total-function lookup: a record file carrying a name the
           // battery no longer has (or never had) must not throw —
@@ -288,6 +343,38 @@ object Bench {
           name -> QueryResult(Right(best), passes)
         case _ => name -> q
       }
+    }
+    // Isolated re-measure for NOISY rows (VERDICT r14 #2): the record
+    // screen above only fires where a same-sf quiet record exists —
+    // at replica scales (tmp/sf10) there are none, so r14's 100×
+    // artifact carried rows whose two passes disagreed >2.5×
+    // (q_graph_pagerank 171.6/64.1 s) with nothing but min-of-2 to
+    // screen them. Any row whose pass spread trips [[spreadSuspect]]
+    // is re-run TWICE in isolation here — after the battery, so
+    // outside whatever window poisoned a pass, with no concurrent
+    // queries — and the overall min kept. Like the record screen this
+    // can only ADD timings; the isolated pair lands in `passes` and
+    // `remeasured` so the artifact separates "noisy battery row" from
+    // "row that is genuinely that slow". Rows the record screen
+    // already re-measured are skipped — they have their isolated
+    // timings.
+    val spreadRows: Seq[(String, Double)] = recordScreened.collect {
+      case (name, q) if !remeasured.contains(name) &&
+          q.passes.exists(_.isRight) && spreadSuspect(q.passes) =>
+        name -> passSpread(q.passes).get
+    }
+    val spreadSet = spreadRows.map(_._1).toSet
+    val screened: Seq[(String, QueryResult)] = recordScreened.map {
+      case (name, q) if spreadSet.contains(name) =>
+        val fn = SparkEntry.queries(name)
+        val extra = Seq(once(fn), once(fn))
+        val times = extra.collect { case Right(t) => t }
+        if (times.nonEmpty) {
+          remeasured(name) = remeasured.getOrElse(name, Seq.empty) ++ times
+          val best = (times ++ q.value.toOption).min
+          name -> QueryResult(Right(best), q.passes ++ extra)
+        } else name -> QueryResult(q.value, q.passes ++ extra)
+      case other => other
     }
     // provenance: surface the records file's recorded git SHA (if any)
     // so an artifact measured against a stale record set is detectable
@@ -349,13 +436,15 @@ object Bench {
       s"$repoBase/bench/box_constant.json")
     val vsBox = calVsBox(cals, readBoxConstant(boxConstPath))
     // bandwidth drift vs the committed quiet constant — the axis the
-    // CPU spin is blind to (see bandwidth() above); same >1.2 median
-    // threshold as calibration_vs_box
+    // CPU spin is blind to (see bandwidth() above). Threshold is the
+    // WIDER [[BandwidthSuspectRatio]], not the CPU leg's 1.2: this
+    // leg's constant rests on a two-run history with larger within-
+    // run variance (ADVICE r14 #3)
     val bws = bwSamples.toSeq
     val bwVsBox = calVsBox(bws, readBoxKey(boxConstPath, "bandwidth_quiet_sec"))
     val contentionSuspect = cals.max / cals.min > 1.5 ||
       slowVsRecord.nonEmpty || vsBox.exists(_ > 1.2) ||
-      bwVsBox.exists(_ > 1.2)
+      bwVsBox.exists(_ > BandwidthSuspectRatio)
     val vsBoxJson = vsBox.map(r => f"$r%.3f").getOrElse("null")
     val bwVsBoxJson = bwVsBox.map(r => f"$r%.3f").getOrElse("null")
     val bj = bws.map(c => f"$c%.3f").mkString("[", ",", "]")
@@ -365,8 +454,10 @@ object Bench {
       .mkString("{", ",", "}")
     val svr = slowVsRecord.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
+    val ss = spreadRows.map { case (k, ratio) =>
+      "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record

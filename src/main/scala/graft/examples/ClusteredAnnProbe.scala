@@ -128,9 +128,10 @@ object ClusteredAnnProbe {
     val initC = corpus.orderBy(col("vec_id")).limit(cellsN)
       .select(col("vec_id").as("cent_id"),
         col("embedding").cast("array<double>").as("cv"))
-    val cells = graft.operators.ExtraSimilarityQueries.snapMicros(
-      graft.operators.ExtraSimilarityQueries.lloydTrain(
-        corpus.select(col("vec_id"), col("embedding").as("ev")), initC, 2))
+    // lloydTrain snaps the codebook per-iteration since r15 — no
+    // outer re-snap (floor∘floor can shift a value off the grid).
+    val cells = graft.operators.ExtraSimilarityQueries.lloydTrain(
+      corpus.select(col("vec_id"), col("embedding").as("ev")), initC, 2)
     val corpusCells = graft.operators.ExtraSimilarityQueries.assignTo(cells)(
         corpus.select(col("vec_id"), col("embedding").as("ev")), "vec_id", "ev")
       .select(col("vec_id"), col("cent_id"))

@@ -61,6 +61,29 @@ object CorpusPipelineDemo {
     s"""{"stage":"$stage","advice":"${a.operator}",""" +
       s""""predicted_candidates":${a.predictedCandidates}}"""
 
+  /** The ANN-tier advice line (VERDICT r14 #4 — advisor parity with
+    * the dedup stages): trains production IVF cells over the corpus'
+    * embedding table through the SAME Lloyd path the six ANN gates
+    * exercise (ExtraSimilarityQueries.lloydTrain — micros-snapped
+    * codebook), reads ScaleOps.adviseAnn's one-pass variance
+    * decomposition, and names the PQ encoding a production index
+    * build over these embeddings should use. LOG-ONLY, like the
+    * dedup lines; `ks` = the gates' 16-code sub-codebooks. */
+  def annAdviceLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.{ExtraSimilarityQueries => ESQ}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.select(col("vec_id"), col("embedding").as("ev"))
+    val init = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+    val cents = ESQ.lloydTrain(corpus, init, 2)
+    val assigned = ESQ.assignTo(cents)(corpus, "vec_id", "ev")
+    val stats = ESQ.annGeometryStats(corpus, cents, assigned)
+    val a = graft.operators.ScaleOps.adviseAnn(stats, ks = 16)
+    s"""{"stage":"ann_index_encoding","advice":"${a.encoding}",""" +
+      f""""explained":${a.explained}%.3f}"""
+  }
+
   /** Runs the composed pipeline; returns the JSON stage summary. */
   def run(spark: SparkSession, sfDir: String): String = {
     val q = graft.SparkEntry.queries
@@ -106,6 +129,10 @@ object CorpusPipelineDemo {
       println(adviceLine("near_dup_dedup", graft.operators.ScaleOps
         .adviseDedup(advStats,
           graft.operators.ScaleOps.SetSimilarity(0.5, exactRecall = false))))
+      // ... and the ANN tier's encoding advice over the corpus'
+      // embedding table (VERDICT r14 #4 — parity with the dedup
+      // advisor: CorpusPipelineSpec asserts this exact line)
+      println(annAdviceLine(spark, sfDir))
 
       // 1. PII scrub (map-only; audit counts aggregated for the report)
       val scrub = graft.operators.TextQueries.redact(docs)

@@ -55,7 +55,13 @@ object ExtraSimilarityQueries {
     * corpus vectors. The mean is computed long-form (posexplode →
     * avg per (cent_id, pos) → re-assemble sorted by pos) so it stays a
     * pair of tiny aggregations; an emptied cell keeps its previous
-    * centroid. Returns (cent_id, cv: array<double>). */
+    * centroid. The codebook is snapped to the micros grid
+    * ([[snapMicros]]) after EVERY iteration — an unquantized mean is
+    * shuffle-merge-order sensitive in its last ULP, which can flip a
+    * near-tie arg-min assignment downstream and break hash equality
+    * against the oracle replay (the defect class the r14 pqTrain fix
+    * eliminated; [[meansSql]] mirrors the per-iteration floor).
+    * Returns (cent_id, cv: array<double>), always on the grid. */
   private def lloydCentroids(e: org.apache.spark.sql.DataFrame,
                              iters: Int): org.apache.spark.sql.DataFrame =
     lloydTrain(
@@ -84,8 +90,8 @@ object ExtraSimilarityQueries {
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv_new"))
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+      cents = snapMicros(cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv_new"), col("cv")).as("cv")))
     }
     // materialize the trained codebook on the driver (the standard
     // k-means pattern — centers ARE driver state: nCells × dim doubles,
@@ -112,9 +118,15 @@ object ExtraSimilarityQueries {
 
   /** DuckDB replay of one Lloyd mean step (zipped unnest gives
     * (value, position) pairs; emptied cells keep the previous
-    * centroid via the left-join coalesce). */
+    * centroid via the left-join coalesce). The whole coalesced
+    * codebook is floored to the micros grid, mirroring
+    * [[lloydTrain]]'s per-iteration [[snapMicros]] — both engines
+    * apply the identical IEEE floor/×1e6/÷1e6 chain the same number
+    * of times, so the replay is bit-equal even where an unquantized
+    * mean would differ in its last ULP. */
   private def meansSql(assigned: String, prev: String): String =
-    s"""SELECT p.cent_id, coalesce(m.cv, p.cv) AS cv
+    s"""SELECT p.cent_id,
+              [floor(x * 1000000) / 1000000 FOR x IN coalesce(m.cv, p.cv)] AS cv
        FROM $prev p LEFT JOIN (
          SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
            SELECT cent_id, pos, avg(val) AS m FROM (
@@ -477,16 +489,20 @@ object ExtraSimilarityQueries {
     // residual's recovery, bench/clustered_ann_r14.jsonl). Cost shape
     // is unchanged: same candidate volume, same 8-byte codes, the LUT
     // grows nprobe× (still queries × nprobe × m × ks — broadcast-tiny).
-    // The cell centroids are snapped to the micros grid ([[snapMicros]],
-    // the pqTrain ADVICE r13 convention) because residual SUBTRACTION
-    // propagates centroid ULPs into every downstream arg-min — snapped,
+    // The cell centroids arrive already snapped to the micros grid —
+    // since r15 [[lloydTrain]] itself snaps after every iteration (the
+    // pqTrain ADVICE r13 convention, finished per VERDICT r14 #1) —
+    // which matters doubly here because residual SUBTRACTION
+    // propagates centroid ULPs into every downstream arg-min. Snapped,
     // the whole chain is bit-replayable and the oracle unrolls it
     // end-to-end (Lloyd chain → quantize → residualize → codes/LUT →
-    // ADC → recall).
+    // ADC → recall). No OUTER re-snap: floor∘floor is not idempotent
+    // off the exact grid (x·1e6 can round below the integer), so a
+    // second application could shift a value the oracle floors once.
     Spec("q_ann_ivfpq_residual_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val cents = snapMicros(lloydCentroids(e, LloydIters))
+        val cents = lloydCentroids(e, LloydIters)
         val corpusE = e.filter(col("vec_id") >= 20)
           .select(col("vec_id"), col("embedding"))
         val corpusCells = assignTo(cents)(
@@ -557,13 +573,10 @@ object ExtraSimilarityQueries {
              c1 AS (${meansSql("a1", "c0")}),
              a2 AS (${assignSql("c1", "vid", "e.vec_id >= 20")}),
              c2 AS (${meansSql("a2", "c1")}),
-             c2q AS (SELECT cent_id,
-                            [floor(x * 1000000) / 1000000 FOR x IN cv] AS cv
-                     FROM c2),
-             corpus AS (${assignSql("c2q", "vec_id", "e.vec_id >= 20")}),
+             corpus AS (${assignSql("c2", "vec_id", "e.vec_id >= 20")}),
              queries AS (
                SELECT vid AS query_id, cent_id AS q_cent FROM (
-                 ${assignSql("c2q", "vid",
+                 ${assignSql("c2", "vid",
                    s"e.vec_id >= $NCentroids AND e.vec_id < 13",
                    maxRank = NProbe)}) z),
              sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
@@ -571,7 +584,7 @@ object ExtraSimilarityQueries {
                      FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
              csub AS (SELECT cent_id, CAST(mi AS BIGINT) AS m,
                              cv[mi*8+1 : mi*8+8] AS csv
-                      FROM c2q, UNNEST(generate_series(0, 7)) AS t(mi)),
+                      FROM c2, UNNEST(generate_series(0, 7)) AS t(mi)),
              rsub AS (SELECT s.vec_id, s.m,
                              [s.sv[i] - cs.csv[i] FOR i IN generate_series(1, 8)] AS sv
                       FROM sub s JOIN corpus a ON s.vec_id = a.vec_id

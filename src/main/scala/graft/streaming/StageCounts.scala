@@ -29,8 +29,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * whose rows reach this query before anything Q1 wrote after it
   * (the file source orders by mtime; the replayed partition is
   * rewritten before batch N+1 exists). State is therefore bounded by
-  * ~2 Q1 micro-batches of doc_ids per source (arrival-rate × trigger
-  * sized), never corpus-sized.
+  * ~[[SeenBatchWindow]] Q1 micro-batches of doc_ids per source
+  * (arrival-rate × trigger sized), never corpus-sized.
+  *
+  * PRECONDITION (mtime ordering, ADVICE r14 #2): the eviction is
+  * sound only if the file source delivers a rewritten batch-N
+  * partition before any file of a batch ≥ N + [[SeenBatchWindow]].
+  * FileStreamSource orders by modification time, so this holds on
+  * local-FS delivery where the repo already manages mtimes
+  * explicitly (see StreamScaleProbe's restamp); on stores with
+  * coarse mtime granularity or clock regression a replay could
+  * arrive after its memory was evicted and double-count. The window
+  * is therefore set WIDER than the minimal 2 the replay argument
+  * needs — state stays bounded (window × micro-batch doc_ids per
+  * source, still KBs) and a delivery inversion now needs to span
+  * [[SeenBatchWindow]] whole trigger intervals, not one coarse
+  * mtime tick, before it can double-count.
+  *
+  * STATE SCHEMA (ADVICE r14 #1): r14 changed the GroupState type
+  * from `Counts` to [[CountState]] (and `DocTier` gained
+  * batch_id/doc_id) to carry the replay memory. A checkpoint written
+  * by the pre-r14 code fails state deserialization on this code —
+  * discard old gold checkpoints and restart fresh (the gold table
+  * itself is unaffected; counters rebuild from the silver history on
+  * a fresh checkpoint).
   */
 object StageCounts {
 
@@ -50,14 +72,19 @@ object StageCounts {
   /** Counter frontier + the recent-batch replay memory. */
   final case class CountState(counts: Counts, seen: Seq[SeenBatch])
 
-  /** How many of the newest upstream batch_ids keep their doc_id sets
-    * (see the replay-eviction argument in the object scaladoc). */
-  private val SeenBatchWindow = 2
+  /** How many of the newest upstream batch_ids keep their doc_id sets.
+    * The replay argument needs 2; 4 buys slack against coarse-mtime
+    * delivery inversion at a still-bounded state cost (see the
+    * PRECONDITION paragraph in the object scaladoc; ADVICE r14 #2). */
+  private[graft] val SeenBatchWindow = 4
 
   /** Fold one micro-batch's rows into the running state, dropping
     * rows whose (batch_id, doc_id) this source has already counted —
-    * the replayed-silver-partition case. */
-  private def fold(st: CountState, rows: Iterator[DocTier]): CountState = {
+    * the replayed-silver-partition case. Exposed private[graft] as
+    * the eviction-bound test hook (StreamingSpec drives ≥4 upstream
+    * batches with interleaved replays through it and inspects the
+    * surviving `seen` window directly). */
+  private[graft] def fold(st: CountState, rows: Iterator[DocTier]): CountState = {
     val seen = scala.collection.mutable.Map.empty[Long,
       scala.collection.mutable.Set[Long]]
     st.seen.foreach(b => seen(b.batch_id) =

@@ -52,4 +52,40 @@ class BenchInstrumentSpec extends AnyFunSuite {
     assert(got.contains(0.455))
     assert(Bench.readBoxConstant("/nonexistent/nope.json").isEmpty)
   }
+
+  test("noisy-row spread trigger (VERDICT r14 #2): fires on the r14 " +
+    "pagerank-shaped pair, not on tight pairs, errors, or fast rows") {
+    def R(t: Double): Either[String, Double] = Right(t)
+    // the literal r14 100x artifact pair that motivated the trigger
+    assert(Bench.spreadSuspect(Seq(R(171.6), R(64.1))))
+    assert(Bench.passSpread(Seq(R(171.6), R(64.1))).get > 2.5)
+    // tight pair: below the ratio — quiet
+    assert(!Bench.spreadSuspect(Seq(R(60.0), R(64.1))))
+    // exactly at the ratio boundary: > is strict
+    assert(!Bench.spreadSuspect(Seq(R(25.0), R(10.0))))
+    assert(Bench.spreadSuspect(Seq(R(25.1), R(10.0))))
+    // sub-second JIT jitter spans 2.5x routinely — the absolute floor
+    // keeps such rows out of the net (SpreadMinSec)
+    assert(!Bench.spreadSuspect(Seq(R(0.08), R(0.31))))
+    // a lone time (other pass errored) has no spread — the salvage
+    // path owns that case, not this trigger
+    assert(!Bench.spreadSuspect(Seq(R(64.1), Left("boom"))))
+    assert(Bench.passSpread(Seq(R(64.1), Left("boom"))).isEmpty)
+    // errors among MORE than two times don't block the trigger
+    assert(Bench.spreadSuspect(Seq(R(171.6), Left("boom"), R(64.1))))
+  }
+
+  test("bandwidth leg uses the wider threshold (ADVICE r14 #3): a " +
+    "quiet run whose median lands at 0.36 must NOT flag") {
+    val bwBox = Some(0.30)
+    // genuinely quiet run at the top of the observed within-run span
+    val quietHigh = Seq(0.34, 0.36, 0.38, 0.37, 0.37)
+    val r = Bench.calVsBox(quietHigh, bwBox).get
+    assert(r > 1.2, "the case only matters because 1.2 would flag it")
+    assert(r <= Bench.BandwidthSuspectRatio,
+      s"quiet-high bandwidth median false-flagged: ratio $r")
+    // sustained genuine bandwidth starvation still fires
+    val starved = Seq(0.55, 0.52, 0.58, 0.54, 0.56)
+    assert(Bench.calVsBox(starved, bwBox).get > Bench.BandwidthSuspectRatio)
+  }
 }

@@ -53,4 +53,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val atScale = stats.copy(n = 500L * 1000 * 1000)
     assert(ScaleOps.adviseDedup(atScale, task).operator == "minhash_lsh")
   }
+
+  test("the logged ANN advice line routes the demo's embedding table " +
+    "by its measured geometry (VERDICT r14 #4 — parity with the " +
+    "dedup advisor)") {
+    import graft.operators.ScaleOps
+    val line = graft.examples.CorpusPipelineDemo
+      .annAdviceLine(spark, "/root/testdata/sf0.001")
+    assert(line.contains("\"stage\":\"ann_index_encoding\""), line)
+    // the synthetic embeddings corpus is near-isotropic (measured
+    // explained 0.14 at the 10x replica, r14) — the honest advice at
+    // gate scale is raw_pq: residual re-centering buys ~nothing here
+    assert(line.contains("\"advice\":\"raw_pq\""), line)
+    val explained = "\"explained\":([0-9.]+)".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    assert(explained >= 0.0 &&
+      explained < ScaleOps.ResidualExplainedThreshold, line)
+    // and the clustered-manifold shape flips the SAME decision rule
+    // to residual_pq (the two-sided calibration, ScaleOpsSpec pins
+    // the measured decomposition values)
+    val clusteredShaped = ScaleOps.AnnCorpusStats(
+      n = 5000, cells = 64, totalSse = 1000.0, withinSse = 80.0)
+    assert(ScaleOps.adviseAnn(clusteredShaped, ks = 256)
+      .encoding == "residual_pq")
+  }
 }

@@ -958,4 +958,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.values.map(_.n_total).sum == 180L,
       s"expected 180 docs counted after batch 2, got $after")
   }
+
+  test("StageCounts eviction bound under pressure (VERDICT r14 " +
+    "stretch): 6 upstream batches with interleaved replays never " +
+    "double-count, and state never carries more than SeenBatchWindow " +
+    "batches' doc_ids") {
+    import graft.streaming.StageCounts
+    import graft.streaming.StageCounts.{CountState, Counts, DocTier}
+
+    // Drives the state fold directly — the same function
+    // flatMapGroupsWithState applies per micro-batch — so the
+    // scaladoc's bounded-memory argument is test-backed: after every
+    // fold we can INSPECT the surviving `seen` window, which the
+    // black-box stream tests above cannot.
+    def rows(batch: Long, ids: Range): Iterator[DocTier] =
+      ids.iterator.map(i => DocTier("web", if (i % 3 == 0) "head"
+        else if (i % 3 == 1) "middle" else "tail", batch, i.toLong))
+
+    var st = CountState(Counts("web", 0, 0, 0, 0), Seq.empty)
+    def assertBound(): Unit = {
+      assert(st.seen.size <= StageCounts.SeenBatchWindow,
+        s"state carries ${st.seen.size} batches' doc_ids, " +
+          s"window is ${StageCounts.SeenBatchWindow}: " +
+          st.seen.map(_.batch_id))
+      // and the kept batches are the NEWEST ones, contiguous from max
+      val kept = st.seen.map(_.batch_id)
+      assert(kept == kept.sorted, s"seen not sorted: $kept")
+    }
+
+    // batches 0..5, each 50 docs, with a replay of batch N arriving
+    // while batch N+1 is the newest (inside the window) after every
+    // even batch — the at-least-once upstream's worst legal cadence
+    var expected = 0L
+    for (b <- 0L to 5L) {
+      st = StageCounts.fold(st, rows(b, (b * 50).toInt until (b * 50 + 50).toInt))
+      expected += 50
+      assert(st.counts.n_total == expected,
+        s"batch $b advanced wrong: ${st.counts.n_total} != $expected")
+      assertBound()
+      if (b % 2 == 0 && b > 0) {
+        // replay the PREVIOUS batch in full (still inside the window)
+        st = StageCounts.fold(st,
+          rows(b - 1, ((b - 1) * 50).toInt until ((b - 1) * 50 + 50).toInt))
+        assert(st.counts.n_total == expected,
+          s"in-window replay of batch ${b - 1} double-counted: " +
+            s"${st.counts.n_total} != $expected")
+        assertBound()
+      }
+    }
+    // tier split is exact (100 head / 100 middle / 100 tail per 300)
+    assert(st.counts.n_head == 100 && st.counts.n_middle == 100 &&
+      st.counts.n_tail == 100,
+      s"tier counters drifted: ${st.counts}")
+
+    // the documented PRECONDITION boundary: a replay of a batch
+    // OLDER than the window (batch 0 while batch 5 is newest) has
+    // lost its memory — it double-counts, which is exactly why the
+    // scaladoc states the mtime-ordering precondition and why the
+    // window is 4, not the minimal 2
+    val evicted = StageCounts.fold(st, rows(0L, 0 until 50))
+    assert(evicted.counts.n_total == expected + 50,
+      "an out-of-window replay unexpectedly deduped — if the window " +
+        "became unbounded, update this pin AND the scaladoc bound")
+  }
 }
