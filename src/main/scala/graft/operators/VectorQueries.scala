@@ -74,6 +74,21 @@ object VectorQueries {
   private[graft] def pqTrain(corpusSub: org.apache.spark.sql.DataFrame,
                              cb0: org.apache.spark.sql.DataFrame,
                              iters: Int): org.apache.spark.sql.DataFrame = {
+    val spark = corpusSub.sparkSession
+    import spark.implicits._
+    // driver-materialize the codebook after EVERY iteration, not just
+    // at the end (r15): each loop pass broadcasts `cb` twice (assign +
+    // join-back), and an unmaterialized cb_i re-executes the whole
+    // cb_{i-1} chain inside each broadcast — measured EXPONENTIAL in
+    // iters on the ceiling sweep (2 iters 7.9 s, 4 iters 31.8 s,
+    // 8 iters >8 min before the fix). The codebook is ks × m rows of
+    // subDim doubles — KBs of legitimate driver state, same contract
+    // as the Lloyd codebook.
+    def materialize(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("cb_m"), col("code"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .toSeq.toDF("cb_m", "code", "cv")
     var cb = cb0
     for (_ <- 0 until iters) {
       val assigned = pqCodes(corpusSub, cb, "vec_id")
@@ -92,17 +107,14 @@ object VectorQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("cv_new"))
         .select(col("m").as("mm_m"), col("code").as("mm_code"), col("cv_new"))
-      cb = cb.join(means,
+      cb = materialize(cb.join(means,
           col("cb_m") === col("mm_m") && col("code") === col("mm_code"),
           "left")
         .select(col("cb_m"), col("code"),
-          coalesce(col("cv_new"), col("cv")).as("cv"))
+          coalesce(col("cv_new"), col("cv")).as("cv")))
     }
-    val spark = corpusSub.sparkSession
-    import spark.implicits._
-    cb.select(col("cb_m"), col("code"), col("cv")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
-      .toSeq.toDF("cb_m", "code", "cv")
+    // iters == 0 keeps the driver-materialized contract too
+    if (iters == 0) materialize(cb) else cb
   }
 
   val specs: Seq[Spec] = Seq(
