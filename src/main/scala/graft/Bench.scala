@@ -53,6 +53,40 @@ object Bench {
   /** Minimum slow-pass wall for the spread trigger (seconds). */
   private[graft] val SpreadMinSec = 1.0
 
+  /** Cap on how many spread-suspect rows the isolated re-measure
+    * re-runs (ADVICE r15 #4): a battery-wide contention window at
+    * replica scale could trip the 2.5× spread on MANY multi-minute
+    * rows at once, and two serial passes each would add an unbounded
+    * tail to bench wall time. The widest spreads carry the most
+    * information per re-run second; rows past the cap stay listed in
+    * `spread_suspect` and counted in `n_spread_skipped`, so the
+    * artifact still names every suspect even when it re-runs few. */
+  private[graft] val SpreadRemeasureCap = 8
+
+  /** Which spread-suspect rows actually get the isolated re-run: up
+    * to [[SpreadRemeasureCap]], widest spread first, ties broken on
+    * name so the selection is deterministic. */
+  private[graft] def spreadRemeasureSelect(rows: Seq[(String, Double)])
+      : Seq[String] =
+    rows.sortBy { case (n, sp) => (-sp, n) }
+      .take(SpreadRemeasureCap).map(_._1)
+
+  /** Per-query outcome: `value` = the screened min, `passes` = the
+    * BATTERY passes (including the mixed-case salvage pass), `extra`
+    * = instrument-added re-measure passes (record screen + isolated
+    * spread re-runs). `flaky` reads only the battery passes (ADVICE
+    * r15 #1): a transient failure of the instrument's own re-run must
+    * not mark a query whose battery passes all succeeded — the failed
+    * re-run still lands in the artifact's `passes` array via
+    * [[allPasses]], just not in `n_flaky`. */
+  private[graft] case class QueryResult(
+      value: Either[String, Double],
+      passes: Seq[Either[String, Double]],
+      extra: Seq[Either[String, Double]] = Nil) {
+    def flaky: Boolean = value.isRight && passes.exists(_.isLeft)
+    def allPasses: Seq[Either[String, Double]] = passes ++ extra
+  }
+
   /** Bandwidth-leg suspect threshold — deliberately WIDER than the
     * CPU leg's 1.2 (ADVICE r14 #3): the committed bandwidth constant
     * rests on only two quiet runs whose within-run samples span
@@ -152,11 +186,6 @@ object Bench {
         // non-blocking release, and a no-op for every other query
         graft.operators.GraphQueries.unpersistAll()
       }
-    }
-    // value per query + every pass outcome (time or error string)
-    case class QueryResult(value: Either[String, Double],
-                           passes: Seq[Either[String, Double]]) {
-      def flaky: Boolean = value.isRight && passes.exists(_.isLeft)
     }
     // absolute CPU calibration: a fixed xorshift spin fanned across all
     // cores, timed before / between / after the passes. Its wall time
@@ -328,19 +357,24 @@ object Bench {
           // the stale entry is simply never consulted
           SparkEntry.queries.get(name)) match {
         case (Right(v), Some(rec), Some(fn)) if suspectVsRecord(v, rec) =>
-          var passes = q.passes
           var best = v
           var tries = 0
-          val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val extraRuns =
+            scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
           while (suspectVsRecord(best, rec) && tries < 2) {
             tries += 1
             once(fn) match {
-              case Right(t) => extra += t; passes :+= Right(t); best = math.min(best, t)
-              case l @ Left(_) => passes :+= l; tries = 2
+              case r @ Right(t) => extraRuns += r; best = math.min(best, t)
+              case l @ Left(_) => extraRuns += l; tries = 2
             }
           }
-          remeasured(name) = extra.toSeq
-          name -> QueryResult(Right(best), passes)
+          // only mark the row re-measured when a timing actually
+          // landed (ADVICE r15 #2): an errored re-measure must leave
+          // the row eligible for the spread screen's isolated re-run
+          // instead of silently exempting it
+          val landed = extraRuns.collect { case Right(t) => t }.toSeq
+          if (landed.nonEmpty) remeasured(name) = landed
+          name -> QueryResult(Right(best), q.passes, q.extra ++ extraRuns)
         case _ => name -> q
       }
     }
@@ -363,7 +397,10 @@ object Bench {
           q.passes.exists(_.isRight) && spreadSuspect(q.passes) =>
         name -> passSpread(q.passes).get
     }
-    val spreadSet = spreadRows.map(_._1).toSet
+    // capped to the widest spreads (ADVICE r15 #4) — the skipped
+    // remainder stays visible in `spread_suspect`/`n_spread_skipped`
+    val spreadSet = spreadRemeasureSelect(spreadRows).toSet
+    val nSpreadSkipped = spreadRows.size - spreadSet.size
     val screened: Seq[(String, QueryResult)] = recordScreened.map {
       case (name, q) if spreadSet.contains(name) =>
         val fn = SparkEntry.queries(name)
@@ -372,8 +409,8 @@ object Bench {
         if (times.nonEmpty) {
           remeasured(name) = remeasured.getOrElse(name, Seq.empty) ++ times
           val best = (times ++ q.value.toOption).min
-          name -> QueryResult(Right(best), q.passes ++ extra)
-        } else name -> QueryResult(q.value, q.passes ++ extra)
+          name -> QueryResult(Right(best), q.passes, q.extra ++ extra)
+        } else name -> QueryResult(q.value, q.passes, q.extra ++ extra)
       case other => other
     }
     // provenance: surface the records file's recorded git SHA (if any)
@@ -405,7 +442,8 @@ object Bench {
     }
     val ok = screened.collect { case (k, q) if q.value.isRight =>
       k -> q.value.toOption.get }
-    val errs = screened.collect { case (k, QueryResult(Left(e), _)) => k -> e }
+    val errs = screened.collect { case (k, q) if q.value.isLeft =>
+      k -> q.value.left.toOption.get }
     val flaky = screened.collect { case (k, q) if q.flaky =>
       k -> q.passes.collectFirst { case Left(e) => e }.get }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -414,8 +452,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = flaky.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
+    // battery + instrument passes, in run order — the instrument's
+    // re-runs stay visible here even though they no longer count
+    // toward `n_flaky`
     val ps = screened.map { case (k, q) =>
-      s"\"" + k + "\":" + q.passes.map(passJson).mkString("[", ",", "]") }
+      s"\"" + k + "\":" + q.allPasses.map(passJson).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // contention self-diagnosis (see calibrate() above): disagreement
@@ -457,7 +498,7 @@ object Bench {
     val ss = spreadRows.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
@@ -498,7 +539,7 @@ object Bench {
     // driver-captured tail must carry provenance even when the detail
     // file isn't read
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

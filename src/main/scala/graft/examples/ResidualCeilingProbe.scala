@@ -29,10 +29,27 @@ import graft.operators.{ScaleOps, VectorQueries}
   * generator (K cluster centers from xxhash64, per-vector noise
   * `sigma`) — no RNG, replayable from ids.
   *
+  * r16 adds `mode=aniso` (VERDICT r15 #4): the r15 OPQ-lite null was
+  * measured on i.i.d.-shaped residuals, where no decomposition can
+  * beat another; real embedding manifolds have CORRELATED,
+  * ANISOTROPIC per-dimension structure where Ge/He/Ke/Sun (Optimized
+  * Product Quantization, TPAMI 2014) show a learned rotation pays.
+  * The anisotropic mode keeps the cluster centers but shapes the
+  * noise with (a) a global exponentially-decaying per-dimension
+  * spectrum (variance imbalance — what the OPQ-lite permutation can
+  * rebalance) and (b) a per-cluster banded linear map with
+  * hash-derived coefficients mixing adjacent latents (cross-dimension
+  * correlation — what only a ROTATION can remove). On this geometry
+  * the probe adds the cheap learned rotation of OPQ's non-parametric
+  * init: PCA of the pooled residual covariance (64×64 — driver-side
+  * Jacobi) + eigenvalue allocation of the rotated dims to subspaces
+  * (balance per-bin log-eigenvalue mass, Ge et al. §4).
+  *
   * Usage: runMain graft.examples.ResidualCeilingProbe
-  *          [nCorpus] [nQueries] [K] [sigma]
-  *   (defaults 50000 / 100 / 32 / 0.15; tee to
-  *    bench/clustered_ann_r15.jsonl)
+  *          [nCorpus] [nQueries] [K] [sigma] [mode]
+  *   (defaults 50000 / 100 / 32 / 0.15 / iid; r15 artifact =
+  *    bench/clustered_ann_r15.jsonl, r16 aniso =
+  *    bench/clustered_ann_r16.jsonl)
   */
 object ResidualCeilingProbe {
   def main(args: Array[String]): Unit = {
@@ -40,6 +57,8 @@ object ResidualCeilingProbe {
     val nQ = if (args.length > 1) args(1).toLong else 100L
     val kClusters = if (args.length > 2) args(2).toInt else 32
     val sigma = if (args.length > 3) args(3).toDouble else 0.15
+    val mode = if (args.length > 4) args(4) else "iid"
+    require(mode == "iid" || mode == "aniso", s"unknown mode $mode")
     val dim = 64
     val k = 10
     val cellsN = 64
@@ -61,8 +80,26 @@ object ResidualCeilingProbe {
     def u(h: Column): Column =
       pmod(h, lit(2000001L)).cast("double") / 1000000.0 - 1.0
     val cl = pmod(xxhash64(col("id"), lit(7)), lit(kClusters.toLong))
-    val emb = transform(sequence(lit(1), lit(dim)),
-      j => u(xxhash64(cl, j)) + lit(sigma) * u(xxhash64(col("id"), j + lit(1000))))
+    def z(j: Column): Column = u(xxhash64(col("id"), j + lit(1000)))
+    val emb =
+      if (mode == "iid")
+        transform(sequence(lit(1), lit(dim)),
+          j => u(xxhash64(cl, j)) + lit(sigma) * z(j))
+      else {
+        // anisotropic-correlated noise: global decaying spectrum
+        // s_j = exp(-3(j-1)/(dim-1)) ∈ [1, 0.05] (variance imbalance)
+        // times a per-cluster banded map w_j = z_j + g_{c,j}·z_{j⊕1}
+        // (hash-derived coefficient g ∈ [-1,1), adjacent-latent mixing
+        // that wraps at dim — correlation a permutation cannot remove)
+        transform(sequence(lit(1), lit(dim)), j => {
+          val spectrum = exp((j - lit(1)).cast("double")
+            * lit(-3.0 / (dim - 1)))
+          val g = u(xxhash64(cl, j + lit(3000)))
+          val wrapNext = pmod(j, lit(dim.toLong)) + lit(1)
+          u(xxhash64(cl, j)) +
+            lit(sigma) * spectrum * (z(j) + g * z(wrapNext))
+        })
+      }
     val all = spark.range(nCorpus + nQ)
       .select(col("id").as("vec_id"), emb.as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -112,7 +149,8 @@ object ResidualCeilingProbe {
     val nCand = candidates.count()
     val ceiling = recallOf(candidates
       .select(col("query_id").as("qi"), col("vec_id").as("vi")))
-    println(s"""{"probe":"residual_ceiling_routing","n_corpus":$nCorpus,""" +
+    println(s"""{"probe":"residual_ceiling_routing","mode":"$mode",""" +
+      s""""n_corpus":$nCorpus,""" +
       s""""clusters":$kClusters,"sigma":$sigma,"cells":$cellsN,""" +
       s""""nprobe":$nprobe,"candidates":$nCand,""" +
       s""""routing_recall_ceiling":${fmt(ceiling)}}""")
@@ -174,15 +212,121 @@ object ResidualCeilingProbe {
       df.withColumn("rv",
         array(perm.map(i => col("rv").getItem(i)): _*))
 
-    // ---- the sweep: m × pqTrain-iters × (± OPQ-lite) ---------------
-    val legs: Seq[(Int, Int, Boolean)] =
-      (for (m <- Seq(8, 16); it <- Seq(0, 2, 4, 8)) yield (m, it, false)) ++
-        Seq((8, 4, true), (16, 4, true), (16, 8, true))
-    for ((m, iters, opq) <- legs) {
+    /** Pooled residual covariance (64×64 — driver-sized by
+      * construction): E[r_i r_j] via one posexplode² pass whose
+      * shuffle carries only 4096 (i, j) partial-agg keys, minus the
+      * mean outer product. */
+    def residCovariance(): Array[Array[Double]] = {
+      val mu = corpusResid.select(posexplode(col("rv")).as(Seq("i", "vi")))
+        .groupBy("i").agg(avg("vi").as("m"))
+        .orderBy("i").collect().map(_.getDouble(1))
+      val eij = corpusResid
+        .select(posexplode(col("rv")).as(Seq("i", "vi")), col("rv"))
+        .select(col("i"),
+          posexplode(transform(col("rv"), y => col("vi") * y))
+            .as(Seq("j", "prod")))
+        .groupBy("i", "j").agg(avg("prod").as("e"))
+        .collect()
+      val cov = Array.fill(dim, dim)(0.0)
+      eij.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        cov(i)(j) = r.getDouble(2) - mu(i) * mu(j)
+      }
+      cov
+    }
+
+    /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+      * returns (eigenvalues, eigenvector COLUMNS); 64×64 converges in
+      * a handful of sweeps, pure driver arithmetic. */
+    def jacobiEigen(a0: Array[Array[Double]])
+        : (Array[Double], Array[Array[Double]]) = {
+      val n = a0.length
+      val a = a0.map(_.clone())
+      val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      var sweep = 0
+      var off = Double.MaxValue
+      while (sweep < 30 && off > 1e-10) {
+        for (p <- 0 until n - 1; q <- p + 1 until n
+             if math.abs(a(p)(q)) > 1e-12) {
+          val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+          val (c, s) = (math.cos(theta), math.sin(theta))
+          var i = 0
+          while (i < n) { // A <- A·J
+            val (aip, aiq) = (a(i)(p), a(i)(q))
+            a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < n) { // A <- Jᵀ·A
+            val (api, aqi) = (a(p)(i), a(q)(i))
+            a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+            i += 1
+          }
+          i = 0
+          while (i < n) { // V <- V·J (columns are eigenvectors)
+            val (vip, viq) = (v(i)(p), v(i)(q))
+            v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+        off = (for (i <- 0 until n; j <- 0 until n if i != j)
+          yield a(i)(j) * a(i)(j)).sum
+        sweep += 1
+      }
+      (Array.tabulate(n)(i => a(i)(i)), v)
+    }
+
+    /** The cheap LEARNED rotation (OPQ non-parametric init, Ge et al.
+      * TPAMI 2014 §4): rotate residuals into the PCA eigenbasis of
+      * their pooled covariance, then allocate eigen-dims to subspaces
+      * balancing per-bin log-eigenvalue mass (the product criterion) —
+      * greedy largest-first, ties by bin index. Returns the basis rows
+      * in subspace-major output order; rv'_k = basis(k)·rv is a
+      * map-only expression. Deterministic: covariance, Jacobi, and the
+      * greedy allocation are all order-fixed. */
+    lazy val eigen = jacobiEigen(residCovariance())
+    def pcaBasis(m: Int, subDim: Int): Seq[Array[Double]] = {
+      val (vals, vecs) = eigen
+      val order = (0 until dim).sortBy(i => (-vals(i), i))
+      val bins = Array.fill(m)(List.empty[Int])
+      val logSums = Array.fill(m)(0.0)
+      order.foreach { ei =>
+        val open = (0 until m).filter(b => bins(b).size < subDim)
+        val b = open.minBy(b => (logSums(b), b))
+        bins(b) = bins(b) :+ ei
+        logSums(b) += math.log(math.max(vals(ei), 1e-12))
+      }
+      bins.toSeq.flatten.map(ei => Array.tabulate(dim)(i => vecs(i)(ei)))
+    }
+    def rotateRv(df: DataFrame, basis: Seq[Array[Double]]): DataFrame =
+      df.withColumn("rv", array(basis.map(row =>
+        row.zipWithIndex.map { case (w, i) =>
+          col("rv").getItem(i) * lit(w)
+        }.reduce(_ + _)): _*))
+
+    // ---- the sweep: m × pqTrain-iters × encoder decomposition ------
+    // iid mode re-runs the r15 leg set (plain + OPQ-lite permutation);
+    // aniso mode adds the learned-rotation leg the correlated
+    // geometry exists to price
+    val legs: Seq[(Int, Int, String)] =
+      if (mode == "iid")
+        (for (m <- Seq(8, 16); it <- Seq(0, 2, 4, 8)) yield (m, it, "plain")) ++
+          Seq((8, 4, "perm"), (16, 4, "perm"), (16, 8, "perm"))
+      else
+        Seq((8, 2, "plain"), (8, 4, "plain"), (16, 2, "plain"),
+          (16, 4, "plain"), (8, 4, "perm"), (16, 4, "perm"),
+          (8, 4, "pca"), (16, 4, "pca"))
+    for ((m, iters, enc) <- legs) {
       val subDim = dim / m
-      val perm = if (opq) opqPerm(m, subDim) else (0 until dim)
-      val cres = if (opq) permuteRv(corpusResid, perm) else corpusResid
-      val qres = if (opq) permuteRv(queryResid, perm) else queryResid
+      val (cres, qres) = enc match {
+        case "plain" => (corpusResid, queryResid)
+        case "perm" =>
+          val perm = opqPerm(m, subDim)
+          (permuteRv(corpusResid, perm), permuteRv(queryResid, perm))
+        case "pca" =>
+          val basis = pcaBasis(m, subDim)
+          (rotateRv(corpusResid, basis), rotateRv(queryResid, basis))
+      }
       val cSub = subOf(cres, Seq("vec_id"), m, subDim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cSub.count()
@@ -218,9 +362,10 @@ object ResidualCeilingProbe {
       val searchSec = secSince(t0)
       val recall = recallOf(top)
       top.unpersist(); codes.unpersist(); cSub.unpersist(); cb.unpersist()
-      println(s"""{"probe":"residual_ceiling","cells":$cellsN,""" +
+      println(s"""{"probe":"residual_ceiling","mode":"$mode",""" +
+        s""""cells":$cellsN,""" +
         s""""nprobe":$nprobe,"m":$m,"ks":$ks,"pq_iters":$iters,""" +
-        s""""opq_lite":$opq,"residual":true,"train_sec":${fmt(trainSec)},""" +
+        s""""encoder":"$enc","residual":true,"train_sec":${fmt(trainSec)},""" +
         s""""search_sec":${fmt(searchSec)},"recall":${fmt(recall)}}""")
     }
     spark.stop()

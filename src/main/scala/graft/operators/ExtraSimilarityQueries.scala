@@ -643,6 +643,151 @@ object ExtraSimilarityQueries {
                ON b.query_id = p.query_id AND b.vec_id = p.vec_id
              GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // INCREMENTAL ANN ingest (VERDICT r15 #2) — the batch-vs-corpus
+    // form every dedup-family operator already has
+    // (prefixFilterIncremental's contract), applied to the ANN index:
+    // a 100 TB corpus appends batches daily, and rebuilding
+    // codebook+codes+LUTs per arrival is a full-corpus pass nobody
+    // runs. Instead the trained artifacts are FROZEN — the Lloyd IVF
+    // codebook and the PQ sub-codebooks, both trained on the
+    // PRE-EXISTING corpus only (here vec_id % 5 <> 0; the % 5 = 0 rows
+    // are "tomorrow's batch") — and the arrivals batch is assigned
+    // (cells) and encoded (codes) against them in one batch-sized
+    // pass, never touching corpus state. Queries then search
+    // corpus ∪ batch. Because cell assignment and code assignment are
+    // PURE FUNCTIONS of the frozen centers, the incremental append is
+    // exactly equal to a full rebuild under the same frozen codebook —
+    // and this row PROVES that equality cross-engine: the Spark side
+    // computes corpus and batch cells/codes in two separate passes and
+    // unions them (the incremental path); the DuckDB oracle encodes
+    // the whole union in ONE pass against the same frozen CTEs (the
+    // full-rebuild path). A hash match means the two paths agree
+    // bit-for-bit. The WHEN-to-retrain half lives in
+    // [[ScaleOps.adviseAnnDrift]] over [[annGeometryStats]] on the
+    // batch (CorpusPipelineDemo prints the drift line). Scale shape:
+    // the arrival pass costs one broadcast-assign + one broadcast-
+    // encode over the BATCH only; the search is the composed
+    // q_ann_ivfpq plan over union'd cell/code tables.
+    Spec("q_ann_incremental",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val corpusE = e.filter(col("vec_id") >= 20 &&
+            pmod(col("vec_id"), lit(5)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        val batchE = e.filter(col("vec_id") >= 20 &&
+            pmod(col("vec_id"), lit(5)) === 0)
+          .select(col("vec_id"), col("embedding"))
+        // frozen IVF codebook: Lloyd-trained on the corpus side only
+        val cents = lloydTrain(
+          corpusE.select(col("vec_id"), col("embedding").as("ev")),
+          e.filter(col("vec_id") < NCentroids)
+            .select(col("vec_id").as("cent_id"),
+              graft.functions.VectorFunctions.asDouble(col("embedding"))
+                .as("cv")),
+          LloydIters)
+        // frozen PQ sub-codebooks: sampled from the corpus side only
+        val corpusSub = VectorQueries.pqSub(corpusE, "vec_id", 8, 8)
+        val cb = corpusSub.filter(col("vec_id") < 36)
+          .select(col("m").as("cb_m"), col("vec_id").as("code"),
+            col("sv").as("cv"))
+        // the INCREMENTAL path: corpus artifacts and batch artifacts
+        // are two separate assign/encode passes over the frozen
+        // codebooks, unioned — corpus state is never recomputed when
+        // a batch arrives
+        val corpusCells = assignTo(cents)(
+            corpusE.select(col("vec_id"), col("embedding").as("ev")),
+            "vec_id", "ev")
+          .select(col("vec_id"), col("cent_id"))
+        val batchCells = assignTo(cents)(
+            batchE.select(col("vec_id"), col("embedding").as("ev")),
+            "vec_id", "ev")
+          .select(col("vec_id"), col("cent_id"))
+        val allCells = corpusCells.unionByName(batchCells)
+        val allCodes = VectorQueries.pqCodes(corpusSub, cb, "vec_id")
+          .unionByName(VectorQueries.pqCodes(
+            VectorQueries.pqSub(batchE, "vec_id", 8, 8), cb, "vec_id"))
+        // composed search over corpus ∪ batch (the q_ann_ivfpq plan)
+        val qraw = e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val queries = assignTo(cents, keepN = NProbe)(qraw, "query_id", "qv")
+          .withColumnRenamed("cent_id", "q_cent")
+        val lut = VectorQueries.pqLut(
+          VectorQueries.pqSub(
+            e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
+              .select(col("vec_id"), col("embedding")), "query_id", 8, 8),
+          cb, "query_id")
+        val candidates = broadcast(queries.select(col("query_id"), col("q_cent")))
+          .join(allCells, col("q_cent") === col("cent_id"))
+          .select(col("query_id"), col("vec_id"))
+        val adc = candidates.join(allCodes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "m", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pd")).as("adc"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))
+        ScaleOps.topKPerKey(adc,
+            Seq(col("query_id")), Seq(col("adc"), col("vec_id")), K)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            (pmod(col("vec_id"), lit(5)) === 0).as("is_new"), col("adc"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids),
+             a1 AS (${assignSql("c0", "vid",
+               "e.vec_id >= 20 AND e.vec_id % 5 <> 0")}),
+             c1 AS (${meansSql("a1", "c0")}),
+             a2 AS (${assignSql("c1", "vid",
+               "e.vec_id >= 20 AND e.vec_id % 5 <> 0")}),
+             c2 AS (${meansSql("a2", "c1")}),
+             -- FULL REBUILD against the frozen c2/cb: one assignment
+             -- pass over corpus AND batch together — a hash match with
+             -- the Spark side's two-pass union proves the incremental
+             -- append equals the rebuild
+             cells AS (${assignSql("c2", "vec_id", "e.vec_id >= 20")}),
+             queries AS (
+               SELECT vid AS query_id, cent_id AS q_cent FROM (
+                 ${assignSql("c2", "vid",
+                   s"e.vec_id >= $NCentroids AND e.vec_id < 13",
+                   maxRank = NProbe)}) z),
+             sub AS (SELECT vec_id, CAST(mi AS BIGINT) AS m,
+                            v[mi*8+1 : mi*8+8] AS sv
+                     FROM e, UNNEST(generate_series(0, 7)) AS t(mi)),
+             cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                    WHERE vec_id >= 20 AND vec_id < 36 AND vec_id % 5 <> 0),
+             codes AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+                     PARTITION BY s.vec_id, s.m ORDER BY
+                       list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv), cb.code) AS rn
+                 FROM sub s JOIN cb ON s.m = cb.m
+                 WHERE s.vec_id >= 20) x WHERE rn = 1),
+             lut AS (
+               SELECT s.vec_id AS query_id, s.m, cb.code,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                        AS BIGINT) AS pd
+               FROM sub s JOIN cb ON s.m = cb.m
+               WHERE s.vec_id >= $NCentroids AND s.vec_id < 13),
+             cand AS (SELECT q.query_id, c.vec_id
+                      FROM queries q JOIN cells c ON q.q_cent = c.cent_id),
+             adc AS (
+               SELECT l.query_id, cd.vec_id, sum(l.pd) AS adc
+               FROM cand x
+               JOIN codes cd ON x.vec_id = cd.vec_id
+               JOIN lut l ON l.query_id = x.query_id
+                 AND cd.m = l.m AND cd.code = l.code
+               GROUP BY l.query_id, cd.vec_id)
+             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                    (vec_id % 5 = 0) AS is_new, CAST(adc AS BIGINT) AS adc
+             FROM (SELECT query_id, vec_id, adc, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+                   FROM adc) y
+             WHERE rank <= $K ORDER BY query_id, rank""")),
+
     // Recall audit for the approximate path: per query, how many of the
     // exact top-k the hyperplane-LSH bucket search recovered. The
     // operational metric for tuning bits-vs-recall at scale.

@@ -499,7 +499,26 @@ object ScaleOps {
   }
 
   final case class AnnAdvice(encoding: String, explained: Double,
-                             rationale: String)
+                             rationale: String, m: Int = 8)
+
+  /** Measured residual-recall-vs-m curve on the clustered K=32
+    * geometry (trained sub-codebooks, ks=256, fixed 64-cell/nprobe-4
+    * routing — `bench/clustered_ann_r15.jsonl`): recall@10 0.373 at
+    * m=8 vs 0.651 at m=16, at 2× the code bytes (still 16× under raw
+    * vectors). The r15 ceiling sweep showed m — not training depth
+    * (saturates at ~2 iterations: 0.373 → 0.375 from 2 → 8 iters) nor
+    * the OPQ-lite permutation (−0.8 to −2.4 pts, an honest null on
+    * i.i.d.-shaped residuals) — is the knob that moves residual
+    * recall, so the advisor surfaces it (VERDICT r15 #3). Keys are m,
+    * values the measured clustered-geometry recall floor. */
+  val MeasuredResidualRecallByM: Seq[(Int, Double)] =
+    Seq(8 -> 0.373, 16 -> 0.651)
+
+  /** Raw-PQ recall on the near-isotropic gate corpus at m=8
+    * (`q_ann_pq_trained_recall` tier, 10× replica measurements
+    * `bench/ann_curve_10x_r14.jsonl`: 0.908–0.920) — the baseline the
+    * isotropic branch prices m against. */
+  val MeasuredIsotropicRecallM8: Double = 0.90
 
   /** Cell-explained-variance crossover for the PQ encoding choice,
     * calibrated r14 from BOTH measured geometries
@@ -524,8 +543,14 @@ object ScaleOps {
     * [[adviseDedup]]: raw-PQ vs RESIDUAL-PQ from measured cell
     * geometry, with the trained-codebook precondition the clustered
     * probe exposed (training below the mode count collapses onto
-    * heavy modes — measured 0.011 → 0.003 at ks=16 vs K=32). */
-  def adviseAnn(stats: AnnCorpusStats, ks: Long): AnnAdvice = {
+    * heavy modes — measured 0.011 → 0.003 at ks=16 vs K=32), plus the
+    * subspace-count recommendation the r15 ceiling sweep calibrated:
+    * given `recallTarget`, pick the smallest measured m whose
+    * clustered-geometry recall floor meets it
+    * ([[MeasuredResidualRecallByM]]) — "a user at 0.38 should double
+    * m before touching training depth or decomposition". */
+  def adviseAnn(stats: AnnCorpusStats, ks: Long,
+                recallTarget: Double = 0.0): AnnAdvice = {
     require(stats.n >= 0 && stats.cells > 0)
     val e = stats.explained
     val ksNote =
@@ -534,18 +559,83 @@ object ScaleOps {
           "only at ks above the mode count (q_ann_pq_trained_recall " +
           "inverted below it on the clustered probe)"
       else ""
-    if (e >= ResidualExplainedThreshold)
+    if (e >= ResidualExplainedThreshold) {
+      // m is the priced dial on clustered geometry: smallest measured
+      // point meeting the target; past the measured ceiling the honest
+      // advice is the largest measured m plus the ceiling's number
+      val (mPick, mRecall) = MeasuredResidualRecallByM
+        .find { case (_, r) => r >= recallTarget }
+        .getOrElse(MeasuredResidualRecallByM.last)
+      val mNote =
+        if (recallTarget > MeasuredResidualRecallByM.last._2)
+          f"; m=$mPick%d is the measured ceiling (recall ${MeasuredResidualRecallByM.last._2}%.3f " +
+            f"< target $recallTarget%.2f) — raise nprobe or ks before m beyond it"
+        else
+          f"; m=$mPick%d meets the $recallTarget%.2f target (measured " +
+            MeasuredResidualRecallByM.map { case (m, r) => f"$r%.3f@m=$m" }
+              .mkString(" -> ") +
+            " at 2x code bytes per doubling; training saturates ~2 iters, " +
+            "OPQ-lite permutation a null — m is the knob, " +
+            "bench/clustered_ann_r15.jsonl)"
       AnnAdvice("residual_pq", e,
         f"cells explain ${e * 100}%.0f%% of corpus variance — raw codes " +
           "would re-encode cluster structure the IVF routing already " +
           "paid for; residual encoding measured 5-6x recall at identical " +
-          "candidate volume (q_ann_ivfpq_residual_recall)" + ksNote)
-    else
+          "candidate volume (q_ann_ivfpq_residual_recall)" + mNote + ksNote,
+        m = mPick)
+    } else {
+      // near-isotropic: m=8 raw already measures ~0.91 — doubling m
+      // only pays past that measured floor
+      val mPick = if (recallTarget > MeasuredIsotropicRecallM8) 16 else 8
       AnnAdvice("raw_pq", e,
         f"cells explain only ${e * 100}%.0f%% of corpus variance — " +
           "near-isotropic geometry, residual re-centering buys ~nothing " +
-          "and costs an nprobe-times larger LUT (q_ann_ivfpq_recall)" +
-          ksNote)
+          "and costs an nprobe-times larger LUT (q_ann_ivfpq_recall); " +
+          f"m=$mPick%d (raw m=8 measured ~${MeasuredIsotropicRecallM8}%.2f recall " +
+          "on this geometry, ann_curve_10x_r14.jsonl)" + ksNote,
+        m = mPick)
+    }
+  }
+
+  /** Codebook-drift verdict for the incremental ANN path
+    * (VERDICT r15 #2): a 100 TB corpus appends batches daily against a
+    * FROZEN codebook ([[graft.operators.ExtraSimilarityQueries]]'
+    * `q_ann_incremental` contract — assignment is a pure function of
+    * the frozen centers, so batch codes equal a full-rebuild's), and
+    * the operational question is WHEN to retrain. The statistic is the
+    * one [[annGeometryStats]] already computes, evaluated on the
+    * arrivals batch against the frozen cells: if the frozen codebook
+    * explains much less of the batch's variance than it explained of
+    * the corpus it was trained on, the batch has drifted off the
+    * trained cell structure and recall decays like the UNtrained
+    * operating points the probes measured. */
+  final case class AnnDriftAdvice(retrain: Boolean, corpusExplained: Double,
+                                  batchExplained: Double, rationale: String)
+
+  /** Retrain when the frozen cells explain this many absolute points
+    * less of the batch variance than of the training corpus. 0.1 sits
+    * well inside the measured decision gap: the advisor's two
+    * calibrated geometries are 0.75 apart (0.89 clustered vs 0.14
+    * isotropic), and the gates' own explained values are stable to
+    * ±0.02 across replicas — a 10-point drop is far above measurement
+    * noise yet fires long before the batch looks isotropic to cells
+    * trained on clustered data. */
+  val AnnDriftMargin: Double = 0.1
+
+  def adviseAnnDrift(corpus: AnnCorpusStats,
+                     batch: AnnCorpusStats): AnnDriftAdvice = {
+    val (ce, be) = (corpus.explained, batch.explained)
+    val drifted = be < ce - AnnDriftMargin
+    AnnDriftAdvice(drifted, ce, be,
+      if (drifted)
+        f"frozen cells explain ${be * 100}%.0f%% of batch variance vs " +
+          f"${ce * 100}%.0f%% of the training corpus — drop exceeds the " +
+          f"$AnnDriftMargin%.2f margin: retrain the codebook before the " +
+          "next index build (assign-only ingest remains correct meanwhile)"
+      else
+        f"frozen cells explain ${be * 100}%.0f%% of batch variance " +
+          f"(corpus ${ce * 100}%.0f%%) — within the $AnnDriftMargin%.2f " +
+          "margin: keep assigning to the frozen codebook")
   }
 
   /** One documented decision procedure for the dedup tier

@@ -75,6 +75,36 @@ class BenchInstrumentSpec extends AnyFunSuite {
     assert(Bench.spreadSuspect(Seq(R(171.6), Left("boom"), R(64.1))))
   }
 
+  test("spread re-measure selection is capped at the widest spreads " +
+    "with deterministic ties (ADVICE r15 #4)") {
+    // under the cap: everything selected, order by spread desc
+    val few = Seq("a" -> 3.0, "b" -> 5.0)
+    assert(Bench.spreadRemeasureSelect(few) == Seq("b", "a"))
+    // over the cap: only the widest SpreadRemeasureCap re-run; ties
+    // broken by name so reruns are reproducible across invocations
+    val many = (1 to 20).map(i => f"q$i%02d" -> (if (i <= 10) 9.0 else 3.0))
+    val sel = Bench.spreadRemeasureSelect(many)
+    assert(sel.size == Bench.SpreadRemeasureCap)
+    assert(sel == (1 to Bench.SpreadRemeasureCap).map(i => f"q$i%02d"))
+    assert(Bench.spreadRemeasureSelect(Nil).isEmpty)
+  }
+
+  test("a failed instrument re-run does not flip a battery-clean row " +
+    "to flaky (ADVICE r15 #1)") {
+    def R(t: Double): Either[String, Double] = Right(t)
+    // both battery passes succeeded; the isolated re-measure's first
+    // extra pass died — the row must NOT count as flaky, but the
+    // failed pass must stay visible in the artifact's pass list
+    val q = Bench.QueryResult(R(10.0), Seq(R(30.0), R(10.0)),
+      extra = Seq(Left("ExecutorLost"), R(9.8)))
+    assert(!q.flaky)
+    assert(q.allPasses.size == 4 && q.allPasses.count(_.isLeft) == 1)
+    // a battery-pass failure (the salvage path) still counts
+    val salvaged = Bench.QueryResult(R(10.0),
+      Seq(Left("boom"), R(10.0), R(11.0)))
+    assert(salvaged.flaky)
+  }
+
   test("bandwidth leg uses the wider threshold (ADVICE r14 #3): a " +
     "quiet run whose median lands at 0.36 must NOT flag") {
     val bwBox = Some(0.30)

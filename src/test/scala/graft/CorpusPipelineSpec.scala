@@ -65,7 +65,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // explained 0.14 at the 10x replica, r14) — the honest advice at
     // gate scale is raw_pq: residual re-centering buys ~nothing here
     assert(line.contains("\"advice\":\"raw_pq\""), line)
-    val explained = "\"explained\":([0-9.]+)".r
+    // sign-capable regex (ADVICE r15 #3): a negative explained value
+    // (withinSse > totalSse) must FAIL the >= 0 assertion below, not
+    // have its sign silently dropped by the parse
+    val explained = "\"explained\":(-?[0-9.]+)".r
       .findFirstMatchIn(line).get.group(1).toDouble
     assert(explained >= 0.0 &&
       explained < ScaleOps.ResidualExplainedThreshold, line)
@@ -76,5 +79,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
       n = 5000, cells = 64, totalSse = 1000.0, withinSse = 80.0)
     assert(ScaleOps.adviseAnn(clusteredShaped, ks = 256)
       .encoding == "residual_pq")
+    // the advice line carries the m knob the r15 ceiling sweep proved
+    // dominant (VERDICT r15 #3): at the demo's 0.9 target on this
+    // near-isotropic geometry the measured m=8 floor suffices
+    assert(line.contains("\"m\":8"), line)
+  }
+
+  test("the incremental-ingest drift line keeps the frozen codebook " +
+    "on a batch drawn from the same corpus (VERDICT r15 #2)") {
+    val line = graft.examples.CorpusPipelineDemo
+      .annDriftLine(spark, "/root/testdata/sf0.001")
+    assert(line.contains("\"stage\":\"ann_incremental_drift\""), line)
+    // the every-5th-doc batch IS the same distribution — the frozen
+    // cells must explain it about as well as the training corpus, so
+    // the honest verdict is keep-assigning, not retrain
+    assert(line.contains("\"retrain\":false"), line)
+    val kv = "\"([a-z_]+)\":(-?[0-9.]+)".r.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // both decompositions present and sane; the batch within margin
+    assert(kv.contains("corpus_explained") && kv.contains("batch_explained"),
+      line)
+    assert(kv("batch_explained") >=
+      kv("corpus_explained") - graft.operators.ScaleOps.AnnDriftMargin, line)
   }
 }

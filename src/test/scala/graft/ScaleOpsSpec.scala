@@ -430,6 +430,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(adviseAnn(isotropicGeo, ks = 256).encoding == "raw_pq")
     assert(adviseAnn(clusteredGeo, ks = 16).rationale.contains("WARNING"))
     assert(!adviseAnn(clusteredGeo, ks = 64).rationale.contains("WARNING"))
+    // the m recommendation (VERDICT r15 #3, bench/clustered_ann_r15
+    // .jsonl): on clustered geometry the advisor picks the smallest
+    // MEASURED m meeting the recall target — 0.373@m=8, 0.651@m=16
+    assert(adviseAnn(clusteredGeo, ks = 256, recallTarget = 0.3).m == 8)
+    assert(adviseAnn(clusteredGeo, ks = 256, recallTarget = 0.5).m == 16)
+    val atCurve = adviseAnn(clusteredGeo, ks = 256, recallTarget = 0.5)
+    assert(atCurve.rationale.contains("0.651@m=16"), atCurve.rationale)
+    // past the measured ceiling: largest measured m, honest note
+    val pastCeiling = adviseAnn(clusteredGeo, ks = 256, recallTarget = 0.8)
+    assert(pastCeiling.m == 16 &&
+      pastCeiling.rationale.contains("measured ceiling"))
+    // isotropic geometry: raw m=8 already measures ~0.90 — only a
+    // target past that floor doubles m
+    assert(adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.9).m == 8)
+    assert(adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.95).m == 16)
+    // default target keeps the gates' m=8 operating point everywhere
+    assert(adviseAnn(clusteredGeo, ks = 256).m == 8)
+
+    // codebook-drift advisor for the incremental ingest path
+    // (VERDICT r15 #2): same geometry -> keep the frozen codebook;
+    // a batch the frozen cells explain >= AnnDriftMargin less ->
+    // retrain before the next index build
+    val frozen = AnnCorpusStats(50000L, 64L, 1000.0, 50.0) // explained .95
+    val sameShape = AnnCorpusStats(5000L, 64L, 100.0, 6.0) // explained .94
+    assert(!adviseAnnDrift(frozen, sameShape).retrain)
+    val drifted = AnnCorpusStats(5000L, 64L, 100.0, 30.0) // explained .70
+    val dVerdict = adviseAnnDrift(frozen, drifted)
+    assert(dVerdict.retrain && dVerdict.rationale.contains("retrain"))
+    // boundary: the margin is strict — exactly margin-below keeps
+    val atMargin = AnnCorpusStats(5000L, 64L, 1000.0, 150.0) // .85 = .95 - .10
+    assert(!adviseAnnDrift(frozen, atMargin).retrain)
 
     // set similarity with exact recall: PPJoin regardless of volume
     val headHeavy = DedupCorpusStats(500000000L, 40, 1000L, 1000000L)
