@@ -258,7 +258,8 @@ object TextQueries {
   }
 
   lazy val specs: Seq[Spec] =
-    Seq(lmPerplexitySpec, curationFunnelSpec, bpePairsSpec) ++ Seq(
+    Seq(lmPerplexitySpec, curationFunnelSpec, bpePairsSpec,
+      bpeMergesSpec) ++ Seq(
 
     // Language ID: score = distinct-vocabulary hits per language,
     // argmax with a fixed tie order.
@@ -1126,6 +1127,114 @@ object TextQueries {
     * count; the gate row therefore checks the corpus-scale step, top-20
     * pairs in (count desc, pair) order.
     */
+  /** Merges to run in [[bpeMergesSpec]] — small fixed budget so the
+    * gate is cheap and the DuckDB oracle can unroll the loop
+    * (VERDICT r15 #7: the lm_perplexity unrolled-replay precedent). */
+  val BpeMergeBudget = 6
+
+  /** The BPE merge LOOP (Sennrich et al. 2016 §3.2) — the iterative
+    * half [[bpePairsSpec]] only arg-maxes once: count weighted
+    * adjacent symbol pairs, merge the (count desc, pair asc) arg-max
+    * everywhere, recount, `BpeMergeBudget` times. Output = the merge
+    * table a tokenizer trainer ships (rank, pair, merged symbol,
+    * weighted count at merge time).
+    *
+    * Scale shape (the q_bpe_pairs docstring's claim, now implemented):
+    * the corpus-sized work is ONE token count producing the
+    * vocabulary-BOUNDED (word, frequency) table, localCheckpoint'd so
+    * the loop never re-touches the corpus; each iteration is one
+    * vocab-sized aggregate plus a map-only re-segmentation. The
+    * arg-max pair is driver state (one row per iteration — the
+    * lloydTrain contract), and the merge decision is inherently
+    * sequential, so a driver loop IS the distributed algorithm here.
+    *
+    * Segmentations are strings, not arrays: symbols joined by a
+    * DOUBLE separator with single-separator end anchors
+    * (`§a§§b§§»§`) so one non-overlapping left-to-right
+    * `replace(seg, '§l§§r§', '§lr§')` — identical semantics in Spark's
+    * UTF8String.replace and DuckDB's replace — applies a merge at
+    * every occurrence in one pass: the pattern's anchors make partial-
+    * symbol matches impossible (symbols are §-free by invariant), and
+    * consecutive occurrences regenerate the shared boundary because
+    * the match consumes only the first § of the inter-symbol pair.
+    * Greedy self-pair runs (`aaa` → `aa,a`) fall out of the same
+    * scan order, matching the reference BPE left-to-right merge. The
+    * corpus is ASCII (no `§`/`»` collisions; empty tokens filtered on
+    * both sides). */
+  lazy val bpeMergesSpec: Spec = Spec("q_bpe_merges",
+    (s, dir) => {
+      val S = "§" // §
+      val seg0 = spread(s, t(s, dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+        .select(
+          concat(
+            // regexp_replace yields '§§a§§b§§»'; dropping the first
+            // char leaves the single lead anchor '§a§§b§§»'
+            expr(s"substring(regexp_replace(concat(tok, '»'), '(.)', '$S$S$$1'), 2)")
+              .as("segBody"),
+            lit(S)).as("seg"),
+          col("wc"))
+      // the ONE corpus pass; the loop below runs over this vocab-
+      // bounded table only
+      var seg = seg0.localCheckpoint()
+      val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+      for (k <- 1 to BpeMergeBudget) {
+        val syms = seg
+          .select(split(expr("substring(seg, 2, length(seg) - 2)"), S + S).as("syms"),
+            col("wc"))
+          .filter(size(col("syms")) >= 2)
+        val best = syms
+          .select(col("wc"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).head()
+        val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k.toLong, l, r, n))
+        seg = seg.withColumn("seg",
+          call_function("replace", col("seg"),
+            lit(S + l + S + S + r + S), lit(S + l + r + S)))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.toSeq.toDF("rank", "l", "r", "n")
+        .select(col("rank"), col("l").as("left_sym"), col("r").as("right_sym"),
+          concat(col("l"), col("r")).as("merged"), col("n"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val iterCtes = (1 to BpeMergeBudget).map { k =>
+        s"""p$k AS (
+             SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r, wc
+             FROM (SELECT string_split(substr(seg, 2, length(seg)-2), '§§') AS syms,
+                          wc FROM s${k - 1}) t,
+                  UNNEST(range(1, len(syms))) AS u(i)
+             WHERE len(syms) >= 2),
+           b$k AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS n FROM p$k
+                   GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+           s$k AS (SELECT replace(seg, '§' || b.l || '§§' || b.r || '§',
+                                  '§' || b.l || b.r || '§') AS seg, wc
+                   FROM s${k - 1}, b$k b)"""
+      }.mkString(",\n")
+      val unioned = (1 to BpeMergeBudget).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+                   l || r AS merged, n FROM b$k"""
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (
+             SELECT tok, COUNT(*) AS wc FROM
+               (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             WHERE tok <> '' GROUP BY tok),
+           s0 AS (SELECT substr(regexp_replace(tok || '»', '(.)', '§§\\1', 'g'), 2)
+                    || '§' AS seg, wc FROM w),
+           $iterCtes
+           SELECT * FROM ($unioned) ORDER BY rank"""
+    })
+
   lazy val bpePairsSpec: Spec = Spec("q_bpe_pairs",
     (s, dir) => {
       val w = spread(s, t(s, dir, "documents"))

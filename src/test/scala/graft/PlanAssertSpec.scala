@@ -256,6 +256,8 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_ivfpq_residual_recall", // same brute leg + codebook crossJoins
       "q_ann_pq_trained_recall", // exact-L2 brute leg: 20-row query broadcast
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
+      "q_ann_incremental",    // frozen-codebook crossJoin assignment, twice
+                              // (corpus + arrivals batch legs)
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_dedup_embed_blocked", // same 8-row codebook crossJoin (pairs leg)
       "q_balance_classes",    // 1-row scalar target crossJoin
