@@ -81,11 +81,16 @@ object CorpusPipelineDemo {
     val stats = ESQ.annGeometryStats(corpus, cents, assigned)
     // recall target 0.9 = the retrieval-stage bar the gates measure
     // raw m=8 at on this geometry; the advisor surfaces the m knob
-    // the r15 ceiling sweep proved dominant (VERDICT r15 #3)
+    // the r15 ceiling sweep proved dominant (VERDICT r15 #3) and,
+    // when the measured spectrum is imbalanced, the r16
+    // variance-balancing permutation recommendation
+    val sr = ESQ.spectrumRatio(e, "embedding")
     val a = graft.operators.ScaleOps.adviseAnn(stats, ks = 16,
-      recallTarget = 0.9)
+      recallTarget = 0.9, spectrumRatio = sr)
     s"""{"stage":"ann_index_encoding","advice":"${a.encoding}",""" +
-      f""""explained":${a.explained}%.3f,"m":${a.m}}"""
+      f""""explained":${a.explained}%.3f,"m":${a.m},""" +
+      f""""spectrum_ratio":$sr%.2f,""" +
+      s""""balance_subspaces":${a.rationale.contains("snake")}}"""
   }
 
   /** The incremental-ingest drift line (VERDICT r15 #2, the

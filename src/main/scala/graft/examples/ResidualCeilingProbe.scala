@@ -47,9 +47,12 @@ import graft.operators.{ScaleOps, VectorQueries}
   *
   * Usage: runMain graft.examples.ResidualCeilingProbe
   *          [nCorpus] [nQueries] [K] [sigma] [mode]
-  *   (defaults 50000 / 100 / 32 / 0.15 / iid; r15 artifact =
-  *    bench/clustered_ann_r15.jsonl, r16 aniso =
-  *    bench/clustered_ann_r16.jsonl)
+  *   mode ∈ iid | aniso (per-cluster banded mixing — pooled
+  *   covariance near-diagonal, global rotation blind) | galiso
+  *   (cluster-INDEPENDENT mixing — pooled covariance carries the
+  *   band, the full-OPQ geometry). Defaults 50000 / 100 / 32 /
+  *   0.15 / iid; r15 artifact = bench/clustered_ann_r15.jsonl,
+  *   r16 aniso + galiso = bench/clustered_ann_r16.jsonl.
   */
 object ResidualCeilingProbe {
   def main(args: Array[String]): Unit = {
@@ -58,7 +61,8 @@ object ResidualCeilingProbe {
     val kClusters = if (args.length > 2) args(2).toInt else 32
     val sigma = if (args.length > 3) args(3).toDouble else 0.15
     val mode = if (args.length > 4) args(4) else "iid"
-    require(mode == "iid" || mode == "aniso", s"unknown mode $mode")
+    require(mode == "iid" || mode == "aniso" || mode == "galiso",
+      s"unknown mode $mode")
     val dim = 64
     val k = 10
     val cellsN = 64
@@ -88,13 +92,24 @@ object ResidualCeilingProbe {
       else {
         // anisotropic-correlated noise: global decaying spectrum
         // s_j = exp(-3(j-1)/(dim-1)) ∈ [1, 0.05] (variance imbalance)
-        // times a per-cluster banded map w_j = z_j + g_{c,j}·z_{j⊕1}
-        // (hash-derived coefficient g ∈ [-1,1), adjacent-latent mixing
-        // that wraps at dim — correlation a permutation cannot remove)
+        // times a banded map w_j = z_j + g_j·z_{j⊕1} (hash-derived
+        // coefficient g ∈ [-1,1), adjacent-latent mixing that wraps at
+        // dim — correlation a permutation cannot remove).
+        //
+        // mode=aniso keys g on the CLUSTER (g_{c,j}): each cluster has
+        // its own correlation structure, and because E_c[g] ≈ 0 the
+        // POOLED residual covariance is near-diagonal — a single
+        // global rotation cannot see it (the LOPQ motivation,
+        // Kalantidis/Avrithis CVPR 2014). mode=galiso keys g on a
+        // CONSTANT (g_j, identical in every cluster): the pooled
+        // covariance then carries the full banded structure — the
+        // geometry where a learned global rotation (full OPQ,
+        // Ge et al. TPAMI 2014) is supposed to pay.
         transform(sequence(lit(1), lit(dim)), j => {
           val spectrum = exp((j - lit(1)).cast("double")
             * lit(-3.0 / (dim - 1)))
-          val g = u(xxhash64(cl, j + lit(3000)))
+          val gKey = if (mode == "aniso") cl else lit(42L)
+          val g = u(xxhash64(gKey, j + lit(3000)))
           val wrapNext = pmod(j, lit(dim.toLong)) + lit(1)
           u(xxhash64(cl, j)) +
             lit(sigma) * spectrum * (z(j) + g * z(wrapNext))
@@ -191,20 +206,38 @@ object ResidualCeilingProbe {
       * (ties by bin index) — deterministic, orthogonal, routing- and
       * truth-preserving. Returns the permutation as subspace-major
       * dimension order. */
+    lazy val dimVariances: Array[(Int, Double)] = corpusResid
+      .select(posexplode(col("rv")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(avg(col("v") * col("v")).as("m2"), avg(col("v")).as("m1"))
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
     def opqPerm(m: Int, subDim: Int): Seq[Int] = {
-      val stats = corpusResid
-        .select(posexplode(col("rv")).as(Seq("pos", "v")))
-        .groupBy("pos")
-        .agg(avg(col("v") * col("v")).as("m2"), avg(col("v")).as("m1"))
-        .orderBy("pos").collect()
-        .map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
       val bins = Array.fill(m)(List.empty[Int])
       val sums = Array.fill(m)(0.0)
-      stats.sortBy { case (pos, v) => (-v, pos) }.foreach { case (pos, v) =>
-        val open = (0 until m).filter(b => bins(b).size < subDim)
-        val b = open.minBy(b => (sums(b), b))
+      dimVariances.sortBy { case (pos, v) => (-v, pos) }
+        .foreach { case (pos, v) =>
+          val open = (0 until m).filter(b => bins(b).size < subDim)
+          val b = open.minBy(b => (sums(b), b))
+          bins(b) = bins(b) :+ pos
+          sums(b) += v
+        }
+      bins.toSeq.flatten
+    }
+    /** Boustrophedon ("snake") allocation: dims sorted by variance
+      * desc are dealt m-at-a-time, direction alternating per round —
+      * bin = pos%m on even rounds, m-1-pos%m on odd. No sequential
+      * state at all (one rank + arithmetic), so unlike the greedy
+      * bin-packing it is expressible in pure SQL for an oracle replay;
+      * the probe leg measures whether it gives up anything vs greedy. */
+    def snakePerm(m: Int, subDim: Int): Seq[Int] = {
+      val sorted = dimVariances.sortBy { case (pos, v) => (-v, pos) }
+      val bins = Array.fill(m)(List.empty[Int])
+      sorted.zipWithIndex.foreach { case ((pos, _), r) =>
+        val round = r / m
+        val k = r % m
+        val b = if (round % 2 == 0) k else m - 1 - k
         bins(b) = bins(b) :+ pos
-        sums(b) += v
       }
       bins.toSeq.flatten
     }
@@ -285,16 +318,24 @@ object ResidualCeilingProbe {
       * map-only expression. Deterministic: covariance, Jacobi, and the
       * greedy allocation are all order-fixed. */
     lazy val eigen = jacobiEigen(residCovariance())
-    def pcaBasis(m: Int, subDim: Int): Seq[Array[Double]] = {
+    /** `balanceRaw = false` is Ge et al.'s product criterion (equal
+      * per-bin log-eigenvalue mass — the Gaussian high-rate MSE
+      * optimum); `balanceRaw = true` swaps in the same raw-variance
+      * sum balance [[opqPerm]] uses, isolating the allocation
+      * criterion from the rotation itself. */
+    def pcaBasis(m: Int, subDim: Int,
+                 balanceRaw: Boolean = false): Seq[Array[Double]] = {
       val (vals, vecs) = eigen
       val order = (0 until dim).sortBy(i => (-vals(i), i))
       val bins = Array.fill(m)(List.empty[Int])
-      val logSums = Array.fill(m)(0.0)
+      val sums = Array.fill(m)(0.0)
       order.foreach { ei =>
         val open = (0 until m).filter(b => bins(b).size < subDim)
-        val b = open.minBy(b => (logSums(b), b))
+        val b = open.minBy(b => (sums(b), b))
         bins(b) = bins(b) :+ ei
-        logSums(b) += math.log(math.max(vals(ei), 1e-12))
+        sums(b) +=
+          (if (balanceRaw) vals(ei)
+           else math.log(math.max(vals(ei), 1e-12)))
       }
       bins.toSeq.flatten.map(ei => Array.tabulate(dim)(i => vecs(i)(ei)))
     }
@@ -312,10 +353,17 @@ object ResidualCeilingProbe {
       if (mode == "iid")
         (for (m <- Seq(8, 16); it <- Seq(0, 2, 4, 8)) yield (m, it, "plain")) ++
           Seq((8, 4, "perm"), (16, 4, "perm"), (16, 8, "perm"))
-      else
+      else if (mode == "aniso")
         Seq((8, 2, "plain"), (8, 4, "plain"), (16, 2, "plain"),
           (16, 4, "plain"), (8, 4, "perm"), (16, 4, "perm"),
-          (8, 4, "pca"), (16, 4, "pca"))
+          (8, 4, "pca"), (16, 4, "pca"),
+          (8, 4, "pca_bal"), (16, 4, "pca_bal"),
+          (8, 4, "snake"), (16, 4, "snake"))
+      else // galiso: every encoder head-to-head at both m on the
+           // globally-correlated geometry
+        Seq((8, 4, "plain"), (8, 4, "perm"), (8, 4, "pca"),
+          (8, 4, "pca_bal"), (16, 4, "plain"), (16, 4, "perm"),
+          (16, 4, "pca"), (16, 4, "pca_bal"))
     for ((m, iters, enc) <- legs) {
       val subDim = dim / m
       val (cres, qres) = enc match {
@@ -323,8 +371,14 @@ object ResidualCeilingProbe {
         case "perm" =>
           val perm = opqPerm(m, subDim)
           (permuteRv(corpusResid, perm), permuteRv(queryResid, perm))
+        case "snake" =>
+          val perm = snakePerm(m, subDim)
+          (permuteRv(corpusResid, perm), permuteRv(queryResid, perm))
         case "pca" =>
           val basis = pcaBasis(m, subDim)
+          (rotateRv(corpusResid, basis), rotateRv(queryResid, basis))
+        case "pca_bal" =>
+          val basis = pcaBasis(m, subDim, balanceRaw = true)
           (rotateRv(corpusResid, basis), rotateRv(queryResid, basis))
       }
       val cSub = subOf(cres, Seq("vec_id"), m, subDim)

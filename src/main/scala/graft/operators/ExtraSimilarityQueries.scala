@@ -200,6 +200,26 @@ object ExtraSimilarityQueries {
     ScaleOps.AnnCorpusStats(n, cents.count(), totalSse, within)
   }
 
+  /** Per-dimension variance imbalance max/min — the one-aggregate
+    * statistic [[ScaleOps.adviseAnn]]'s `spectrumRatio` input wants
+    * (threshold [[ScaleOps.SpectrumBalanceThreshold]]): ≈1 on flat
+    * spectra where a subspace permutation is a measured null, ≫1 on
+    * decaying spectra where variance-balancing the subspaces is the
+    * dominant free recall knob. Shuffle carries only `dim` partial-agg
+    * keys; result is a driver scalar. */
+  private[graft] def spectrumRatio(vecs: org.apache.spark.sql.DataFrame,
+                                   vCol: String): Double = {
+    val dv = vecs
+      .select(posexplode(
+        graft.functions.VectorFunctions.asDouble(col(vCol))).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")))
+        .as("v"))
+      .agg(max(col("v")).as("hi"), min(col("v")).as("lo")).head()
+    val (hi, lo) = (dv.getDouble(0), dv.getDouble(1))
+    if (lo <= 0) Double.PositiveInfinity else hi / lo
+  }
+
   // same seeded hyperplanes as SimilarityQueries (seed 42) so the two
   // modules' buckets agree
   private def bucketSqlPublic(vexpr: String): String =

@@ -549,10 +549,42 @@ object ScaleOps {
     * clustered-geometry recall floor meets it
     * ([[MeasuredResidualRecallByM]]) — "a user at 0.38 should double
     * m before touching training depth or decomposition". */
+  /** Per-dimension variance imbalance (max/min over dims) above which
+    * the advisor recommends the variance-balancing SNAKE subspace
+    * permutation before anything else. Calibrated r16 from both
+    * measured spectra (`bench/clustered_ann_r16.jsonl`,
+    * `ResidualCeilingProbe`): at ratio ≈ e⁶ ≈ 400 (decaying spectrum,
+    * both correlated modes) the free permutation bought +0.33–0.35
+    * recall@10 at m=8 and +0.19–0.21 at m=16 — the largest single
+    * effect in the sweep — while at ratio ≈ 1 (the i.i.d. r15 legs)
+    * it was a two-sided null (−0.8 to −2.4 pts). As with
+    * [[EdJoinCandidateBudgetPerRow]] the SIGN on each side is
+    * measured and the bracket [1, 400] is wide; 4 sits at "imbalance
+    * beyond what one codebook can absorb" and routes both measured
+    * geometries to their winners. The same sweep measured the two
+    * things NOT to do: a learned global PCA rotation added ≤0.013
+    * over the permutation on both correlated geometries (pooled
+    * covariance of per-cluster-correlated mixtures is near-diagonal —
+    * only per-cluster rotation, full LOPQ, could see it), and Ge et
+    * al.'s product (log-eigenvalue) allocation criterion landed at
+    * plain-slicing level, 35 pts under raw-variance balance — it is
+    * the Gaussian high-rate optimum and mixture residuals are not
+    * Gaussian. */
+  val SpectrumBalanceThreshold: Double = 4.0
+
   def adviseAnn(stats: AnnCorpusStats, ks: Long,
-                recallTarget: Double = 0.0): AnnAdvice = {
+                recallTarget: Double = 0.0,
+                spectrumRatio: Double = 1.0): AnnAdvice = {
     require(stats.n >= 0 && stats.cells > 0)
     val e = stats.explained
+    val permNote =
+      if (spectrumRatio >= SpectrumBalanceThreshold)
+        f"; spectrum max/min $spectrumRatio%.0f ≥ $SpectrumBalanceThreshold%.0f: apply the " +
+          "variance-balancing snake subspace permutation FIRST — free, " +
+          "+0.33@m=8/+0.20@m=16 measured on decaying spectra; learned " +
+          "rotation and product-criterion allocation measured ≤0 over " +
+          "it (clustered_ann_r16.jsonl)"
+      else ""
     val ksNote =
       if (ks < stats.cells)
         s"; WARNING ks=$ks < cells=${stats.cells}: train the codebook " +
@@ -575,13 +607,14 @@ object ScaleOps {
             MeasuredResidualRecallByM.map { case (m, r) => f"$r%.3f@m=$m" }
               .mkString(" -> ") +
             " at 2x code bytes per doubling; training saturates ~2 iters, " +
-            "OPQ-lite permutation a null — m is the knob, " +
+            "permutation a null on FLAT spectra — m is the knob, " +
             "bench/clustered_ann_r15.jsonl)"
       AnnAdvice("residual_pq", e,
         f"cells explain ${e * 100}%.0f%% of corpus variance — raw codes " +
           "would re-encode cluster structure the IVF routing already " +
           "paid for; residual encoding measured 5-6x recall at identical " +
-          "candidate volume (q_ann_ivfpq_residual_recall)" + mNote + ksNote,
+          "candidate volume (q_ann_ivfpq_residual_recall)" + permNote +
+          mNote + ksNote,
         m = mPick)
     } else {
       // near-isotropic: m=8 raw already measures ~0.91 — doubling m
@@ -592,7 +625,7 @@ object ScaleOps {
           "near-isotropic geometry, residual re-centering buys ~nothing " +
           "and costs an nprobe-times larger LUT (q_ann_ivfpq_recall); " +
           f"m=$mPick%d (raw m=8 measured ~${MeasuredIsotropicRecallM8}%.2f recall " +
-          "on this geometry, ann_curve_10x_r14.jsonl)" + ksNote,
+          "on this geometry, ann_curve_10x_r14.jsonl)" + permNote + ksNote,
         m = mPick)
     }
   }

@@ -448,6 +448,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     // default target keeps the gates' m=8 operating point everywhere
     assert(adviseAnn(clusteredGeo, ks = 256).m == 8)
 
+    // spectrum-imbalance routing (r16, bench/clustered_ann_r16.jsonl):
+    // the decaying-spectrum geometry (max/min ≈ e^6 ≈ 400) gets the
+    // free variance-balancing snake permutation recommended FIRST —
+    // measured +0.33@m=8 on both correlated modes; a flat spectrum
+    // (ratio ≈ 1, the r15 i.i.d. null) must NOT get it. Both branches
+    // carry the note.
+    val snakeAdv = adviseAnn(clusteredGeo, ks = 256, spectrumRatio = 400.0)
+    assert(snakeAdv.rationale.contains("snake"), snakeAdv.rationale)
+    assert(!adviseAnn(clusteredGeo, ks = 256).rationale.contains("snake"))
+    assert(adviseAnn(isotropicGeo, ks = 256, spectrumRatio = 400.0)
+      .rationale.contains("snake"))
+    assert(!adviseAnn(isotropicGeo, ks = 256, spectrumRatio = 1.2)
+      .rationale.contains("snake"))
+
     // codebook-drift advisor for the incremental ingest path
     // (VERDICT r15 #2): same geometry -> keep the frozen codebook;
     // a batch the frozen cells explain >= AnnDriftMargin less ->
