@@ -255,6 +255,7 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_ivfpq_recall",   // brute leg + 8-row codebook crossJoins
       "q_ann_ivfpq_residual_recall", // same brute leg + codebook crossJoins
       "q_ann_pq_trained_recall", // exact-L2 brute leg: 20-row query broadcast
+      "q_ann_pq_balanced_recall", // same brute leg (snake-permuted encode)
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_ann_incremental",    // frozen-codebook crossJoin assignment, twice
                               // (corpus + arrivals batch legs)
