@@ -84,11 +84,16 @@ object CorpusPipelineDemo {
     // the r15 ceiling sweep proved dominant (VERDICT r15 #3) and,
     // when the measured spectrum is imbalanced, the r16
     // variance-balancing permutation recommendation
-    val sr = ESQ.spectrumRatio(e, "embedding")
+    // spectrumRatio is now capped finite at the source (ADVICE r16
+    // #1/#2 — var_pop + SpectrumRatioCap); belt-and-braces clamp here
+    // anyway so this JSON line can never emit Infinity/NaN even if a
+    // future ratio source regresses
+    val sr0 = ESQ.spectrumRatio(e, "embedding")
+    val sr = if (sr0.isFinite) sr0 else ESQ.SpectrumRatioCap
     val a = graft.operators.ScaleOps.adviseAnn(stats, ks = 16,
       recallTarget = 0.9, spectrumRatio = sr)
     s"""{"stage":"ann_index_encoding","advice":"${a.encoding}",""" +
-      f""""explained":${a.explained}%.3f,"m":${a.m},""" +
+      f""""explained":${a.explained}%.3f,"m":${a.m},"nprobe":${a.nprobe},""" +
       f""""spectrum_ratio":$sr%.2f,""" +
       s""""balance_subspaces":${a.rationale.contains("snake")}}"""
   }

@@ -231,6 +231,12 @@ object ResidualCeilingProbe {
       * bin-packing it is expressible in pure SQL for an oracle replay;
       * the probe leg measures whether it gives up anything vs greedy. */
     def snakePerm(m: Int, subDim: Int): Seq[Int] = {
+      // the deal only fills bins evenly when dim == m * subDim; a
+      // mismatched probe config must fail loudly, not silently build
+      // wrong-sized subspaces (ADVICE r16 #3 — opqPerm checks bin
+      // capacity, this one is pure arithmetic so assert up front)
+      require(dimVariances.length == m * subDim,
+        s"snakePerm: dim ${dimVariances.length} != m*subDim ${m * subDim}")
       val sorted = dimVariances.sortBy { case (pos, v) => (-v, pos) }
       val bins = Array.fill(m)(List.empty[Int])
       sorted.zipWithIndex.foreach { case ((pos, _), r) =>

@@ -462,6 +462,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!adviseAnn(isotropicGeo, ks = 256, spectrumRatio = 1.2)
       .rationale.contains("snake"))
 
+    // nprobe knob (VERDICT r16 #4, bench/ann_curve_10x_r14.jsonl
+    // ivf_curve): on the isotropic branch the advisor picks the
+    // smallest measured nprobe whose ROUTING ceiling (0.917@1 ->
+    // 0.926@2 -> 0.946@4 -> 0.956@8 -> 0.968@16) meets the target —
+    // an encoding cannot out-recall its routing
+    assert(adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.9).nprobe == 1)
+    assert(adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.93).nprobe == 4)
+    assert(adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.95).nprobe == 8)
+    // past the measured routing ceiling: largest measured point plus
+    // the honest brute-force note
+    val pastRouting = adviseAnn(isotropicGeo, ks = 256, recallTarget = 0.98)
+    assert(pastRouting.nprobe == 16 &&
+      pastRouting.rationale.contains("measured routing ceiling"),
+      pastRouting.rationale)
+    // clustered branch: routing measured SATURATED (1.000@nprobe=4,
+    // clustered_ann_r14.jsonl) — nprobe pinned at 4, and a recall
+    // target above the m ceiling no longer emits the unmeasured
+    // "raise nprobe or ks" hint: the loss past the ceiling is PQ
+    // quantization, stated as such
+    assert(adviseAnn(clusteredGeo, ks = 256, recallTarget = 0.8).nprobe == 4)
+    assert(pastCeiling.rationale.contains("quantization, not routing"),
+      pastCeiling.rationale)
+    assert(!pastCeiling.rationale.contains("raise nprobe"))
+
     // codebook-drift advisor for the incremental ingest path
     // (VERDICT r15 #2): same geometry -> keep the frozen codebook;
     // a batch the frozen cells explain >= AnnDriftMargin less ->
