@@ -397,11 +397,30 @@ ORDER BY d.doc_id"""
     * index — but when a match must never be missed (legal/contractual
     * dedup, benchmark decontamination), this path is the guarantee
     * the probabilistic bands can't give. Returns the kept batch rows.
+    *
+    * `tombstones` = the DELETE path (VERDICT r16 missing #2, the
+    * dedup dual of `q_ann_delete`): takedown/retraction doc_ids whose
+    * postings are subtracted from the maintained corpus index with
+    * one anti-join ([[ScaleOps.tombstone]]) — a deleted corpus doc
+    * can no longer witness a batch drop. The df table is DELIBERATELY
+    * left stale (computed over the full corpus, deleted docs
+    * included): df only defines the element ORDER the prefix theorem
+    * needs, and the theorem holds for ANY consistent total order —
+    * both sides rank by the same stale table, so recall stays
+    * guaranteed and the exact-Jaccard verify (against surviving docs
+    * only) makes the OUTPUT identical to a from-scratch
+    * rebuild-without-deleted; only candidate-pruning efficiency
+    * drifts as df staleness grows, which is a compaction
+    * ([[ScaleOps.adviseCompaction]]) concern, not a correctness one.
+    * The q_dedup_prefix_delete oracle proves the equality — DuckDB
+    * brute-forces batch × (corpus ∖ deleted).
     */
   def prefixFilterIncremental(batch: org.apache.spark.sql.DataFrame,
                               corpus: org.apache.spark.sql.DataFrame,
                               thr: Double,
-                              np: Int = 0): org.apache.spark.sql.DataFrame = {
+                              np: Int = 0,
+                              tombstones: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     // np > session parts widens the cross prefix join and the two
     // set-attach joins — [[prefixFilterPairs]]' derived-granularity
     // rule applied to the batch-vs-corpus form (same ×40 in-flight
@@ -413,7 +432,14 @@ ORDER BY d.doc_id"""
     val bs = withSets(batch)
     val cs = withSets(corpus)
     val corpusInv = cs.select(col("doc_id"), explode(col("s")).as("sh"))
+    // df over the FULL corpus — stale under tombstones, by design (see
+    // the Scaladoc's order-consistency argument)
     val dfTab = corpusInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // live postings / live sets: one broadcast anti-join each
+    val corpusInvLive = tombstones.fold(corpusInv)(tb =>
+      ScaleOps.tombstone(corpusInv, tb, "doc_id"))
+    val csLive = tombstones.fold(cs)(tb =>
+      ScaleOps.tombstone(cs, tb, "doc_id"))
     def prefixes(inv: org.apache.spark.sql.DataFrame) =
       inv.join(dfTab, Seq("sh"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -432,7 +458,7 @@ ORDER BY d.doc_id"""
         bs.select(col("doc_id"), explode(col("s")).as("sh")))
       .select(col("doc_id").as("new_id"), col("sh"),
         col("n").as("nb"), col("pp").as("pb")), col("sh"))
-      .join(widen(prefixes(corpusInv)
+      .join(widen(prefixes(corpusInvLive)
         .select(col("doc_id").as("old_id"), col("sh"),
           col("n").as("na"), col("pp").as("pa")), col("sh")), "sh")
       .filter(least(col("na"), col("nb")) >=
@@ -444,7 +470,7 @@ ORDER BY d.doc_id"""
       .join(widen(bs, col("doc_id"))
         .select(col("doc_id").as("new_id"), col("s").as("sb")), "new_id")
       .transform(d => widen(d, col("old_id")))
-      .join(widen(cs, col("doc_id"))
+      .join(widen(csLive, col("doc_id"))
         .select(col("doc_id").as("old_id"), col("s").as("sa")), "old_id")
       .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
         (size(col("sa")) + size(col("sb")) -
@@ -1146,6 +1172,61 @@ FROM grouped ORDER BY doc_id""")),
                FROM sh b JOIN sh a
                  ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
                WHERE CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)
+                       / (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s)))
+                     >= $PrefixFilterThreshold)
+             SELECT doc_id, lang, source FROM documents
+             WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM drops)
+             ORDER BY doc_id""")),
+
+    // DELETE path for the maintained dedup prefix index (VERDICT r16
+    // missing #2, second half — the dedup dual of q_ann_delete): a
+    // retracted crawl (corpus doc_ids 80–129, chosen because docs in
+    // that range are the SOLE Jaccard witnesses for batch docs at
+    // every gate SF, so deletions here flip real keep/drop decisions)
+    // is tombstoned out of the corpus postings with one broadcast
+    // anti-join; the df table stays deliberately STALE (see
+    // prefixFilterIncremental's order-consistency argument — df only
+    // defines the prefix ordering, and any consistent order preserves
+    // the zero-false-negative guarantee). The DuckDB oracle
+    // brute-forces batch × (corpus ∖ deleted) — a hash match proves
+    // tombstone-with-stale-df == rebuild-without-deleted: a batch doc
+    // whose only witnesses were retracted is now KEPT.
+    Spec("q_dedup_prefix_delete",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val st = docs.agg(sum(octet_length(col("text"))).as("b")).head()
+        val textBytes = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val tomb = corpus
+          .filter(col("doc_id") >= 80 && col("doc_id") < 130)
+          .select(col("doc_id"))
+        prefixFilterIncremental(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            corpus,
+            PrefixFilterThreshold,
+            np = ScaleOps.deriveShufflePartitions(s, textBytes * 40L),
+            tombstones = Some(tomb))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+               SELECT doc_id, list_distinct(
+                 CASE WHEN len(string_split(text,' ')) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> concat_ws(' ', string_split(text,' ')[i],
+                                            string_split(text,' ')[i+1],
+                                            string_split(text,' ')[i+2]))
+                      ELSE [text] END) AS s
+               FROM documents),
+             drops AS (
+               SELECT DISTINCT b.doc_id AS new_id
+               FROM sh b JOIN sh a
+                 ON b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+               -- rebuild WITHOUT the retracted corpus docs: a deleted
+               -- doc can no longer witness a drop
+               WHERE NOT (a.doc_id >= 80 AND a.doc_id < 130)
+                 AND CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)
                        / (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s)))
                      >= $PrefixFilterThreshold)
              SELECT doc_id, lang, source FROM documents

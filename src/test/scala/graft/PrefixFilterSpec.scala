@@ -96,6 +96,52 @@ class PrefixFilterSpec extends AnyFunSuite {
       "partition-widened prefixFilterIncremental must equal the default plan")
   }
 
+  test("delete path: tombstoned corpus docs stop witnessing drops; " +
+    "stale df equals rebuild-without-deleted (VERDICT r16 #2)") {
+    // same planted fixture as the incremental test: batch doc 4k+1 is
+    // a near-dup of corpus doc 4k
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(7)
+    def sentence() = Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(10)))
+    val base = (0 until 30).map(i => i.toLong -> sentence()).toMap
+    val texts = base.map { case (i, toks) =>
+      if (i % 4 == 1) i -> (base(i - 1).dropRight(1) :+ "omega")
+      else i -> toks
+    }
+    val df = texts.toSeq.map { case (i, toks) => (i, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val batch = df.filter($"doc_id" % 2 === 1)
+    val corp = df.filter($"doc_id" % 2 === 0)
+    // retract every 4k corpus doc — the planted twins' sole designed
+    // witnesses — via the tombstone path (df left stale inside)
+    val tomb = corp.filter($"doc_id" % 4 === 0).select($"doc_id")
+    val keptDel = graft.operators.DedupQueries
+      .prefixFilterIncremental(batch, corp, 0.5, tombstones = Some(tomb))
+      .select("doc_id").as[Long].collect().toSet
+    // brute force over corpus WITHOUT the tombstoned docs — the
+    // rebuild the stale-df tombstone path must equal
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    def jac(a: Set[String], b: Set[String]) =
+      (a & b).size.toDouble / (a | b).size
+    val want = texts.collect { case (i, toks) if i % 2 == 1 &&
+      !texts.exists { case (j, c) =>
+        j % 2 == 0 && j % 4 != 0 &&
+          jac(shingles(toks), shingles(c)) >= 0.5 } => i
+    }.toSet
+    assert(keptDel == want)
+    // non-vacuous: the delete flipped real decisions — kept strictly
+    // grows vs the pre-delete run (drops are monotone in the corpus)
+    val keptPre = graft.operators.DedupQueries
+      .prefixFilterIncremental(batch, corp, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPre.subsetOf(keptDel) && (keptDel -- keptPre).nonEmpty,
+      s"tombstoning the planted witnesses must recover batch docs " +
+        s"(pre=${keptPre.size}, post=${keptDel.size})")
+  }
+
   test("incremental form: empty corpus keeps the whole batch, empty batch yields empty") {
     val batch = Seq((1L, "alpha beta gamma delta"), (2L, "eps zeta eta theta"))
       .toDF("doc_id", "text")
