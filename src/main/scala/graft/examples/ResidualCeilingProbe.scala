@@ -53,6 +53,15 @@ import graft.operators.{ScaleOps, VectorQueries}
   *   band, the full-OPQ geometry). Defaults 50000 / 100 / 32 /
   *   0.15 / iid; r15 artifact = bench/clustered_ann_r15.jsonl,
   *   r16 aniso + galiso = bench/clustered_ann_r16.jsonl.
+  *
+  * r17 adds the per-cell legs on mode=aniso (VERDICT r16 stretch #6,
+  * Kalantidis/Avrithis LOPQ CVPR 2014): `cellcb` = per-cell
+  * codebooks, no rotation; `lopq` = per-cell PCA rotation + per-cell
+  * codebooks. The pair attributes any gain between codebook LOCALITY
+  * (K×m×ks sub-centroids vs m×ks) and per-cell ROTATION (K dim×dim
+  * matrices vs one) — the r16 null proved a global rotation cannot
+  * see aniso's per-cluster correlation; these are the instrument that
+  * can. r17 artifact = bench/clustered_ann_r17.jsonl.
   */
 object ResidualCeilingProbe {
   def main(args: Array[String]): Unit = {
@@ -174,7 +183,9 @@ object ResidualCeilingProbe {
     // boundaries, so residualize BEFORE slicing) --------------------
     val corpusResid = corpus.join(corpusCells, Seq("vec_id"))
       .join(broadcast(cells), Seq("cent_id"))
-      .select(col("vec_id"),
+      // cent_id retained for the r17 per-cell (LOPQ) legs; the global
+      // legs' subOf projections drop it
+      .select(col("vec_id"), col("cent_id"),
         zip_with(col("embedding"), col("cv"), (a, b) => a - b).as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpusResid.count()
@@ -351,6 +362,84 @@ object ResidualCeilingProbe {
           col("rv").getItem(i) * lit(w)
         }.reduce(_ + _)): _*))
 
+    // ---- PER-CELL rotations + codebooks: the LOPQ instrument -------
+    // (Kalantidis/Avrithis, Locally Optimized Product Quantization,
+    // CVPR 2014 — VERDICT r16 stretch #6). The r16 analysis proved a
+    // GLOBAL rotation cannot see mode=aniso's per-cluster correlation
+    // (pooled covariance near-diagonal); the only instrument that can
+    // is a rotation PER IVF CELL, and full LOPQ pairs it with a
+    // codebook per cell. Two legs isolate the two state costs:
+    //   cellcb — per-cell CODEBOOKS, no rotation (prices codebook
+    //            locality alone: K × m × ks sub-centroids vs m × ks);
+    //   lopq   — per-cell PCA rotation + per-cell codebooks (adds
+    //            K dim×dim rotation matrices; rotation's marginal
+    //            value = lopq − cellcb).
+    // Per-cell codebooks ride the EXISTING pq machinery via a key
+    // remap: m' = cent_id·m + mi makes pqTrain/pqCodes/pqLut train,
+    // assign, and look up independently per cell with zero new code —
+    // a corpus vector only meets its own cell's codes, and a query's
+    // per-probed-cell LUT rows carry that cell's m' keys.
+    lazy val cellEigens: Map[Long, (Array[Double], Array[Array[Double]])] = {
+      val mus = corpusResid
+        .select(col("cent_id"), posexplode(col("rv")).as(Seq("i", "vi")))
+        .groupBy("cent_id", "i").agg(avg("vi").as("mu"))
+        .collect().groupBy(_.getLong(0)).map { case (c, rows) =>
+          val mu = Array.fill(dim)(0.0)
+          rows.foreach(r => mu(r.getInt(1)) = r.getDouble(2))
+          c -> mu
+        }
+      // per-cell E[r_i r_j]: (cell, i, j)-keyed partial agg — 64×4096
+      // keys in shuffle, driver-sized result
+      corpusResid
+        .select(col("cent_id"), posexplode(col("rv")).as(Seq("i", "vi")),
+          col("rv"))
+        .select(col("cent_id"), col("i"),
+          posexplode(transform(col("rv"), y => col("vi") * y))
+            .as(Seq("j", "prod")))
+        .groupBy("cent_id", "i", "j").agg(avg("prod").as("e"))
+        .collect().groupBy(_.getLong(0)).map { case (c, rows) =>
+          val mu = mus(c)
+          val cov = Array.fill(dim, dim)(0.0)
+          rows.foreach { r =>
+            val (i, j) = (r.getInt(1), r.getInt(2))
+            cov(i)(j) = r.getDouble(3) - mu(i) * mu(j)
+          }
+          c -> jacobiEigen(cov)
+        }
+    }
+    /** Per-cell PCA basis, flattened subspace-major (kk·dim+i), with
+      * the RAW-variance-balanced allocation — the criterion the r16
+      * sweep measured beating Ge et al.'s product criterion by 35 pts
+      * off-Gaussian; the rotation leg gets its best measured shot. */
+    def cellBasisDf(m: Int, subDim: Int): DataFrame = {
+      import spark.implicits._
+      cellEigens.toSeq.map { case (c, (vals, vecs)) =>
+        val order = (0 until dim).sortBy(i => (-vals(i), i))
+        val bins = Array.fill(m)(List.empty[Int])
+        val sums = Array.fill(m)(0.0)
+        order.foreach { ei =>
+          val open = (0 until m).filter(b => bins(b).size < subDim)
+          val b = open.minBy(b => (sums(b), b))
+          bins(b) = bins(b) :+ ei
+          sums(b) += vals(ei)
+        }
+        (c, bins.toSeq.flatten
+          .flatMap(ei => (0 until dim).map(i => vecs(i)(ei))))
+      }.toDF("__cell", "__b")
+    }
+    /** rv ← R_cell · rv, the basis joined per row from the broadcast
+      * (cell, flattened-basis) table — 64 cells × 4096 doubles = 2 MB. */
+    def rotatePerCell(df: DataFrame, cellCol: String,
+                      basisDf: DataFrame): DataFrame =
+      df.join(broadcast(basisDf.withColumnRenamed("__cell", cellCol)),
+          Seq(cellCol))
+        .withColumn("rv", expr(
+          s"""transform(sequence(0, ${dim - 1}), kk ->
+                aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE),
+                  (acc, i) -> acc + element_at(__b, kk * $dim + i + 1)
+                                    * element_at(rv, i + 1)))"""))
+        .drop("__b")
+
     // ---- the sweep: m × pqTrain-iters × encoder decomposition ------
     // iid mode re-runs the r15 leg set (plain + OPQ-lite permutation);
     // aniso mode adds the learned-rotation leg the correlated
@@ -364,16 +453,38 @@ object ResidualCeilingProbe {
           (16, 4, "plain"), (8, 4, "perm"), (16, 4, "perm"),
           (8, 4, "pca"), (16, 4, "pca"),
           (8, 4, "pca_bal"), (16, 4, "pca_bal"),
-          (8, 4, "snake"), (16, 4, "snake"))
+          (8, 4, "snake"), (16, 4, "snake"),
+          // r17 LOPQ legs: per-cell codebooks without/with per-cell
+          // rotation — the control pair that attributes any gain —
+          // plus a GLOBAL codebook at 4× ks (the same "more codes"
+          // direction WITHOUT locality, so the cellcb gain can't be
+          // misread as mere code count). Scaling the global control
+          // further is MEASURED infeasible: the bigcb16 leg (16×ks =
+          // 4096 global codes) OOMs the 50 k encode join — every
+          // subvector × every code = 1.6e9 joined rows — which is
+          // itself the locality finding: only the per-cell split
+          // makes 64×ks total codes affordable, each vector meeting
+          // its own cell's 256 codes only (r17 log: OutOfMemoryError
+          // at stage 121, isolated SPARK_GRAFT_PROBE_LEGS=bigcb16 run)
+          (8, 4, "cellcb"), (16, 4, "cellcb"),
+          (8, 4, "lopq"), (16, 4, "lopq"),
+          (8, 4, "bigcb4"), (16, 4, "bigcb4"))
       else // galiso: every encoder head-to-head at both m on the
            // globally-correlated geometry
         Seq((8, 4, "plain"), (8, 4, "perm"), (8, 4, "pca"),
           (8, 4, "pca_bal"), (16, 4, "plain"), (16, 4, "perm"),
           (16, 4, "pca"), (16, 4, "pca_bal"))
-    for ((m, iters, enc) <- legs) {
+    // optional leg subset (comma-separated encoder names) — isolated
+    // re-measure of one leg without re-running the sweep, the same
+    // convention as Bench's SPARK_GRAFT_ONLY
+    val onlyEnc = sys.env.get("SPARK_GRAFT_PROBE_LEGS")
+      .map(_.split(",").map(_.trim).toSet)
+    for ((m, iters, enc) <- legs if onlyEnc.forall(_.contains(enc))) {
       val subDim = dim / m
+      val perCell = enc == "cellcb" || enc == "lopq"
       val (cres, qres) = enc match {
-        case "plain" => (corpusResid, queryResid)
+        case "plain" | "cellcb" => (corpusResid, queryResid)
+        case e if e.startsWith("bigcb") => (corpusResid, queryResid)
         case "perm" =>
           val perm = opqPerm(m, subDim)
           (permuteRv(corpusResid, perm), permuteRv(queryResid, perm))
@@ -386,12 +497,37 @@ object ResidualCeilingProbe {
         case "pca_bal" =>
           val basis = pcaBasis(m, subDim, balanceRaw = true)
           (rotateRv(corpusResid, basis), rotateRv(queryResid, basis))
+        case "lopq" =>
+          val bdf = cellBasisDf(m, subDim)
+          (rotatePerCell(corpusResid, "cent_id", bdf),
+            rotatePerCell(queryResid, "q_cent", bdf))
       }
-      val cSub = subOf(cres, Seq("vec_id"), m, subDim)
+      // per-cell legs: remap the subspace key to m' = cell·m + mi so
+      // every pq helper trains/assigns/looks-up per cell unchanged
+      val cSub0 = subOf(cres,
+        if (perCell) Seq("vec_id", "cent_id") else Seq("vec_id"), m, subDim)
+      val cSub = (if (perCell)
+          cSub0.withColumn("m",
+              col("cent_id") * lit(m.toLong) + col("m")).drop("cent_id")
+        else cSub0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cSub.count()
-      val cbIds = corpus.orderBy(col("vec_id")).limit(ks)
-        .select(col("vec_id").as("cb_id"))
+      // codebook sample: first-ks ids globally (global legs; bigcbN
+      // legs take N×ks globally — the no-locality code-count
+      // control), or first-ks ids PER CELL (per-cell legs — full
+      // LOPQ state: cells × m × ks sub-centroids)
+      val ksMult =
+        if (enc.startsWith("bigcb")) enc.stripPrefix("bigcb").toInt else 1
+      val ksTotal = if (perCell) ks * cellsN else ks * ksMult
+      val cbIds =
+        if (perCell)
+          corpusCells.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("cent_id")).orderBy(col("vec_id"))))
+            .filter(col("rn") <= ks).select(col("vec_id").as("cb_id"))
+        else
+          corpus.orderBy(col("vec_id")).limit(ks * ksMult)
+            .select(col("vec_id").as("cb_id"))
       val cb0 = cSub.join(broadcast(cbIds), col("vec_id") === col("cb_id"))
         .select(col("m").as("cb_m"), col("vec_id").as("code"),
           col("sv").as("cv"))
@@ -405,7 +541,11 @@ object ResidualCeilingProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       codes.count()
       val t0 = System.nanoTime()
-      val lut = subOf(qres, Seq("query_id", "q_cent"), m, subDim)
+      val qSub0 = subOf(qres, Seq("query_id", "q_cent"), m, subDim)
+      val qSub = if (perCell)
+          qSub0.withColumn("m", col("q_cent") * lit(m.toLong) + col("m"))
+        else qSub0
+      val lut = qSub
         .join(cbM, col("m") === col("cb_m"))
         .select(col("query_id"), col("q_cent"), col("m"), col("code"),
           floor(VectorQueries.pqSqd(col("sv"), col("cv")) * 1000000)
@@ -424,7 +564,8 @@ object ResidualCeilingProbe {
       top.unpersist(); codes.unpersist(); cSub.unpersist(); cb.unpersist()
       println(s"""{"probe":"residual_ceiling","mode":"$mode",""" +
         s""""cells":$cellsN,""" +
-        s""""nprobe":$nprobe,"m":$m,"ks":$ks,"pq_iters":$iters,""" +
+        s""""nprobe":$nprobe,"m":$m,"ks":$ks,"ks_total":$ksTotal,""" +
+        s""""pq_iters":$iters,""" +
         s""""encoder":"$enc","residual":true,"train_sec":${fmt(trainSec)},""" +
         s""""search_sec":${fmt(searchSec)},"recall":${fmt(recall)}}""")
     }
