@@ -101,6 +101,35 @@ class GraphScrubSpec extends AnyFunSuite {
       (1L, "p1 p2 p3 p4", 1L, 1L)))
   }
 
+  test("scrubIncremental delete path: df decrement equals rebuild " +
+    "without the deleted docs (VERDICT r16 #2)") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),     // sole carrier of "a b c d" besides 11
+      (11L, "a b c d z1 z2 z3 z4"), // retracted
+      (12L, "q1 q2 q3 q4 r1 r2 r3 r4")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "a b c d n1 n2 n3 n4"),  // df 2 -> 1 after delete: still dropped
+      (1L, "z1 z2 z3 z4"),          // sole carrier retracted: comes BACK
+      (2L, "q1 q2 q3 q4")           // carrier 12 survives: still dropped
+    ).toDF("doc_id", "text")
+    val deleted = corpus.filter($"doc_id" === 11L)
+    val got = TextQueries.scrubIncremental(batch, corpus, 4, 0L,
+        deletedDocs = Some(deleted))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // rebuild over corpus minus doc 11 — the decremented index must
+    // reproduce it exactly
+    val rebuild = TextQueries.scrubIncremental(batch,
+        corpus.filter($"doc_id" =!= 11L), 4, 0L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == rebuild)
+    assert(got == Seq(
+      (0L, "n1 n2 n3 n4", 1L, 2L),
+      (1L, "z1 z2 z3 z4", 1L, 1L), // the flipped (recovered) segment
+      (2L, "", 0L, 1L)))
+  }
+
   test("scrubBoilerplate reassembles multi-segment survivors in original order") {
     // doc 0: boilerplate at segment 1 of 3 — survivors must re-join as
     // segment0 then segment2

@@ -259,6 +259,10 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_ann_ivf",            // 8-row codebook crossJoin for assignment
       "q_ann_incremental",    // frozen-codebook crossJoin assignment, twice
                               // (corpus + arrivals batch legs)
+      "q_ann_delete",         // same frozen-codebook crossJoins as
+                              // q_ann_incremental (the tombstone
+                              // anti-join itself is a broadcast HASH
+                              // join, not a nested loop)
       "q_dedup_semantic",     // 8-row codebook crossJoin for assignment
       "q_dedup_embed_blocked", // same 8-row codebook crossJoin (pairs leg)
       "q_balance_classes",    // 1-row scalar target crossJoin
