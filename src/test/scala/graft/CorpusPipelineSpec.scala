@@ -102,4 +102,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(kv("batch_explained") >=
       kv("corpus_explained") - graft.operators.ScaleOps.AnnDriftMargin, line)
   }
+
+  test("the delete-path compaction line prices q_ann_delete's tombstone " +
+    "set against the carry-vs-rewrite threshold (r17)") {
+    import graft.operators.ScaleOps
+    val line = graft.examples.CorpusPipelineDemo
+      .compactionAdviceLine(spark, "/root/testdata/sf0.001")
+    assert(line.contains("\"stage\":\"ann_delete_compaction\""), line)
+    val kv = "\"([a-z_]+)\":([0-9.]+)".r.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val f = kv("tombstone_fraction")
+    assert(f > 0.0 && f < 1.0, line)
+    // the verdict must be the threshold rule, not an independent guess
+    assert(line.contains(s""""compact":${f >= ScaleOps.CompactionTombstoneFraction}"""),
+      line)
+  }
 }
