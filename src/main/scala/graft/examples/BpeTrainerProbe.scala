@@ -186,8 +186,12 @@ object BpeTrainerProbe {
     val triVocab: Array[(String, Long)] = spark.read
       .parquet(s"$sfDir/documents.parquet")
       .select(split(col("text"), " ").as("ts"))
+      // filter BEFORE the sequence: sequence(1, 0) is the DESCENDING
+      // [1, 0], not empty, so a <3-token doc would evaluate ts[-1] /
+      // ts[size] and abort under ANSI mode (review r17)
+      .filter(size(col("ts")) >= 3)
       .select(explode(expr(
-        "transform(sequence(1, greatest(size(ts) - 2, 0)), " +
+        "transform(sequence(1, size(ts) - 2), " +
           "i -> concat(ts[i-1], ts[i], ts[i+1]))")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))

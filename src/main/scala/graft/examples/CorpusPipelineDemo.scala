@@ -137,11 +137,17 @@ object CorpusPipelineDemo {
     * so a one-pass rewrite is due? LOG-ONLY; two metadata counts, no
     * corpus scan. */
   def compactionAdviceLine(spark: SparkSession, sfDir: String): String = {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val indexed = e.filter(col("vec_id") >= 20).count()
-    val tomb = e.filter(col("vec_id").isin(21L, 28L) ||
-      (col("vec_id") >= 100 && col("vec_id") < 200)).count()
-    val a = graft.operators.ScaleOps.adviseCompaction(indexed, tomb)
+    import graft.operators.{ExtraSimilarityQueries => ESQ}
+    // one aggregation pass yields both counts (review r17); the
+    // predicate is the gate's own, shared so the sites cannot drift
+    val r = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") >= 20)
+      .agg(count(lit(1)).as("indexed"),
+        count(when(ESQ.annDeleteTombstonePred(col("vec_id")), 1))
+          .as("tomb"))
+      .head()
+    val a = graft.operators.ScaleOps.adviseCompaction(
+      r.getLong(0), r.getLong(1))
     s"""{"stage":"ann_delete_compaction","compact":${a.compact},""" +
       f""""tombstone_fraction":${a.tombstoneFraction}%.4f,""" +
       f""""threshold":${graft.operators.ScaleOps.CompactionTombstoneFraction}%.2f}"""

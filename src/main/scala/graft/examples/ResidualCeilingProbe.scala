@@ -223,18 +223,31 @@ object ResidualCeilingProbe {
       .agg(avg(col("v") * col("v")).as("m2"), avg(col("v")).as("m1"))
       .orderBy("pos").collect()
       .map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
-    def opqPerm(m: Int, subDim: Int): Seq[Int] = {
+    /** The one greedy balanced bin-packing every allocation leg
+      * shares (review r17 — opqPerm, pcaBasis, and the per-cell LOPQ
+      * bases previously carried three inline copies): items =
+      * (index, sort weight, sum weight) — sort and sum weights are
+      * SEPARATE because Ge et al.'s product criterion sorts by raw
+      * eigenvalue while balancing log-eigenvalue mass. Items sorted
+      * by sort weight desc (ties by index), each placed into the open
+      * bin with the lowest sum-weight total (ties by bin index).
+      * Returns bins in order, each a list of item indices. */
+    def balancedBins(items: Seq[(Int, Double, Double)], m: Int,
+                     subDim: Int): Seq[Seq[Int]] = {
       val bins = Array.fill(m)(List.empty[Int])
       val sums = Array.fill(m)(0.0)
-      dimVariances.sortBy { case (pos, v) => (-v, pos) }
-        .foreach { case (pos, v) =>
+      items.sortBy { case (idx, sw, _) => (-sw, idx) }
+        .foreach { case (idx, _, w) =>
           val open = (0 until m).filter(b => bins(b).size < subDim)
           val b = open.minBy(b => (sums(b), b))
-          bins(b) = bins(b) :+ pos
-          sums(b) += v
+          bins(b) = bins(b) :+ idx
+          sums(b) += w
         }
-      bins.toSeq.flatten
+      bins.toSeq
     }
+    def opqPerm(m: Int, subDim: Int): Seq[Int] =
+      balancedBins(dimVariances.toSeq.map { case (p, v) => (p, v, v) },
+        m, subDim).flatten
     /** Boustrophedon ("snake") allocation: dims sorted by variance
       * desc are dealt m-at-a-time, direction alternating per round —
       * bin = pos%m on even rounds, m-1-pos%m on odd. No sequential
@@ -343,18 +356,12 @@ object ResidualCeilingProbe {
     def pcaBasis(m: Int, subDim: Int,
                  balanceRaw: Boolean = false): Seq[Array[Double]] = {
       val (vals, vecs) = eigen
-      val order = (0 until dim).sortBy(i => (-vals(i), i))
-      val bins = Array.fill(m)(List.empty[Int])
-      val sums = Array.fill(m)(0.0)
-      order.foreach { ei =>
-        val open = (0 until m).filter(b => bins(b).size < subDim)
-        val b = open.minBy(b => (sums(b), b))
-        bins(b) = bins(b) :+ ei
-        sums(b) +=
-          (if (balanceRaw) vals(ei)
-           else math.log(math.max(vals(ei), 1e-12)))
-      }
-      bins.toSeq.flatten.map(ei => Array.tabulate(dim)(i => vecs(i)(ei)))
+      balancedBins((0 until dim).map { i =>
+          (i, vals(i),
+            if (balanceRaw) vals(i)
+            else math.log(math.max(vals(i), 1e-12)))
+        }, m, subDim)
+        .flatten.map(ei => Array.tabulate(dim)(i => vecs(i)(ei)))
     }
     def rotateRv(df: DataFrame, basis: Seq[Array[Double]]): DataFrame =
       df.withColumn("rv", array(basis.map(row =>
@@ -414,17 +421,9 @@ object ResidualCeilingProbe {
     def cellBasisDf(m: Int, subDim: Int): DataFrame = {
       import spark.implicits._
       cellEigens.toSeq.map { case (c, (vals, vecs)) =>
-        val order = (0 until dim).sortBy(i => (-vals(i), i))
-        val bins = Array.fill(m)(List.empty[Int])
-        val sums = Array.fill(m)(0.0)
-        order.foreach { ei =>
-          val open = (0 until m).filter(b => bins(b).size < subDim)
-          val b = open.minBy(b => (sums(b), b))
-          bins(b) = bins(b) :+ ei
-          sums(b) += vals(ei)
-        }
-        (c, bins.toSeq.flatten
-          .flatMap(ei => (0 until dim).map(i => vecs(i)(ei))))
+        (c, balancedBins((0 until dim).map(i => (i, vals(i), vals(i))),
+            m, subDim)
+          .flatten.flatMap(ei => (0 until dim).map(i => vecs(i)(ei))))
       }.toDF("__cell", "__b")
     }
     /** rv ← R_cell · rv, the basis joined per row from the broadcast

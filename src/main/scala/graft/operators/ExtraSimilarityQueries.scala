@@ -242,6 +242,15 @@ object ExtraSimilarityQueries {
   private val cosSqlPublic =
     "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
 
+  /** `q_ann_delete`'s tombstone set — a retracted-crawl id range plus
+    * two point takedowns that seeded the frozen PQ codebook — shared
+    * by the gate, the demo's compaction line, and AnnDeleteSpec so
+    * the Scala sites cannot drift (review r17); the DuckDB oracle
+    * keeps its own SQL transcription of the same predicate. */
+  private[graft] def annDeleteTombstonePred(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id.isin(21L, 28L) || (id >= 100 && id < 200)
+
   /** The frozen-codebook incremental index state shared by
     * `q_ann_incremental` (ingest proof) and `q_ann_delete` (delete
     * proof): Lloyd IVF codebook + PQ sub-codebooks trained on the
@@ -879,8 +888,7 @@ object ExtraSimilarityQueries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val idx = frozenAnnIndex(e)
-        val tomb = e.filter(col("vec_id").isin(21L, 28L) ||
-            (col("vec_id") >= 100 && col("vec_id") < 200))
+        val tomb = e.filter(annDeleteTombstonePred(col("vec_id")))
           .select(col("vec_id"))
         ivfPqSearch(e, idx.copy(
           cells = ScaleOps.tombstone(idx.cells, tomb, "vec_id"),

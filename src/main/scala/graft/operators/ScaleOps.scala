@@ -764,10 +764,19 @@ object ScaleOps {
   val CompactionTombstoneFraction: Double = 0.2
 
   /** Decide tombstone-carry vs compaction from the two row counts a
-    * pipeline already has (index metadata, not a corpus scan). */
+    * pipeline already has (index metadata, not a corpus scan).
+    * `indexedIds` counts ALL ids the index holds INCLUDING the
+    * tombstoned ones — tombstones are a subset of the index by
+    * construction, so f < 1 always; the requires make a live-only
+    * miscount fail loudly instead of printing an Infinity/negative
+    * dead-posting percentage (review r17). */
   def adviseCompaction(indexedIds: Long,
                        tombstonedIds: Long): CompactionAdvice = {
     require(indexedIds > 0, "adviseCompaction: empty index")
+    require(tombstonedIds >= 0 && tombstonedIds < indexedIds,
+      s"adviseCompaction: tombstonedIds=$tombstonedIds must be in " +
+        s"[0, indexedIds=$indexedIds) — indexedIds counts the whole " +
+        "index INCLUDING tombstoned rows")
     val f = tombstonedIds.toDouble / indexedIds
     val compact = f >= CompactionTombstoneFraction
     CompactionAdvice(f, compact,

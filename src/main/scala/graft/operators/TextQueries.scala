@@ -215,7 +215,18 @@ object TextQueries {
     * q_text_scrub_delete oracle proves the equality by rebuilding df
     * over corpus ∖ deleted. Deleting can only LOWER df, so segments
     * flip one way (drop → keep): the monotone dual of the append
-    * path's merge. */
+    * path's merge.
+    *
+    * CONTRACT: each takedown must be applied EXACTLY ONCE against the
+    * maintained df, and `deletedDocs` must be corpus rows. Count
+    * state is not idempotent the way the row-subtraction deletes
+    * (q_ann_delete, q_dedup_prefix_delete) are: replaying a takedown
+    * after the corpus was compacted would double-decrement and keep
+    * segments a rebuild would drop. The floor at 0 below bounds the
+    * damage for the all-carriers-deleted case but cannot recover a
+    * wrong keep at df_live > 0 — dedupe the takedown stream, the same
+    * discipline every count-maintained index (CCNet df, Count-Min)
+    * already requires. */
   def scrubIncremental(batch: org.apache.spark.sql.DataFrame,
                        corpus: org.apache.spark.sql.DataFrame,
                        segTokens: Int,
@@ -231,7 +242,8 @@ object TextQueries {
         .groupBy(col("dg")).agg(count(lit(1)).as("ddf"))
       corpusDf.join(deletedDf, Seq("dg"), "left")
         .select(col("dg"),
-          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+          greatest(col("df") - coalesce(col("ddf"), lit(0L)), lit(0L))
+            .as("df"))
     }
     reassemble(
       segments(batch, segTokens)

@@ -24,10 +24,10 @@ class AnnDeleteSpec extends AnyFunSuite {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val allE = e.filter(col("vec_id") >= 20)
       .select(col("vec_id"), col("embedding"))
-    // the q_ann_delete tombstone set: a retracted-crawl range plus two
-    // point takedowns that seeded the frozen PQ codebook
-    val tombPred = col("vec_id").isin(21L, 28L) ||
-      (col("vec_id") >= 100 && col("vec_id") < 200)
+    // the q_ann_delete tombstone set (the gate's own shared predicate:
+    // a retracted-crawl range plus two point takedowns that seeded the
+    // frozen PQ codebook)
+    val tombPred = ESQ.annDeleteTombstonePred(col("vec_id"))
     val liveE = allE.filter(!tombPred)
     val tomb = allE.filter(tombPred).select(col("vec_id"))
     // frozen artifacts trained PRE-delete (deleted rows included in
@@ -66,11 +66,16 @@ class AnnDeleteSpec extends AnyFunSuite {
 
   test("q_ann_delete surfaces no tombstoned id and differs from the " +
     "pre-delete index") {
+    import graft.operators.{ExtraSimilarityQueries => ESQ}
     val q = SparkEntry.queries
     val del = q("q_ann_delete")(spark, dir)
     val inc = q("q_ann_incremental")(spark, dir)
-    def tombstoned(id: Long): Boolean =
-      id == 21L || id == 28L || (id >= 100L && id < 200L)
+    // membership from the gate's own shared predicate — no
+    // value-level mirror to drift
+    val tombIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(ESQ.annDeleteTombstonePred(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def tombstoned(id: Long): Boolean = tombIds(id)
     val delRows = del.collect()
     assert(delRows.nonEmpty, "delete-path search returned no rows")
     assert(!delRows.exists(r => tombstoned(r.getAs[Long]("vec_id"))),

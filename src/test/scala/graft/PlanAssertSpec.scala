@@ -170,6 +170,20 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("delete-path tombstones subtract via broadcast anti-joins (r17)") {
+    // the whole point of the tombstone contract: index reads pay a
+    // map-side hash probe per partition, never a shuffle of the index
+    val pa = plan("q_ann_delete")
+    assert(pa.contains("LeftAnti"), pa)
+    assert(pa.linesIterator.filter(_.contains("LeftAnti"))
+      .forall(_.contains("BroadcastHashJoin")),
+      s"ANN tombstone anti-join fell off the broadcast path:\n$pa")
+    val pd = plan("q_dedup_prefix_delete")
+    assert(pd.linesIterator.filter(_.contains("LeftAnti"))
+      .exists(_.contains("BroadcastHashJoin")),
+      s"prefix tombstone anti-join fell off the broadcast path:\n$pd")
+  }
+
   test("q_ann_recall routes both top-k legs through TopKPerKey") {
     val p = plan("q_ann_recall")
     assert(p.sliding("TopKPerKeyFinal".length).count(_ == "TopKPerKeyFinal") == 2, p)
