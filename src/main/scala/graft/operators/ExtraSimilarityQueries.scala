@@ -259,13 +259,15 @@ object ExtraSimilarityQueries {
     * TWO separate assign/encode passes over the frozen artifacts,
     * unioned — corpus state is never recomputed when a batch
     * arrives. */
-  private final case class FrozenAnnIndex(
+  // private[graft]: the TombstoneCarryProbe sweeps carry-vs-compact
+  // over the SAME production index construction the gates exercise
+  private[graft] final case class FrozenAnnIndex(
       cents: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame,
       cells: org.apache.spark.sql.DataFrame,
       codes: org.apache.spark.sql.DataFrame)
 
-  private def frozenAnnIndex(e: org.apache.spark.sql.DataFrame)
+  private[graft] def frozenAnnIndex(e: org.apache.spark.sql.DataFrame)
       : FrozenAnnIndex = {
     val corpusE = e.filter(col("vec_id") >= 20 &&
         pmod(col("vec_id"), lit(5)) =!= 0)
@@ -308,7 +310,7 @@ object ExtraSimilarityQueries {
     * externally supplied cell/code tables — broadcast query batch,
     * broadcast LUT, native TopKPerKey. Output: (query_id, rank,
     * vec_id, is_new, adc) with `is_new` marking batch-side rows. */
-  private def ivfPqSearch(e: org.apache.spark.sql.DataFrame,
+  private[graft] def ivfPqSearch(e: org.apache.spark.sql.DataFrame,
                           idx: FrozenAnnIndex)
       : org.apache.spark.sql.DataFrame = {
     val qraw = e.filter(col("vec_id") >= NCentroids && col("vec_id") < 13)
