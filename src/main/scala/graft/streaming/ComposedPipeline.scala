@@ -37,6 +37,9 @@ object ComposedPipeline {
     StructField("doc_id", LongType),
     StructField("source", StringType),
     StructField("tier", StringType),
+    // +1 arrival / −1 takedown (r17); silver written before r17 lacks
+    // the column — readers coalesce null to +1
+    StructField("delta", LongType),
     StructField("batch_id", LongType)))
 
   /** Exactly-once-effective parquet append for a foreachBatch sink.
@@ -77,9 +80,71 @@ object ComposedPipeline {
       .scoreAgainstLm(mb, lmFreq, lmScal)
     idempotentAppend(
       mb.select(col("doc_id"), col("source"))
-        .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id")),
+        .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id"))
+        .withColumn("delta", lit(1L)),
       batchId, silverDir)
   }
+
+  /** Takedown batch_ids live in their own id space so a takedown
+    * partition can never overwrite a curate partition. */
+  val TakedownBatchIdBase: Long = 1L << 40
+
+  /** Q3's foreachBatch body — the streaming DELETE leg (r17, the
+    * right-to-be-forgotten dual of [[curateBatch]]): a micro-batch of
+    * takedown doc_ids becomes delta=−1 silver rows so the downstream
+    * counters subtract exactly the docs' original tier contributions.
+    * The victims' (source, tier) come from their +1 silver rows — a
+    * takedown for a doc that never reached silver (deduped away or
+    * never crawled) emits nothing, and a doc already taken down is
+    * skipped (anti-join on existing −1 rows), so re-submitting a
+    * takedown list is a no-op. Replay-safe like every sink here:
+    * the delete rows land in their own `batch_id` partition
+    * ([[TakedownBatchIdBase]] + batchId) via the same dynamic
+    * overwrite, the existing-state reads EXCLUDE that partition (a
+    * replay recomputes identical victims instead of seeing its own
+    * half-written output), and [[StageCounts]]' (batch_id, doc_id)
+    * memory drops re-delivered −1 rows exactly as it drops
+    * re-delivered +1 rows.
+    *
+    * Scale shape: one broadcast-sized takedown list joined against
+    * the silver table — a lakehouse metadata join, no corpus text
+    * touched; the decrement itself is takedown-sized. */
+  def takedownBatch(ids: DataFrame, batchId: Long,
+                    silverDir: String): Unit = {
+    val spark = ids.sparkSession
+    val myBid = TakedownBatchIdBase + batchId
+    val silver0 =
+      try spark.read.schema(SilverSchema).parquet(silverDir)
+      catch { case _: Throwable => return } // no silver yet: nothing counted
+    val silver = silver0
+      .withColumn("delta", coalesce(col("delta"), lit(1L)))
+      .filter(col("batch_id") =!= myBid)
+    val counted = silver.filter(col("delta") > 0)
+      .select(col("doc_id"), col("source"), col("tier"))
+    val alreadyDeleted = silver.filter(col("delta") < 0)
+      .select(col("doc_id"))
+    idempotentAppend(
+      ids.select(col("doc_id")).distinct()
+        .join(counted, Seq("doc_id"))
+        .join(alreadyDeleted, Seq("doc_id"), "left_anti")
+        .withColumn("delta", lit(-1L)),
+      myBid, silverDir)
+  }
+
+  /** Q3 — takedowns: file-source ingest of takedown id batches →
+    * delta=−1 silver rows ([[takedownBatch]]). Chains into the same
+    * Q2 counters; checkpointed and restartable like Q1/Q2. */
+  def startTakedowns(spark: SparkSession, idSchema: StructType,
+                     inDir: String, silverDir: String,
+                     checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(idSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        takedownBatch(mb, batchId, silverDir)
+      }
+      .start()
 
   /** Q2's foreachBatch body — idempotent gold append of the counter
     * frontier (same replay contract as [[curateBatch]]). */
@@ -124,7 +189,9 @@ object ComposedPipeline {
     StageCounts.running(
         spark.readStream.schema(SilverSchema)
           .option("maxFilesPerTrigger", "1").parquet(silverDir)
-          .select(col("source"), col("tier"), col("batch_id"), col("doc_id"))
+          .select(col("source"), col("tier"), col("batch_id"), col("doc_id"),
+            // pre-r17 silver lacks the delta column: arrivals are +1
+            coalesce(col("delta"), lit(1L)).as("delta"))
           .as[StageCounts.DocTier])
       .writeStream.outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -148,13 +215,22 @@ object ComposedPipeline {
     * — same text) or arrive in `doc_id` order, which StreamingSpec's
     * ordered file drops guarantee. */
   def batchComposition(allInput: DataFrame,
-                       lmFreq: DataFrame, lmScal: DataFrame): DataFrame = {
-    val deduped = allInput
+                       lmFreq: DataFrame, lmScal: DataFrame,
+                       deletedIds: Option[DataFrame] = None): DataFrame = {
+    // `deletedIds` (r17) = takedown parity semantics: a taken-down doc
+    // leaves the counts but does NOT resurrect the duplicates its
+    // dedup win suppressed (the stream admitted them once and dropped
+    // them forever; right-to-be-forgotten removes a doc, it does not
+    // re-crawl) — deletion filters WINNERS, after dedup, before counts
+    val winners = allInput
       .withColumn("fp", md5(col("text")))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("__rk") === 1).drop("fp", "__rk")
+    val deduped = deletedIds.fold(winners)(ids =>
+      winners.join(ids.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
     val scrubbed = graft.operators.TextQueries.redactInPlace(deduped)
     val scored = graft.operators.TextQueries
       .scoreAgainstLm(scrubbed, lmFreq, lmScal)

@@ -8,12 +8,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ingest → canonical dedup → scrub → LM scoring have produced a
   * (source, tier) stream, this stage maintains each source's corpus
   * "funnel" — how many docs arrived and how many landed in each
-  * perplexity tier — as monotone counters in the state store, emitting
-  * the updated frontier per micro-batch (Update mode). Counters only
-  * grow and grow by exactly the rows delivered, so a checkpoint
-  * restart must hand back every source's counts intact for parity
-  * with the batch composition to hold — which is exactly what the
-  * composed-parity StreamingSpec asserts across a kill/restart.
+  * perplexity tier — as delta-additive counters in the state store,
+  * emitting the updated frontier per micro-batch (Update mode).
+  * Counters move by exactly the delivered rows' deltas (+1 arrivals;
+  * −1 takedown rows since r17 — monotone growth is the delete-free
+  * special case), so a checkpoint restart must hand back every
+  * source's counts intact for parity with the batch composition to
+  * hold — which is exactly what the composed-parity StreamingSpec
+  * asserts across a kill/restart.
   *
   * Handoff exactly-once (VERDICT r13 #4): the upstream silver table
   * is written by an at-least-once `foreachBatch` — a Q1 crash inside
@@ -56,10 +58,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StageCounts {
 
-  /** One scored silver row: its source, perplexity tier, and the
-    * `(batch_id, doc_id)` identity the replay dedup keys on. */
+  /** One scored silver row: its source, perplexity tier, the
+    * `(batch_id, doc_id)` identity the replay dedup keys on, and the
+    * counter `delta` it contributes — +1 for a curated arrival, −1
+    * for a TAKEDOWN row (r17: the delete leg — see
+    * [[ComposedPipeline.takedownBatch]]). A takedown row carries its
+    * own takedown batch_id, distinct from the arrival's, so the
+    * exactly-once replay memory covers decrements with the same
+    * bounded window that covers increments. */
   final case class DocTier(source: String, tier: String,
-                           batch_id: Long, doc_id: Long)
+                           batch_id: Long, doc_id: Long,
+                           delta: Long = 1L)
 
   /** A source's running frontier; emitted per touched source per
     * micro-batch — the latest row per source is its current state. */
@@ -95,10 +104,10 @@ object StageCounts {
         scala.collection.mutable.Set.empty[Long])
       if (ids.add(r.doc_id)) {
         c = c.copy(
-          n_total = c.n_total + 1,
-          n_head = c.n_head + (if (r.tier == "head") 1 else 0),
-          n_middle = c.n_middle + (if (r.tier == "middle") 1 else 0),
-          n_tail = c.n_tail + (if (r.tier == "tail") 1 else 0))
+          n_total = c.n_total + r.delta,
+          n_head = c.n_head + (if (r.tier == "head") r.delta else 0),
+          n_middle = c.n_middle + (if (r.tier == "middle") r.delta else 0),
+          n_tail = c.n_tail + (if (r.tier == "tail") r.delta else 0))
       }
     }
     val keepFrom = if (seen.isEmpty) Long.MinValue

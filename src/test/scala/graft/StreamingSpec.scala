@@ -852,6 +852,108 @@ class StreamingSpec extends AnyFunSuite {
       "no source's counters advanced across the restart — recovery untested")
   }
 
+  test("STREAMING TAKEDOWNS (r17): delta=-1 silver rows decrement the " +
+    "counters to the batch composition WITHOUT the deleted docs; " +
+    "re-submitted and replayed takedowns are no-ops") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ComposedPipeline, StageCounts}
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("takedownstream")
+    val in = dir.resolve("in").toString
+    val td = dir.resolve("takedowns").toString
+    val silver = dir.resolve("silver").toString
+    val cp1 = dir.resolve("cp1").toString
+    val cp2 = dir.resolve("cp2").toString
+    val cp3 = dir.resolve("cp3").toString
+    val gold = dir.resolve("gold").toString
+
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = docs0.withColumn("ets",
+      timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    val schema = docs.schema
+    val (freq0, scal0) = graft.operators.TextQueries.trainUnigramLm(docs0)
+    val freqF = freq0.localCheckpoint()
+    val scalF = scal0.localCheckpoint()
+
+    // arrivals (with in-run duplicates the dedup suppresses), curated
+    docs.filter(col("doc_id") < 200).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") < 60).write.mode("append").parquet(in)
+    val q1 = ComposedPipeline.startCurate(spark, schema, in, silver, cp1,
+      freqF, scalF, delay = "10 days")
+    try q1.processAllAvailable() finally q1.stop()
+
+    // takedowns: a retracted range (40-80) plus ids that never reached
+    // silver (>= 200 not yet crawled; they must emit nothing)
+    spark.range(40, 80).select(col("id").as("doc_id"))
+      .unionByName(spark.range(900, 910).select(col("id").as("doc_id")))
+      .write.mode("append").parquet(td)
+    val q3 = ComposedPipeline.startTakedowns(spark,
+      StructType(Seq(StructField("doc_id", LongType))), td, silver, cp3)
+    try q3.processAllAvailable() finally q3.stop()
+
+    // the -1 rows: exactly the curated docs in [40, 80), own id space
+    val dels = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+    val delIds = dels.select("doc_id").as[Long].collect().sorted
+    assert(delIds.nonEmpty && delIds.forall(i => i >= 40 && i < 80),
+      s"unexpected takedown rows: ${delIds.mkString(",")}")
+    assert(dels.select("batch_id").distinct().as[Long].collect()
+      .forall(_ >= ComposedPipeline.TakedownBatchIdBase),
+      "takedown rows must live in their own batch_id space")
+
+    // counters over arrivals + takedowns == batch composition minus
+    // the deleted winners (duplicates NOT resurrected)
+    val q2 = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2.processAllAvailable() finally q2.stop()
+    // Update-mode frontier: with deletes the counters are not
+    // monotone, so take each source's LAST emission (gold batch order)
+    val lastPerSource = spark.read.parquet(gold)
+      .orderBy(col("batch_id"))
+      .collect().map(r => r.getAs[String]("source") -> StageCounts.Counts(
+        r.getAs[String]("source"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_head"), r.getAs[Long]("n_middle"),
+        r.getAs[Long]("n_tail"))).toMap // last write per source wins
+    val batch = ComposedPipeline.batchComposition(
+        spark.read.parquet(in).drop("ets"), freqF, scalF,
+        deletedIds = Some(spark.range(40, 80).select(col("id").as("doc_id"))))
+      .collect().map { r =>
+        r.getString(0) -> StageCounts.Counts(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    assert(lastPerSource.keySet == batch.keySet,
+      s"source sets differ: ${lastPerSource.keySet} vs ${batch.keySet}")
+    lastPerSource.foreach { case (s, c) =>
+      assert(c == batch(s), s"source $s: stream $c vs batch ${batch(s)}")
+    }
+
+    // re-submitting the SAME takedown list (a later batch) is a no-op:
+    // the anti-join on existing -1 rows emits nothing
+    val silverRows = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).count()
+    spark.range(40, 80).select(col("id").as("doc_id"))
+      .write.mode("append").parquet(td)
+    val q3b = ComposedPipeline.startTakedowns(spark,
+      StructType(Seq(StructField("doc_id", LongType))), td, silver, cp3)
+    try q3b.processAllAvailable() finally q3b.stop()
+    assert(spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).count() == silverRows,
+      "re-submitted takedown list must emit no new delete rows")
+
+    // FORCED at-least-once replay of the takedown batch itself: same
+    // batchId, same ids — the partition is rewritten identically
+    val before = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+      .collect().map(_.toString).sorted
+    ComposedPipeline.takedownBatch(
+      spark.range(40, 80).select(col("id").as("doc_id")), 0L, silver)
+    val after = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "replayed takedown batch changed the delete rows")
+  }
+
   test("FORCED at-least-once replay: redelivering the same micro-batch " +
     "through the idempotent sinks leaves silver and gold unchanged") {
     import org.apache.spark.sql.functions._
