@@ -73,13 +73,31 @@ object ComposedPipeline {
     * silver append. Extracted so the replay test and the scale probe
     * ([[graft.examples.StreamScaleProbe]]) exercise the SHIPPED batch
     * path, not a private copy. Calling it twice with the same
-    * `batchId` (the at-least-once replay) leaves silver unchanged. */
+    * `batchId` (the at-least-once replay) leaves silver unchanged.
+    *
+    * Arrivals are anti-joined against the takedown LEDGER (ADVICE
+    * r17 #3): a doc whose takedown was processed BEFORE its +1 row
+    * reached silver must never be counted — without the suppression,
+    * a takedown racing its own curate batch emits nothing (no victim
+    * in silver yet), the takedown checkpoint advances, and the doc
+    * stays counted forever, diverging from
+    * `batchComposition(deletedIds=…)`. The ledger is every takedown
+    * id ever requested ([[takedownBatch]] records them before it
+    * looks for victims), so a late arrival is dropped here instead of
+    * landing as a permanently-uncompensated +1. */
   def curateBatch(mb: DataFrame, batchId: Long, silverDir: String,
                   lmFreq: DataFrame, lmScal: DataFrame): Unit = {
+    val admitted = parquetIfExists(mb.sparkSession, LedgerSchema,
+        takedownLedgerDir(silverDir)) match {
+      case Some(ledger) => mb.join(
+        broadcast(ledger.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      case None => mb
+    }
     val scored = graft.operators.TextQueries
-      .scoreAgainstLm(mb, lmFreq, lmScal)
+      .scoreAgainstLm(admitted, lmFreq, lmScal)
     idempotentAppend(
-      mb.select(col("doc_id"), col("source"))
+      admitted.select(col("doc_id"), col("source"))
         .join(scored.select(col("doc_id"), col("tier")), Seq("doc_id"))
         .withColumn("delta", lit(1L)),
       batchId, silverDir)
@@ -89,15 +107,53 @@ object ComposedPipeline {
     * partition can never overwrite a curate partition. */
   val TakedownBatchIdBase: Long = 1L << 40
 
+  /** Schema of the takedown-ledger table: every doc_id ever requested
+    * for deletion, partitioned by the requesting takedown batch's id
+    * (idempotent like every sink here). */
+  val LedgerSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Where the takedown ledger lives, derived from the silver path so
+    * Q1 and Q3 agree on it without new wiring. */
+  def takedownLedgerDir(silverDir: String): String =
+    silverDir.stripSuffix("/") + "_takedown_ledger"
+
+  /** Read a parquet table only if its directory exists; a MISSING
+    * path is an expected state (no silver / no ledger yet) and
+    * returns None, while every OTHER failure — a transient FS error,
+    * a corrupt footer, an interrupted read — propagates (VERDICT r17
+    * wrong #1: the old `catch Throwable` made [[takedownBatch]]
+    * return successfully having deleted nothing, the foreachBatch
+    * committed, and the right-to-be-forgotten batch was never
+    * retried; real errors must fail the micro-batch so the checkpoint
+    * retries it). */
+  private def parquetIfExists(spark: SparkSession, schema: StructType,
+                              dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(schema).parquet(dir))
+  }
+
+  /** Above this many distinct ledger ids the victim scan skips the
+    * collected `isin` pushdown and keeps the plain broadcast joins —
+    * the pushdown's value is parquet row-group pruning on doc_id
+    * stats, and an IN list this long stops being a cheap filter. */
+  private[graft] val LedgerPushdownMaxIds = 10000
+
   /** Q3's foreachBatch body — the streaming DELETE leg (r17, the
     * right-to-be-forgotten dual of [[curateBatch]]): a micro-batch of
     * takedown doc_ids becomes delta=−1 silver rows so the downstream
     * counters subtract exactly the docs' original tier contributions.
     * The victims' (source, tier) come from their +1 silver rows — a
     * takedown for a doc that never reached silver (deduped away or
-    * never crawled) emits nothing, and a doc already taken down is
-    * skipped (anti-join on existing −1 rows), so re-submitting a
-    * takedown list is a no-op. Replay-safe like every sink here:
+    * never crawled) emits nothing NOW but stays in the takedown
+    * ledger, so a later arrival of that doc is suppressed by
+    * [[curateBatch]] instead of being counted; a doc already taken
+    * down is skipped (anti-join on existing −1 rows), so
+    * re-submitting a takedown list is a no-op. Replay-safe like
+    * every sink here:
     * the delete rows land in their own `batch_id` partition
     * ([[TakedownBatchIdBase]] + batchId) via the same dynamic
     * overwrite, the existing-state reads EXCLUDE that partition (a
@@ -108,15 +164,51 @@ object ComposedPipeline {
     *
     * Scale shape: one broadcast-sized takedown list joined against
     * the silver table — a lakehouse metadata join, no corpus text
-    * touched; the decrement itself is takedown-sized. */
+    * touched; the decrement itself is takedown-sized. When the ledger
+    * is small (≤ [[LedgerPushdownMaxIds]] distinct ids) the victim
+    * scan additionally pushes the id list into the parquet read as an
+    * IN filter, so row-group doc_id stats prune most of silver before
+    * a single row is decoded.
+    *
+    * ORDERING + RACE RECOVERY (ADVICE r17 #3/#5): the batch's ids are
+    * recorded in the LEDGER **before** silver is read, and victims
+    * are computed over the FULL ledger, not just this batch. So a doc
+    * curated after its takedown is (a) normally suppressed by
+    * [[curateBatch]]'s ledger anti-join, and (b) if a concurrent
+    * curate read the ledger just before this write AND this batch
+    * read silver just before that curate's append (the one
+    * unserialized window — Q1 and Q3 are independent queries over a
+    * file store with no cross-query transaction), the orphaned +1 is
+    * found and decremented by the NEXT takedown batch's full-ledger
+    * re-check. [[reconcileTakedowns]] is that re-check on demand.
+    * The same re-check also recovers a victim missed because Q1's
+    * non-atomic dynamic partition overwrite was read mid-rewrite.
+    * Re-submission stays a no-op (anti-join on existing −1 rows), and
+    * a replay rewrites both its ledger partition and its −1 partition
+    * with identical content. */
   def takedownBatch(ids: DataFrame, batchId: Long,
                     silverDir: String): Unit = {
     val spark = ids.sparkSession
     val myBid = TakedownBatchIdBase + batchId
-    val silver0 =
-      try spark.read.schema(SilverSchema).parquet(silverDir)
-      catch { case _: Throwable => return } // no silver yet: nothing counted
-    val silver = silver0
+    // record the request FIRST: even with no silver yet, the ledger
+    // entry makes curateBatch suppress the doc if it arrives later
+    idempotentAppend(ids.select(col("doc_id")).distinct(),
+      myBid, takedownLedgerDir(silverDir))
+    val ledger = parquetIfExists(spark, LedgerSchema,
+        takedownLedgerDir(silverDir))
+      .getOrElse(ids.select(col("doc_id"))
+        .withColumn("batch_id", lit(myBid)))
+      .select(col("doc_id")).distinct()
+    val silver0 = parquetIfExists(spark, SilverSchema, silverDir)
+      .getOrElse(return) // no silver yet: nothing counted, ledger kept
+    // pushed-down id filter for the common small-ledger case
+    val ledgerIds = ledger.limit(LedgerPushdownMaxIds + 1)
+      .collect().map(_.getLong(0))
+    val silverScan =
+      if (ledgerIds.length <= LedgerPushdownMaxIds)
+        silver0.filter(col("doc_id").isin(ledgerIds: _*))
+      else silver0
+    val silver = silverScan
       .withColumn("delta", coalesce(col("delta"), lit(1L)))
       .filter(col("batch_id") =!= myBid)
     val counted = silver.filter(col("delta") > 0)
@@ -124,12 +216,25 @@ object ComposedPipeline {
     val alreadyDeleted = silver.filter(col("delta") < 0)
       .select(col("doc_id"))
     idempotentAppend(
-      ids.select(col("doc_id")).distinct()
+      ledger
         .join(counted, Seq("doc_id"))
         .join(alreadyDeleted, Seq("doc_id"), "left_anti")
         .withColumn("delta", lit(-1L)),
       myBid, silverDir)
   }
+
+  /** On-demand full-ledger re-check (see [[takedownBatch]]'s race
+    * note): decrements any ledgered doc whose +1 landed after its
+    * takedown batch ran. A maintenance pass a deployment schedules
+    * after a curate outage, or invokes once at drain time; replay-
+    * safe like every sink here (give it a fresh `batchId`). */
+  def reconcileTakedowns(spark: SparkSession, silverDir: String,
+                         batchId: Long): Unit =
+    takedownBatch(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType)))),
+      batchId, silverDir)
 
   /** Q3 — takedowns: file-source ingest of takedown id batches →
     * delta=−1 silver rows ([[takedownBatch]]). Chains into the same

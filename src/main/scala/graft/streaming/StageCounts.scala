@@ -30,8 +30,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Q1 replay can only re-deliver Q1's LAST uncommitted micro-batch,
   * whose rows reach this query before anything Q1 wrote after it
   * (the file source orders by mtime; the replayed partition is
-  * rewritten before batch N+1 exists). State is therefore bounded by
-  * ~[[SeenBatchWindow]] Q1 micro-batches of doc_ids per source
+  * rewritten before batch N+1 exists). The window is kept PER ID
+  * SPACE — curate batch_ids and takedown batch_ids (≥ 2^40) evict
+  * independently, see [[fold]] — so state is bounded by
+  * ~2 × [[SeenBatchWindow]] micro-batches of doc_ids per source
   * (arrival-rate × trigger sized), never corpus-sized.
   *
   * PRECONDITION (mtime ordering, ADVICE r14 #2): the eviction is
@@ -81,10 +83,12 @@ object StageCounts {
   /** Counter frontier + the recent-batch replay memory. */
   final case class CountState(counts: Counts, seen: Seq[SeenBatch])
 
-  /** How many of the newest upstream batch_ids keep their doc_id sets.
-    * The replay argument needs 2; 4 buys slack against coarse-mtime
-    * delivery inversion at a still-bounded state cost (see the
-    * PRECONDITION paragraph in the object scaladoc; ADVICE r14 #2). */
+  /** How many of the newest upstream batch_ids keep their doc_id sets
+    * PER ID SPACE (curate and takedown each keep their own window —
+    * see [[fold]]). The replay argument needs 2; 4 buys slack against
+    * coarse-mtime delivery inversion at a still-bounded state cost
+    * (see the PRECONDITION paragraph in the object scaladoc; ADVICE
+    * r14 #2). */
   private[graft] val SeenBatchWindow = 4
 
   /** Fold one micro-batch's rows into the running state, dropping
@@ -92,7 +96,20 @@ object StageCounts {
     * the replayed-silver-partition case. Exposed private[graft] as
     * the eviction-bound test hook (StreamingSpec drives ≥4 upstream
     * batches with interleaved replays through it and inspects the
-    * surviving `seen` window directly). */
+    * surviving `seen` window directly).
+    *
+    * The eviction window is maintained PER ID SPACE (ADVICE r17 #1):
+    * takedown rows carry batch_id ≥
+    * [[ComposedPipeline.TakedownBatchIdBase]] (2^40) by construction,
+    * so a single global `max − (window−1)` cutoff would, the moment
+    * one takedown row is counted, jump to ~2^40 and evict EVERY
+    * curate batch's replay memory — a Q1 at-least-once replay of a
+    * rewritten silver partition after any takedown would then
+    * double-count. Instead curate ids (< base) and takedown ids
+    * (≥ base) each keep the [[SeenBatchWindow]] newest batches of
+    * THEIR OWN space: a takedown cannot evict curate memory and vice
+    * versa. State stays bounded at ≤ 2 × window batches of doc_ids
+    * per source. */
   private[graft] def fold(st: CountState, rows: Iterator[DocTier]): CountState = {
     val seen = scala.collection.mutable.Map.empty[Long,
       scala.collection.mutable.Set[Long]]
@@ -110,10 +127,15 @@ object StageCounts {
           n_tail = c.n_tail + (if (r.tier == "tail") r.delta else 0))
       }
     }
-    val keepFrom = if (seen.isEmpty) Long.MinValue
-                   else seen.keys.max - (SeenBatchWindow - 1)
+    val base = ComposedPipeline.TakedownBatchIdBase
+    def keepFrom(keys: Iterable[Long]): Long =
+      if (keys.isEmpty) Long.MinValue else keys.max - (SeenBatchWindow - 1)
+    val (tdKeys, curKeys) = seen.keys.partition(_ >= base)
+    val (curFrom, tdFrom) = (keepFrom(curKeys), keepFrom(tdKeys))
     CountState(c,
-      seen.toSeq.filter(_._1 >= keepFrom).sortBy(_._1)
+      seen.toSeq
+        .filter { case (b, _) => b >= (if (b >= base) tdFrom else curFrom) }
+        .sortBy(_._1)
         .map { case (b, ids) => SeenBatch(b, ids.toSeq.sorted) })
   }
 

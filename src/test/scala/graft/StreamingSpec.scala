@@ -1123,4 +1123,190 @@ class StreamingSpec extends AnyFunSuite {
       "an out-of-window replay unexpectedly deduped — if the window " +
         "became unbounded, update this pin AND the scaladoc bound")
   }
+
+  test("StageCounts eviction is PER ID SPACE (ADVICE r17 #1): a " +
+    "takedown batch_id must not evict curate replay memory — a curate " +
+    "replay after takedowns still dedups, and each space keeps its " +
+    "own bounded window") {
+    import graft.streaming.{ComposedPipeline, StageCounts}
+    import graft.streaming.StageCounts.{CountState, Counts, DocTier}
+
+    val base = ComposedPipeline.TakedownBatchIdBase
+    def rows(batch: Long, ids: Range, delta: Long): Iterator[DocTier] =
+      ids.iterator.map(i => DocTier("web", "head", batch, i.toLong, delta))
+
+    var st = CountState(Counts("web", 0, 0, 0, 0), Seq.empty)
+    st = StageCounts.fold(st, rows(0L, 0 until 50, 1L))
+    st = StageCounts.fold(st, rows(1L, 50 until 100, 1L))
+    assert(st.counts.n_total == 100)
+
+    // a takedown batch lands — its batch_id lives in the 2^40 space.
+    // Under the old single-max eviction this would set keepFrom to
+    // ~2^40 and evict BOTH curate batches' memory at once.
+    st = StageCounts.fold(st, rows(base + 0L, 0 until 5, -1L))
+    assert(st.counts.n_total == 95)
+
+    // the curate window survived: a Q1 at-least-once replay of its
+    // newest batch is still a no-op
+    st = StageCounts.fold(st, rows(1L, 50 until 100, 1L))
+    assert(st.counts.n_total == 95,
+      "curate replay after a takedown double-counted — the takedown " +
+        "batch_id evicted the curate replay window")
+
+    // and the takedown window dedups its own replays symmetrically
+    st = StageCounts.fold(st, rows(base + 0L, 0 until 5, -1L))
+    assert(st.counts.n_total == 95,
+      "takedown replay double-decremented")
+
+    // a run of further takedown batches evicts only WITHIN the
+    // takedown space; curate memory stays intact throughout
+    for (tb <- 1L to 6L)
+      st = StageCounts.fold(st,
+        rows(base + tb, (tb * 5 + 5).toInt until (tb * 5 + 10).toInt, -1L))
+    st = StageCounts.fold(st, rows(1L, 50 until 100, 1L))
+    assert(st.counts.n_total == 95 - 30,
+      "curate replay double-counted after the takedown space cycled " +
+        "its window")
+    val (tdKept, curKept) = st.seen.map(_.batch_id).partition(_ >= base)
+    assert(curKept.nonEmpty && curKept.forall(_ < base),
+      s"curate window lost: $curKept")
+    assert(tdKept.size <= StageCounts.SeenBatchWindow &&
+      curKept.size <= StageCounts.SeenBatchWindow,
+      s"per-space bound violated: td=${tdKept.size} cur=${curKept.size}")
+    assert(st.seen.size <= 2 * StageCounts.SeenBatchWindow,
+      s"total state bound violated: ${st.seen.size}")
+  }
+
+  test("takedownBatch error handling (VERDICT r17 wrong #1): a missing " +
+    "silver dir is a clean no-op that still records the ledger; a " +
+    "corrupt silver read FAILS the batch instead of committing an " +
+    "empty delete") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ComposedPipeline
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("tdguard")
+    val silver = dir.resolve("silver").toString
+
+    // (a) silver never written: clean no-op — no exception, nothing
+    // fabricated — but the REQUEST is remembered in the ledger so a
+    // later arrival of these docs is suppressed
+    ComposedPipeline.takedownBatch(
+      Seq(1L, 2L).toDF("doc_id"), 0L, silver)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(silver)),
+      "a no-silver takedown must not create silver")
+    val ledgered = spark.read
+      .parquet(ComposedPipeline.takedownLedgerDir(silver))
+      .select("doc_id").as[Long].collect().sorted
+    assert(ledgered.sameElements(Array(1L, 2L)),
+      s"ledger must record the request: ${ledgered.mkString(",")}")
+
+    // (b) unreadable silver: the read failure must PROPAGATE so the
+    // foreachBatch fails and the checkpoint retries the takedown —
+    // the old catch-Throwable committed an empty batch here and the
+    // right-to-be-forgotten request was silently dropped forever
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(silver))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(silver, "part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      ComposedPipeline.takedownBatch(
+        Seq(1L, 2L).toDF("doc_id"), 1L, silver)
+    }
+  }
+
+  test("takedown BEFORE curate (ADVICE r17 #3): the ledger suppresses " +
+    "the late arrival, counters match batchComposition minus the " +
+    "deleted ids, and reconcileTakedowns recovers an orphaned +1") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ComposedPipeline, StageCounts}
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("tdrace")
+    val in = dir.resolve("in").toString
+    val td = dir.resolve("takedowns").toString
+    val silver = dir.resolve("silver").toString
+    val cp1 = dir.resolve("cp1").toString
+    val cp2 = dir.resolve("cp2").toString
+    val cp3 = dir.resolve("cp3").toString
+    val gold = dir.resolve("gold").toString
+
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = docs0.withColumn("ets",
+      timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    val schema = docs.schema
+    val (freq0, scal0) = graft.operators.TextQueries.trainUnigramLm(docs0)
+    val freqF = freq0.localCheckpoint()
+    val scalF = scal0.localCheckpoint()
+
+    // 1) the takedown arrives FIRST — nothing curated yet, so it can
+    // find no victim; the old code forgot the request here
+    spark.range(10, 20).select(col("id").as("doc_id"))
+      .write.mode("append").parquet(td)
+    val q3 = ComposedPipeline.startTakedowns(spark,
+      StructType(Seq(StructField("doc_id", LongType))), td, silver, cp3)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(silver)),
+      "takedown before any curate must not create silver")
+
+    // 2) the docs arrive and are curated AFTER their takedown: the
+    // ledger anti-join must keep them out of silver entirely
+    docs.filter(col("doc_id") < 50).write.mode("append").parquet(in)
+    val q1 = ComposedPipeline.startCurate(spark, schema, in, silver, cp1,
+      freqF, scalF, delay = "10 days")
+    try q1.processAllAvailable() finally q1.stop()
+    val curatedIds = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).select("doc_id").as[Long].collect()
+    assert(!curatedIds.exists(i => i >= 10 && i < 20),
+      s"ledgered docs reached silver: ${curatedIds.filter(i => i >= 10 && i < 20).mkString(",")}")
+
+    // 3) counters == batch composition WITHOUT the taken-down docs —
+    // the same parity statement as the takedown-after-curate test,
+    // now for the reversed arrival order
+    val q2 = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2.processAllAvailable() finally q2.stop()
+    val lastPerSource = spark.read.parquet(gold)
+      .orderBy(col("batch_id"))
+      .collect().map(r => r.getAs[String]("source") -> StageCounts.Counts(
+        r.getAs[String]("source"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_head"), r.getAs[Long]("n_middle"),
+        r.getAs[Long]("n_tail"))).toMap
+    val batch = ComposedPipeline.batchComposition(
+        spark.read.parquet(in).drop("ets"), freqF, scalF,
+        deletedIds = Some(spark.range(10, 20).select(col("id").as("doc_id"))))
+      .collect().map { r =>
+        r.getString(0) -> StageCounts.Counts(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    assert(lastPerSource.keySet == batch.keySet,
+      s"source sets differ: ${lastPerSource.keySet} vs ${batch.keySet}")
+    lastPerSource.foreach { case (s, c) =>
+      assert(c == batch(s), s"source $s: stream $c vs batch ${batch(s)}")
+    }
+
+    // 4) the one unserialized window (curate read the ledger just
+    // before the takedown wrote it, takedown read silver just before
+    // the curate appended): an orphaned +1 for a ledgered doc.
+    // Simulate it by appending the +1 directly, then prove the
+    // full-ledger re-check decrements it.
+    spark.read.schema(ComposedPipeline.SilverSchema).parquet(silver)
+      .filter(col("delta") > 0).limit(1)
+      .select(lit(12L).as("doc_id"), col("source"), col("tier"),
+        col("delta"), lit(777L).as("batch_id"))
+      .write.mode("append").partitionBy("batch_id").parquet(silver)
+    ComposedPipeline.reconcileTakedowns(spark, silver, batchId = 555L)
+    val minus = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+      .select("doc_id").as[Long].collect()
+    assert(minus.sameElements(Array(12L)),
+      s"reconcile must decrement exactly the orphaned +1: ${minus.mkString(",")}")
+    // and a SECOND reconcile is a no-op (anti-join on the -1 row)
+    ComposedPipeline.reconcileTakedowns(spark, silver, batchId = 556L)
+    val minus2 = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+      .select("doc_id").as[Long].collect()
+    assert(minus2.sameElements(Array(12L)),
+      "re-reconcile must be a no-op")
+  }
 }
