@@ -96,6 +96,57 @@ object Bench {
     * medians are accumulated in bench/box_constant.json. */
   private[graft] val BandwidthSuspectRatio = 1.35
 
+  /** Normalized-ratio threshold for the degraded-box record screen
+    * ([[normalizedSlow]]): a row whose vs-record ratio exceeds this
+    * multiple of the FIELD's median ratio is flagged. Deliberately
+    * wider than 1 (the screen runs on noisy flagged sessions) but far
+    * tighter than the absolute screen's 2.5 — the field median has
+    * already absorbed the session's uniform inflation. */
+  private[graft] val NormalizedSlowRatio = 1.4
+
+  /** Minimum recorded rows for the field median to be a meaningful
+    * deflator. */
+  private[graft] val NormalizedMinRows = 10
+
+  /** Degradation-normalized record screen (VERDICT r17 missing #2):
+    * on a uniformly degraded box every per-row ratio vs its quiet
+    * record inflates together, so the absolute 2.5× screen
+    * (`slow_vs_record`) reads empty while a genuine plan regression
+    * hides inside the uniform field — r16/r17 ran entirely in that
+    * blind spot. The deflator is the session's OWN field: the median
+    * per-row ratio estimates the run-wide inflation factor directly
+    * in query units. (Dividing by the measured `bandwidth_vs_box`
+    * instead would over-correct: r17 measured 2.0–2.1× DRAM
+    * degradation translating to only 1.19–1.52× query inflation, so
+    * a real 1.8× regression would normalize BELOW 1 and vanish.)
+    * A row whose ratio exceeds [[NormalizedSlowRatio]] × the field
+    * median lands in `degraded_normalized`; the median itself is
+    * reported as `field_vs_record_median` so the artifact states how
+    * inflated the session was in the units that matter. Advisory:
+    * it does not feed `contention_suspect` (under degradation the
+    * bandwidth leg already flags the run; on a quiet run a 1.4×
+    * normalized row is worth reading, not worth poisoning the flag).
+    * Sub-[[SpreadMinSec]] rows are excluded (their jitter spans
+    * 2–3×), and the screen stays silent below [[NormalizedMinRows]]
+    * recorded rows. Returns (field median, flagged rows by
+    * normalized ratio, descending). */
+  private[graft] def normalizedSlow(values: Seq[(String, Double)],
+                                    records: Map[String, Double])
+      : (Option[Double], Seq[(String, Double)]) = {
+    val ratios = values.collect {
+      case (n, v) if records.get(n).exists(_ > 0) => (n, v, v / records(n))
+    }
+    if (ratios.size < NormalizedMinRows) (None, Seq.empty)
+    else {
+      val med = calMedian(ratios.map(_._3))
+      val flagged = ratios.collect {
+        case (n, v, r) if v >= SpreadMinSec && med > 0 &&
+          r / med > NormalizedSlowRatio => (n, r / med)
+      }.sortBy { case (n, nr) => (-nr, n) }
+      (Some(med), flagged)
+    }
+  }
+
   /** A committed quiet-box constant by key, if present. */
   private[graft] def readBoxKey(path: String, key: String): Option[Double] =
     try {
@@ -497,8 +548,14 @@ object Bench {
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val ss = spreadRows.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
+    // the degradation-normalized screen (see [[normalizedSlow]]):
+    // detects a plan regression even while the box is uniformly slow
+    val (fieldMedian, degradedNormalized) = normalizedSlow(ok, records)
+    val fmJson = fieldMedian.map(m => f"$m%.3f").getOrElse("null")
+    val dn = degradedNormalized.map { case (k, nr) =>
+      "\"" + k + "\":" + f"$nr%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
@@ -539,7 +596,7 @@ object Bench {
     // driver-captured tail must carry provenance even when the detail
     // file isn't read
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

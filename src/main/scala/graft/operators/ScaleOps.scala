@@ -767,16 +767,25 @@ object ScaleOps {
     * pipeline already has (index metadata, not a corpus scan).
     * `indexedIds` counts ALL ids the index holds INCLUDING the
     * tombstoned ones — tombstones are a subset of the index by
-    * construction, so f < 1 always; the requires make a live-only
+    * construction, so f ≤ 1 always; the requires make a live-only
     * miscount fail loudly instead of printing an Infinity/negative
-    * dead-posting percentage (review r17). */
+    * dead-posting percentage (review r17). f = 1 — an entirely
+    * retracted crawl — is a LEGITIMATE state (ADVICE r17 #4): it
+    * short-circuits to compact (the rewrite is a truncate; carrying
+    * means every read scans only dead postings) without touching the
+    * f/(1−f) read-tax formula, which is meaningless at f = 1. */
   def adviseCompaction(indexedIds: Long,
                        tombstonedIds: Long): CompactionAdvice = {
     require(indexedIds > 0, "adviseCompaction: empty index")
-    require(tombstonedIds >= 0 && tombstonedIds < indexedIds,
+    require(tombstonedIds >= 0 && tombstonedIds <= indexedIds,
       s"adviseCompaction: tombstonedIds=$tombstonedIds must be in " +
-        s"[0, indexedIds=$indexedIds) — indexedIds counts the whole " +
+        s"[0, indexedIds=$indexedIds] — indexedIds counts the whole " +
         "index INCLUDING tombstoned rows")
+    if (tombstonedIds == indexedIds)
+      return CompactionAdvice(1.0, compact = true,
+        "every indexed id is tombstoned (a fully-retracted index): " +
+          "compact now — the rewrite is a truncate of cells+codes, " +
+          "and carrying would make every read scan only dead postings")
     val f = tombstonedIds.toDouble / indexedIds
     val compact = f >= CompactionTombstoneFraction
     CompactionAdvice(f, compact,

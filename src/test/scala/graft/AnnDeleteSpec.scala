@@ -99,5 +99,15 @@ class AnnDeleteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ScaleOps.adviseCompaction(indexedIds = 0, tombstonedIds = 0)
     }
+    // a fully-retracted index (ADVICE r17 #4) is a legitimate state:
+    // compact, with a rationale that never evaluates f/(1-f) at f=1
+    val full = ScaleOps.adviseCompaction(indexedIds = 100, tombstonedIds = 100)
+    assert(full.compact && full.tombstoneFraction === 1.0)
+    assert(full.rationale.contains("compact") &&
+      !full.rationale.contains("Infinity") && !full.rationale.contains("NaN"))
+    // but a genuine miscount (tombstones exceeding the index) still throws
+    intercept[IllegalArgumentException] {
+      ScaleOps.adviseCompaction(indexedIds = 100, tombstonedIds = 101)
+    }
   }
 }

@@ -118,4 +118,49 @@ class BenchInstrumentSpec extends AnyFunSuite {
     val starved = Seq(0.55, 0.52, 0.58, 0.54, 0.56)
     assert(Bench.calVsBox(starved, bwBox).get > Bench.BandwidthSuspectRatio)
   }
+
+  test("degradation-normalized record screen (VERDICT r17 missing #2): " +
+    "flags a 3x row inside a uniformly 2x-inflated field, stays " +
+    "silent on the uniform field itself") {
+    // 20 recorded queries, quiet records of assorted sizes
+    val records = (1 to 20).map(i => s"q_$i" -> (1.0 + i * 0.1)).toMap
+
+    // uniformly degraded session: every row at 2.0x its record —
+    // the absolute 2.5x screen reads empty AND so must this one
+    val uniform = records.toSeq.map { case (n, r) => n -> r * 2.0 }
+    val (medU, flaggedU) = Bench.normalizedSlow(uniform, records)
+    assert(medU.exists(m => math.abs(m - 2.0) < 1e-9), s"median: $medU")
+    assert(flaggedU.isEmpty,
+      s"uniform 2x field must not flag: $flaggedU")
+
+    // same field with ONE genuine plan regression: q_7 at 3x its
+    // record = 1.5x the field median. In r16/r17's real 1.19-1.52x
+    // fields the same field-relative regression sits at ~1.8-2.3x
+    // absolute — under the absolute screen's 2.5x cut — so only the
+    // field-normalized view can see it
+    val oneSlow = uniform.map { case (n, v) =>
+      if (n == "q_7") n -> records(n) * 3.0 else n -> v }
+    val (medS, flaggedS) = Bench.normalizedSlow(oneSlow, records)
+    assert(medS.exists(m => math.abs(m - 2.0) < 1e-9))
+    assert(flaggedS.map(_._1) == Seq("q_7"),
+      s"expected exactly q_7 flagged: $flaggedS")
+    assert(math.abs(flaggedS.head._2 - 1.5) < 1e-9,
+      s"normalized ratio should be 3.0/2.0 = 1.5: ${flaggedS.head._2}")
+
+    // sub-second rows are excluded from FLAGGING (jitter spans 2-3x)
+    // even though they inform the median
+    val tiny = Map("q_t" -> 0.2) ++ records
+    val tinyRun = (("q_t" -> 0.9) +: uniform) // 4.5x its record, but 0.9s
+    val (_, flaggedT) = Bench.normalizedSlow(tinyRun, tiny)
+    assert(!flaggedT.exists(_._1 == "q_t"),
+      s"sub-second row must not flag: $flaggedT")
+
+    // below NormalizedMinRows recorded rows the screen stays silent
+    val few = (1 to 5).map(i => s"q_$i" -> 1.0)
+    val (medF, flaggedF) = Bench.normalizedSlow(
+      few.map { case (n, _) => n -> 9.0 },
+      few.toMap)
+    assert(medF.isEmpty && flaggedF.isEmpty,
+      "too few recorded rows for a meaningful field median")
+  }
 }

@@ -130,6 +130,68 @@ class GraphScrubSpec extends AnyFunSuite {
       (2L, "", 0L, 1L)))
   }
 
+  test("scrubIncremental exactly-once enforcement (VERDICT r17 #2): " +
+    "a re-submitted takedown list anti-joined against the applied " +
+    "ledger leaves df_live and the scrub output bit-identical") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "a b c d z1 z2 z3 z4"), // retracted once
+      (12L, "a b c d w1 w2 w3 w4")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "a b c d n1 n2 n3 n4"),
+      (1L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val takedown = corpus.filter($"doc_id" === 11L)
+
+    // dfCap 2: "a b c d" carries df 3 (docs 10/11/12) — deleting 11
+    // flips it to 2 ≤ cap, so the takedown visibly changes the output
+    // and any extra decrement is visible at the cap boundary
+    // first application: ledger empty, the decrement lands
+    val first = TextQueries.scrubIncremental(batch, corpus, 4, 2L,
+        deletedDocs = Some(takedown),
+        appliedTakedowns = Some(Seq.empty[Long].toDF("doc_id")))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+
+    // RE-SUBMISSION of the same list with doc 11 now on the ledger:
+    // the anti-join must skip it, leaving the df the maintained state
+    // already carries. Without enforcement the resubmission would
+    // decrement AGAIN (df_live 3−1 = 2 ≤ cap → "a b c d" kept),
+    // diverging from the ledger-respecting no-op (df 3 → dropped).
+    val resubmitted = TextQueries.scrubIncremental(batch, corpus, 4, 2L,
+        deletedDocs = Some(takedown),
+        appliedTakedowns = Some(Seq(11L).toDF("doc_id")))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val noDelete = TextQueries.scrubIncremental(batch, corpus, 4, 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(resubmitted == noDelete,
+      "ledgered takedown was applied again (double-decrement)")
+    assert(resubmitted != first,
+      "test is vacuous: the takedown must change the cap decision " +
+        "so a double-decrement would be visible")
+
+    // mixed list at dfCap 0: one new takedown (10) + one already
+    // applied (11), against the maintained corpus state that already
+    // excludes 11. Only the new doc may decrement: df("a b c d")
+    // 2 − 1 = 1 > 0 → dropped, equal to the rebuild without both
+    // docs; a double-decrement would yield 2 − 2 = 0 → wrongly kept.
+    val mixed = TextQueries.scrubIncremental(
+        batch,
+        corpus.filter($"doc_id" =!= 11L),
+        4, 0L,
+        deletedDocs = Some(corpus.filter($"doc_id".isin(10L, 11L))),
+        appliedTakedowns = Some(Seq(11L).toDF("doc_id")))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val rebuildBoth = TextQueries.scrubIncremental(batch,
+        corpus.filter(!$"doc_id".isin(10L, 11L)), 4, 0L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(mixed == rebuildBoth,
+      "mixed new+ledgered takedown list must decrement only the new doc")
+  }
+
   test("scrubBoilerplate reassembles multi-segment survivors in original order") {
     // doc 0: boilerplate at segment 1 of 3 — survivors must re-join as
     // segment0 then segment2
