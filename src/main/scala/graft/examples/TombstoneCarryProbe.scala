@@ -32,14 +32,29 @@ import graft.operators.{ExtraSimilarityQueries => ESQ, ScaleOps}
   * carry−clean within one run is the load-bearing quantity, and the
   * box flag lives in the same session's bench artifacts.
   *
+  * COLD-FILE leg (r18 — VERDICT r17 missing #5: the cached-regime
+  * break-even was measured, the cold regime rested on argument): the
+  * same sweep with the index UNPERSISTED and parquet-resident — every
+  * search decodes cells/codes from files, and the `compact` leg
+  * writes REAL parquet (an I/O pass: encode + flush + commit), not a
+  * noop sink. This prices the regime `adviseCompaction`'s 0.2
+  * threshold actually protects: when the rewrite costs file I/O, the
+  * carry tax must be paid more times before compaction wins. Honest
+  * scope note: localhost cannot evict the OS page cache, so the
+  * "cold" reads still hit DRAM-cached file pages — the leg prices
+  * the parquet decode + write path, a LOWER bound on a real cold
+  * object-store rewrite; the break-even it yields is accordingly a
+  * lower bound on the cold regime's.
+  *
   * Usage: runMain graft.examples.TombstoneCarryProbe [sfDir] [out]
-  * Artifact: bench/tombstone_carry_r17.jsonl
+  * Artifact: bench/tombstone_carry_r18.jsonl (r17 file kept:
+  * cached-regime history)
   */
 object TombstoneCarryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf10")
     val outPath = args.lift(1)
-      .getOrElse("/root/repo/bench/tombstone_carry_r17.jsonl")
+      .getOrElse("/root/repo/bench/tombstone_carry_r18.jsonl")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -114,6 +129,55 @@ object TombstoneCarryProbe {
       println(out.last)
       tomb.unpersist(true)
     }
+
+    // ---- COLD-FILE regime (r18): parquet-resident index, real
+    // parquet rewrite. Same sweep, same formula; see the scaladoc's
+    // scope note on page-cache residency.
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val coldBase = "/root/repo/tmp/tcp_cold"
+    fs.delete(new org.apache.hadoop.fs.Path(coldBase), true)
+    cells.write.parquet(s"$coldBase/cells")
+    codes.write.parquet(s"$coldBase/codes")
+    cells.unpersist(true)
+    codes.unpersist(true)
+    val cellsD = spark.read.parquet(s"$coldBase/cells")
+    val codesD = spark.read.parquet(s"$coldBase/codes")
+    val idxD = idx0.copy(cells = cellsD, codes = codesD)
+    runSearch(idxD) // warm-up for the file-backed plan shape
+    val cleanColdSec = timeMin2(() => runSearch(idxD))
+    out += f"""{"probe":"tombstone_carry","leg":"cold_clean","indexed":$indexed,"search_sec":$cleanColdSec%.3f,"sf":"$sfDir"}"""
+    println(out.last)
+
+    for (pct <- Seq(2, 10, 20, 40)) {
+      val tomb = cellsD.filter(pmod(col("vec_id"), lit(100)) < pct)
+        .select(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTomb = tomb.count()
+      val carried = idxD.copy(
+        cells = ScaleOps.tombstone(cellsD, tomb, "vec_id"),
+        codes = ScaleOps.tombstone(codesD, tomb, "vec_id"))
+      val carrySec = timeMin2(() => runSearch(carried))
+      // the rewrite is now an I/O pass: scan + anti-join + parquet
+      // encode + flush + commit of the surviving postings
+      val compactSec = timeMin2 { () =>
+        ScaleOps.tombstone(cellsD, tomb, "vec_id")
+          .write.mode("overwrite").parquet(s"$coldBase/rw_cells")
+        ScaleOps.tombstone(codesD, tomb, "vec_id")
+          .write.mode("overwrite").parquet(s"$coldBase/rw_codes")
+      }
+      val compacted = idxD.copy(
+        cells = spark.read.parquet(s"$coldBase/rw_cells"),
+        codes = spark.read.parquet(s"$coldBase/rw_codes"))
+      val postSec = timeMin2(() => runSearch(compacted))
+      val tax = carrySec - postSec
+      val breakEven =
+        if (tax > 0.01) (compactSec / tax).round else -1L
+      out += f"""{"probe":"tombstone_carry","leg":"cold_sweep","tombstone_pct":$pct,"n_tombstoned":$nTomb,"carry_search_sec":$carrySec%.3f,"compact_sec":$compactSec%.3f,"post_compact_search_sec":$postSec%.3f,"clean_search_sec":$cleanColdSec%.3f,"break_even_reads":$breakEven}"""
+      println(out.last)
+      tomb.unpersist(true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(coldBase), true)
 
     val txt = out.mkString("\n") + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -758,9 +758,17 @@ object ScaleOps {
     * pass over the index tables (no shuffle: the anti-join broadcasts
     * the tombstones, partitioning is preserved). One-pass rewrite vs
     * a perpetual 25 % read tax is the standard LSM/segment-merge
-    * break-even region; the fraction is a documented default, not a
-    * measured crossover — the measured quantity is the per-read tax
-    * it bounds. */
+    * break-even region. MEASURED in both regimes on the gates' own
+    * 10× frozen-codebook index (`TombstoneCarryProbe`): cached —
+    * rewrite 0.28–0.71 s (one anti-join map pass), break-even 2–3
+    * reads (`bench/tombstone_carry_r17.jsonl`); cold-file (r18,
+    * parquet-resident index, REAL parquet rewrite) — the rewrite
+    * triples to 0.88–1.22 s but the carry tax grows too on the
+    * decode-bound scans, so break-even stays 2–6 reads
+    * (`bench/tombstone_carry_r18.jsonl`, page-cache-resident files:
+    * a lower bound on a true cold object store). In both measured
+    * regimes compaction pays for itself within a handful of reads —
+    * 0.2 is the conservative carry bound. */
   val CompactionTombstoneFraction: Double = 0.2
 
   /** Decide tombstone-carry vs compaction from the two row counts a
