@@ -28,7 +28,8 @@ object SparkEntry {
       WarehouseQueries.specs ++
       GraphQueries.specs ++
       AnalyticsQueries.specs ++
-      PipelineQueries.specs
+      PipelineQueries.specs ++
+      TakedownAudit.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way join + revenue aggregate (the reference's delegated-SQL

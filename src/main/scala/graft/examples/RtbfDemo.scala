@@ -34,28 +34,17 @@ import graft.streaming.ComposedPipeline
   */
 object RtbfDemo {
 
-  /** The demo's prior-takedown slice: these ids were removed by an
-    * earlier request, so re-submitting them must audit ALREADY GONE
-    * and re-apply nothing. */
-  private[graft] def priorIds(spark: SparkSession): DataFrame =
-    spark.range(40, 46).select(col("id").as("doc_id"))
-
-  /** The submitted list: the prior slice (re-submission), a fresh
-    * retracted range, and never-crawled ids far past any SF's range. */
-  private[graft] def requestedIds(spark: SparkSession): DataFrame =
-    spark.range(40, 81).select(col("id").as("doc_id"))
-      .unionByName(spark.range(9000000000L, 9000000011L)
-        .select(col("id").as("doc_id")))
-
   /** Drive the list through the four surfaces; returns the audits in
     * surface order (ann, prefix, scrub, stream). `workDir` holds the
-    * streaming surface's silver table + ledger. */
+    * streaming surface's silver table + ledger. The prior/requested
+    * fixtures live on [[TakedownAudit]], shared with the
+    * `q_rtbf_audit` gate so the sites cannot drift. */
   def run(spark: SparkSession, sfDir: String, workDir: String)
       : Seq[TakedownAudit.SurfaceAudit] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val prior = priorIds(spark)
-    val requested = requestedIds(spark)
+    val prior = TakedownAudit.priorIds(spark)
+    val requested = TakedownAudit.requestedIds(spark)
     val allTomb = prior.unionByName(requested).distinct()
 
     // ---- 1. ANN: frozen-codebook index; prior ids already in the

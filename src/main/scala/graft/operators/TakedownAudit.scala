@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Right-to-be-forgotten request AUDIT (VERDICT r17 stretch #7): one
@@ -50,22 +50,79 @@ object TakedownAudit {
       else ids.take(8).mkString(",") + s",… (${ids.size} total)"
   }
 
+  /** The classification as a DataFrame — (idCol, class) with class ∈
+    * {applied, already_gone, never_present} — the distributed form
+    * [[audit]] collects and the `q_rtbf_audit` gate replays
+    * cross-engine. One pass: the request left-joins the two id-only
+    * state projections (both broadcast — deletion records and the
+    * request are takedown-sized; `present` is projected to ids and
+    * semi-joined, never materialized wide). */
+  def classify(requested: DataFrame, present: DataFrame,
+               alreadyGone: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val req = requested.select(col(idCol)).distinct()
+    val pres = present.select(col(idCol)).distinct()
+      .withColumn("__p", lit(1))
+    val gone0 = alreadyGone.select(col(idCol)).distinct()
+      .withColumn("__g", lit(1))
+    req.join(broadcast(gone0), Seq(idCol), "left")
+      .join(pres, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__g").isNotNull, lit("already_gone"))
+          .when(col("__p").isNotNull, lit("applied"))
+          .otherwise(lit("never_present")).as("class"))
+  }
+
   /** Classify one request list against one surface. All three frames
     * must carry the id column `idCol`; `present` is the surface's
     * indexed/counted id projection, `alreadyGone` its deletion record
     * (tombstone table / applied ledger / existing −1 rows). */
   def audit(surface: String, requested: DataFrame, present: DataFrame,
             alreadyGone: DataFrame, idCol: String = "doc_id"): SurfaceAudit = {
-    val req = requested.select(col(idCol)).distinct()
-    val pres = present.select(col(idCol)).distinct()
-    val gone0 = alreadyGone.select(col(idCol)).distinct()
-    def ids(df: DataFrame): Seq[Long] =
-      df.collect().map(_.getLong(0)).sorted.toSeq
-    val gone = req.join(gone0, Seq(idCol), "left_semi")
-    val applied = req.join(gone0, Seq(idCol), "left_anti")
-      .join(pres, Seq(idCol), "left_semi")
-    val never = req.join(gone0, Seq(idCol), "left_anti")
-      .join(pres, Seq(idCol), "left_anti")
-    SurfaceAudit(surface, req.count(), ids(applied), ids(gone), ids(never))
+    val classed = classify(requested, present, alreadyGone, idCol)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def ids(cls: String): Seq[Long] =
+      classed.collect { case (id, c) if c == cls => id }.sorted.toSeq
+    SurfaceAudit(surface, classed.length.toLong,
+      ids("applied"), ids("already_gone"), ids("never_present"))
   }
+
+  /** The demo/spec takedown fixtures, shared with RtbfDemo and the
+    * `q_rtbf_audit` gate so the Scala sites cannot drift (the DuckDB
+    * oracle keeps its own SQL transcription of the same ranges). A
+    * PRIOR takedown removed 40–45; the submitted list re-includes
+    * them, adds the fresh 46–80 slice, and 11 ids far past any SF's
+    * doc range. */
+  private[graft] def priorIds(spark: SparkSession): DataFrame =
+    spark.range(40, 46).select(col("id").as("doc_id"))
+
+  private[graft] def requestedIds(spark: SparkSession): DataFrame =
+    spark.range(40, 81).select(col("id").as("doc_id"))
+      .unionByName(spark.range(9000000000L, 9000000011L)
+        .select(col("id").as("doc_id")))
+
+  /** `q_rtbf_audit` — the takedown classification, oracle-gated:
+    * DuckDB replays the identical request/prior ranges and the CASE
+    * classification against the documents table, so the audit every
+    * delete surface shares is cross-engine-checked, not just
+    * spec-asserted. */
+  lazy val specs: Seq[Q.Spec] = Seq(
+    Q.Spec("q_rtbf_audit",
+      (s, dir) => classify(requestedIds(s),
+          Q.t(s, dir, "documents").select(col("doc_id")),
+          priorIds(s))
+        .orderBy(col("doc_id")),
+      Some("""WITH req AS (
+               SELECT range AS doc_id FROM range(40, 81)
+               UNION ALL
+               SELECT range AS doc_id FROM range(9000000000, 9000000011)),
+             pres AS (SELECT DISTINCT doc_id FROM documents),
+             gone AS (SELECT range AS doc_id FROM range(40, 46))
+             SELECT r.doc_id,
+               CASE WHEN g.doc_id IS NOT NULL THEN 'already_gone'
+                    WHEN p.doc_id IS NOT NULL THEN 'applied'
+                    ELSE 'never_present' END AS class
+             FROM req r
+             LEFT JOIN gone g USING (doc_id)
+             LEFT JOIN pres p USING (doc_id)
+             ORDER BY r.doc_id""")))
 }
