@@ -79,7 +79,7 @@ object RtbfDemo {
     // in df), so only the fresh slice decrements
     val scrubAudit = TakedownAudit.audit("scrub",
       requested, docs.select(col("doc_id")), prior)
-    val deletedDocs = docs.join(requested, Seq("doc_id"), "left_semi")
+    val deletedDocs = docs.join(broadcast(requested), Seq("doc_id"), "left_semi")
     TextQueries.scrubIncremental(batch, docs, 8, 1L,
       deletedDocs = Some(deletedDocs),
       appliedTakedowns = Some(prior)).count()

@@ -53,19 +53,22 @@ object TakedownAudit {
   /** The classification as a DataFrame — (idCol, class) with class ∈
     * {applied, already_gone, never_present} — the distributed form
     * [[audit]] collects and the `q_rtbf_audit` gate replays
-    * cross-engine. One pass: the request left-joins the two id-only
-    * state projections (both broadcast — deletion records and the
-    * request are takedown-sized; `present` is projected to ids and
-    * semi-joined, never materialized wide). */
+    * cross-engine. Plan shape for the 100 TB case: `present` is the
+    * corpus-sized side, so it is NEVER shuffled or outer-joined —
+    * the broadcast REQUEST semi-joins it down to ≤ |request| hit ids
+    * in one map-side pass over its scan, and everything after is
+    * broadcast joins of takedown-sized tables. */
   def classify(requested: DataFrame, present: DataFrame,
                alreadyGone: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val req = requested.select(col(idCol)).distinct()
-    val pres = present.select(col(idCol)).distinct()
+    // corpus-side scan reduced map-side: broadcast-semi, no shuffle
+    val presHit = present.select(col(idCol))
+      .join(broadcast(req), Seq(idCol), "left_semi").distinct()
       .withColumn("__p", lit(1))
     val gone0 = alreadyGone.select(col(idCol)).distinct()
       .withColumn("__g", lit(1))
     req.join(broadcast(gone0), Seq(idCol), "left")
-      .join(pres, Seq(idCol), "left")
+      .join(broadcast(presHit), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__g").isNotNull, lit("already_gone"))
           .when(col("__p").isNotNull, lit("applied"))

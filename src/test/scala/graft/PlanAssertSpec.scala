@@ -361,6 +361,19 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(pf.contains("lang"), s"lang not in partition filters: $pf\n$p")
   }
 
+  test("q_rtbf_audit never shuffles the corpus side: broadcast semi " +
+    "reduces it map-side, every join is broadcast") {
+    val p = plan("q_rtbf_audit")
+    // the present-side reduction and both outer joins ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no sort-merge / shuffled-hash join anywhere: the corpus-sized
+    // side must never be exchanged for this takedown-sized audit
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side shuffled:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("Q.spread preserves values while widening parallelism") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val spreadDf = graft.operators.Q.spread(spark, df)
