@@ -464,6 +464,44 @@ object Bench {
         } else name -> QueryResult(q.value, q.passes, q.extra ++ extra)
       case other => other
     }
+    // Degradation-normalized screen ([[normalizedSlow]]) with the
+    // SAME isolated re-measure discipline as the record screen: the
+    // r18 closing pair measured the false-positive mode (a hard box
+    // swing pushes a sub-1.5 s row past the 1.4 cut in ONE run while
+    // the same-code sibling run times it normally — BASELINE r18), so
+    // a flagged row is re-run up to twice in isolation and only a row
+    // that STAYS past the cut against the unchanged field median is
+    // reported. Re-measures can only ADD timings; rows the earlier
+    // screens already re-measured keep their isolated timings instead
+    // of earning more runs.
+    val okPre = screened.collect { case (k, q) if q.value.isRight =>
+      k -> q.value.toOption.get }
+    val (fieldMedian, dnFlagged0) = normalizedSlow(okPre, records)
+    val screenedFinal: Seq[(String, QueryResult)] =
+      if (dnFlagged0.isEmpty) screened
+      else screened.map {
+        case (name, q) if dnFlagged0.exists(_._1 == name) &&
+            q.value.isRight && !remeasured.contains(name) =>
+          val fn = SparkEntry.queries(name)
+          val extra = Seq(once(fn), once(fn))
+          val times = extra.collect { case Right(t) => t }
+          if (times.nonEmpty) {
+            remeasured(name) = remeasured.getOrElse(name, Seq.empty) ++ times
+            val best = (times ++ q.value.toOption).min
+            name -> QueryResult(Right(best), q.passes, q.extra ++ extra)
+          } else name -> QueryResult(q.value, q.passes, q.extra ++ extra)
+        case other => other
+      }
+    val degradedNormalized: Seq[(String, Double)] = fieldMedian.map { med =>
+      val vals = screenedFinal.collect { case (k, q) if q.value.isRight =>
+        k -> q.value.toOption.get }.toMap
+      dnFlagged0.flatMap { case (n, _) =>
+        val v = vals.getOrElse(n, 0.0)
+        val nr = v / records(n) / med
+        if (v >= SpreadMinSec && nr > NormalizedSlowRatio) Some(n -> nr)
+        else None
+      }
+    }.getOrElse(Seq.empty)
     // provenance: surface the records file's recorded git SHA (if any)
     // so an artifact measured against a stale record set is detectable
     // by diffing against the repo HEAD that produced the run
@@ -475,7 +513,7 @@ object Bench {
           .map(_.group(1)).getOrElse("unrecorded")
       } catch { case _: Throwable => "absent" }
     }
-    val slowVsRecord: Seq[(String, Double)] = screened.collect {
+    val slowVsRecord: Seq[(String, Double)] = screenedFinal.collect {
       case (name, q) if q.value.isRight && records.contains(name) &&
         suspectVsRecord(q.value.toOption.get, records(name)) =>
         name -> (q.value.toOption.get / records(name))
@@ -491,11 +529,11 @@ object Bench {
       case Right(v) => v.toString
       case Left(e) => "\"" + esc(e) + "\""
     }
-    val ok = screened.collect { case (k, q) if q.value.isRight =>
+    val ok = screenedFinal.collect { case (k, q) if q.value.isRight =>
       k -> q.value.toOption.get }
-    val errs = screened.collect { case (k, q) if q.value.isLeft =>
+    val errs = screenedFinal.collect { case (k, q) if q.value.isLeft =>
       k -> q.value.left.toOption.get }
-    val flaky = screened.collect { case (k, q) if q.flaky =>
+    val flaky = screenedFinal.collect { case (k, q) if q.flaky =>
       k -> q.passes.collectFirst { case Left(e) => e }.get }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -506,7 +544,7 @@ object Bench {
     // battery + instrument passes, in run order — the instrument's
     // re-runs stay visible here even though they no longer count
     // toward `n_flaky`
-    val ps = screened.map { case (k, q) =>
+    val ps = screenedFinal.map { case (k, q) =>
       s"\"" + k + "\":" + q.allPasses.map(passJson).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
@@ -548,14 +586,11 @@ object Bench {
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
     val ss = spreadRows.map { case (k, ratio) =>
       "\"" + k + "\":" + f"$ratio%.2f" }.mkString("{", ",", "}")
-    // the degradation-normalized screen (see [[normalizedSlow]]):
-    // detects a plan regression even while the box is uniformly slow
-    val (fieldMedian, degradedNormalized) = normalizedSlow(ok, records)
     val fmJson = fieldMedian.map(m => f"$m%.3f").getOrElse("null")
     val dn = degradedNormalized.map { case (k, nr) =>
       "\"" + k + "\":" + f"$nr%.2f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${screenedFinal.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth":$bj,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"remeasured":$rm,"spread_suspect":$ss,"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qs,"errors":$es,"flaky":$fl,"passes":$ps,"sf":"$sfDir"}"""
     // full artifact on disk — the driver's stdout capture has truncated
     // the head of the battery before (BENCH_r02 kept 63/80 queries);
     // the file is the canonical record
@@ -596,7 +631,7 @@ object Bench {
     // driver-captured tail must carry provenance even when the detail
     // file isn't read
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screened.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${screenedFinal.size},"n_failed":${errs.size},"n_flaky":${flaky.size},"calibration":$cj,"calibration_vs_box":$vsBoxJson,"bandwidth_vs_box":$bwVsBoxJson,"contention_suspect":$contentionSuspect,"n_remeasured":${remeasured.size},"n_spread_skipped":$nSpreadSkipped,"slow_vs_record":$svr,"field_vs_record_median":$fmJson,"degraded_normalized":$dn,"records_git_sha":"$recordsSha","queries":$qsCompact,"errors":$esCompact,"n_queries_omitted":${ok.size - entries.size},"detail":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
