@@ -26,7 +26,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * watermark (bounded by arrival rate × delay, not corpus size); the
   * LM is a fixed broadcast asset; the counter state is one row per
   * SOURCE. The handoff parquet is the only materialization, exactly
-  * the silver table a lakehouse deployment would keep anyway.
+  * the silver table a lakehouse deployment would keep anyway — and it
+  * grows one partition per micro-batch, so its LIFECYCLE ops are part
+  * of the contract (r19): [[SilverCompaction]] rewrites old batches
+  * out of the small-files regime without disturbing Q2 or the replay
+  * guarantees, [[compactLedger]]/[[retractTakedown]]/[[adviseLedger]]
+  * keep the takedown ledger bounded, and [[drainAndReconcile]] closes
+  * every session through the takedown-race re-check.
   */
 object ComposedPipeline {
 
@@ -69,6 +75,16 @@ object ComposedPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** Schema of a silver batch partition's FILES: the partition key
+    * `batch_id` lives in the directory name, not in the files, so a
+    * direct read of one `batch_id=N` directory sees these columns. */
+  private[graft] val SilverPartSchema: StructType =
+    StructType(SilverSchema.filterNot(_.name == "batch_id"))
+
+  /** One batch partition's directory under a silver-shaped table. */
+  private[graft] def partitionDir(dir: String, batchId: Long): String =
+    dir.stripSuffix("/") + s"/batch_id=$batchId"
+
   /** Q1's foreachBatch body — per-micro-batch LM scoring + idempotent
     * silver append. Extracted so the replay test and the scale probe
     * ([[graft.examples.StreamScaleProbe]]) exercise the SHIPPED batch
@@ -84,14 +100,39 @@ object ComposedPipeline {
     * `batchComposition(deletedIds=…)`. The ledger is every takedown
     * id ever requested ([[takedownBatch]] records them before it
     * looks for victims), so a late arrival is dropped here instead of
-    * landing as a permanently-uncompensated +1. */
+    * landing as a permanently-uncompensated +1.
+    *
+    * REPLAY STABILITY of the suppression (ADVICE r18 #1): the ledger
+    * grows between a batch's first run and its at-least-once replay,
+    * so a raw ledger anti-join is NOT replay-stable — if Q1 crashed
+    * after writing batch N but before its checkpoint commit, and a
+    * takedown of a batch-N doc ran inside that gap (ledgering the id
+    * and decrementing the doc's +1), the replay would rewrite
+    * partition N WITHOUT the +1, stranding the −1: silver would sum
+    * to −1 for the doc and any gold rebuild from silver (the
+    * [[SilverCompaction.seedState]] path) would undercount. The
+    * suppression therefore excludes ids already present in the
+    * batch's own PRIOR partition: a doc the first run admitted is
+    * re-admitted by the replay (the partition is rewritten
+    * bit-identically, keeping the −1 matched), while a doc the first
+    * run suppressed stays suppressed (it cannot be in the prior
+    * partition). Steady state pays one FS existence probe per
+    * micro-batch; only an actual replay (partition already present)
+    * pays the one-partition read. */
   def curateBatch(mb: DataFrame, batchId: Long, silverDir: String,
                   lmFreq: DataFrame, lmScal: DataFrame): Unit = {
-    val admitted = parquetIfExists(mb.sparkSession, LedgerSchema,
+    val spark = mb.sparkSession
+    val admitted = parquetIfExists(spark, LedgerSchema,
         takedownLedgerDir(silverDir)) match {
-      case Some(ledger) => mb.join(
-        broadcast(ledger.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_anti")
+      case Some(ledger) =>
+        val ledgerIds = ledger.select(col("doc_id")).distinct()
+        val suppress = parquetIfExists(spark, SilverPartSchema,
+            partitionDir(silverDir, batchId)) match {
+          case Some(prior) => ledgerIds.join(
+            prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          case None => ledgerIds
+        }
+        mb.join(broadcast(suppress), Seq("doc_id"), "left_anti")
       case None => mb
     }
     val scored = graft.operators.TextQueries
@@ -119,6 +160,14 @@ object ComposedPipeline {
   def takedownLedgerDir(silverDir: String): String =
     silverDir.stripSuffix("/") + "_takedown_ledger"
 
+  /** Where [[SilverCompaction]] rewrites old silver batches — a
+    * SIBLING of the silver dir, so compacted files never re-enter
+    * Q2's file-source glob. Derived like the ledger dir so every
+    * silver reader ([[takedownBatch]], [[SilverCompaction.seedState]])
+    * agrees on it without new wiring. */
+  def compactedSilverDir(silverDir: String): String =
+    silverDir.stripSuffix("/") + "_compacted"
+
   /** Read a parquet table only if its directory exists; a MISSING
     * path is an expected state (no silver / no ledger yet) and
     * returns None, while every OTHER failure — a transient FS error,
@@ -128,8 +177,8 @@ object ComposedPipeline {
     * committed, and the right-to-be-forgotten batch was never
     * retried; real errors must fail the micro-batch so the checkpoint
     * retries it). */
-  private def parquetIfExists(spark: SparkSession, schema: StructType,
-                              dir: String): Option[DataFrame] = {
+  private[graft] def parquetIfExists(spark: SparkSession, schema: StructType,
+                                     dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -141,6 +190,62 @@ object ComposedPipeline {
     * the pushdown's value is parquet row-group pruning on doc_id
     * stats, and an IN list this long stops being a cheap filter. */
   private[graft] val LedgerPushdownMaxIds = 10000
+
+  /** Below this much silver footprint the pushdown has nothing worth
+    * pruning: the whole table is a handful of row groups, and a plain
+    * scan + broadcast join beats planning a many-term IN predicate. */
+  private[graft] val VictimScanSmallBytes = 64L << 20
+
+  /** The victim-scan branch decision, with the inputs it was made
+    * from — logged per takedown batch so the silver-scan cost story
+    * is visible in demo/deployment output (VERDICT r18 next #5: one
+    * advisor instead of a raw constant). */
+  final case class VictimScanAdvice(pushdown: Boolean, nLedgerIds: Long,
+                                    silverBytes: Long, reason: String)
+
+  /** Route the victim scan (the advisor dual of
+    * [[graft.operators.ScaleOps.adviseCompaction]]): push the
+    * collected id list into the parquet read as an IN filter when the
+    * list is small enough to be a cheap predicate AND silver is big
+    * enough that row-group/file pruning pays; otherwise keep the
+    * plain broadcast joins. Derived from the ledger's distinct-id
+    * count and the live+compacted silver footprint (FS metadata, no
+    * data read). */
+  def adviseVictimScan(nLedgerIds: Long, silverBytes: Long): VictimScanAdvice = {
+    require(nLedgerIds >= 0 && silverBytes >= 0, "adviseVictimScan: negative input")
+    if (nLedgerIds > LedgerPushdownMaxIds)
+      VictimScanAdvice(pushdown = false, nLedgerIds, silverBytes,
+        s"victim-scan=join: ledger ids > $LedgerPushdownMaxIds — an IN " +
+          "list this long costs more to evaluate than the row groups " +
+          "it would prune; broadcast-join the full ledger instead")
+    else if (silverBytes < VictimScanSmallBytes)
+      VictimScanAdvice(pushdown = false, nLedgerIds, silverBytes,
+        s"victim-scan=join: silver+compacted footprint $silverBytes B < " +
+          s"$VictimScanSmallBytes B — a full scan reads a handful of " +
+          "row groups; skip planning an IN predicate")
+    else
+      VictimScanAdvice(pushdown = true, nLedgerIds, silverBytes,
+        s"victim-scan=isin-pushdown: $nLedgerIds ledger ids over " +
+          s"$silverBytes B of silver — doc_id stats prune row groups " +
+          "(and compacted files via the _stats sidecar) before a row " +
+          "is decoded")
+  }
+
+  /** Total data-file bytes under a directory (recursive, FS metadata
+    * only); 0 for a missing path. */
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += f.getLen
+    }
+    n
+  }
 
   /** Q3's foreachBatch body — the streaming DELETE leg (r17, the
     * right-to-be-forgotten dual of [[curateBatch]]): a micro-batch of
@@ -164,11 +269,15 @@ object ComposedPipeline {
     *
     * Scale shape: one broadcast-sized takedown list joined against
     * the silver table — a lakehouse metadata join, no corpus text
-    * touched; the decrement itself is takedown-sized. When the ledger
-    * is small (≤ [[LedgerPushdownMaxIds]] distinct ids) the victim
-    * scan additionally pushes the id list into the parquet read as an
-    * IN filter, so row-group doc_id stats prune most of silver before
-    * a single row is decoded.
+    * touched; the decrement itself is takedown-sized. Victims are
+    * sought across the LIVE dir AND the [[compactedSilverDir]] region
+    * (a doc curated long ago lives only there after a
+    * [[SilverCompaction]] run). [[adviseVictimScan]] routes the scan
+    * per batch — and logs its choice — between the collected-`isin`
+    * pushdown (row-group doc_id pruning, plus whole-FILE pruning of
+    * the compacted region via its `_stats` sidecar) and the plain
+    * broadcast joins (ledger past [[LedgerPushdownMaxIds]] ids, or a
+    * silver footprint too small for pruning to pay).
     *
     * ORDERING + RACE RECOVERY (ADVICE r17 #3/#5): the batch's ids are
     * recorded in the LEDGER **before** silver is read, and victims
@@ -199,14 +308,27 @@ object ComposedPipeline {
       .getOrElse(ids.select(col("doc_id"))
         .withColumn("batch_id", lit(myBid)))
       .select(col("doc_id")).distinct()
-    val silver0 = parquetIfExists(spark, SilverSchema, silverDir)
-      .getOrElse(return) // no silver yet: nothing counted, ledger kept
-    // pushed-down id filter for the common small-ledger case
     val ledgerIds = ledger.limit(LedgerPushdownMaxIds + 1)
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).sorted
+    // victims live in the LIVE silver dir AND the compacted region —
+    // a doc curated long ago has had its +1 rewritten out of Q2's
+    // glob by SilverCompaction, but right-to-be-forgotten still has
+    // to find it there
+    val advice = adviseVictimScan(ledgerIds.length,
+      dirBytes(spark, silverDir) +
+        dirBytes(spark, compactedSilverDir(silverDir)))
+    println(s"[takedown] batch=$batchId ${advice.reason}")
+    val prunable = if (advice.pushdown) Some(ledgerIds) else None
+    val live = parquetIfExists(spark, SilverSchema, silverDir)
+    val compacted = SilverCompaction.readCompactedForIds(spark,
+      compactedSilverDir(silverDir), prunable)
+    val silver0 = (live, compacted) match {
+      case (None, None) => return // no silver yet: ledger kept
+      case (Some(l), Some(c)) => l.unionByName(c)
+      case (l, c) => l.orElse(c).get
+    }
     val silverScan =
-      if (ledgerIds.length <= LedgerPushdownMaxIds)
-        silver0.filter(col("doc_id").isin(ledgerIds: _*))
+      if (advice.pushdown) silver0.filter(col("doc_id").isin(ledgerIds: _*))
       else silver0
     val silver = silverScan
       .withColumn("delta", coalesce(col("delta"), lit(1L)))
@@ -225,9 +347,19 @@ object ComposedPipeline {
 
   /** On-demand full-ledger re-check (see [[takedownBatch]]'s race
     * note): decrements any ledgered doc whose +1 landed after its
-    * takedown batch ran. A maintenance pass a deployment schedules
-    * after a curate outage, or invokes once at drain time; replay-
-    * safe like every sink here (give it a fresh `batchId`). */
+    * takedown batch ran. Replay-safe like every sink here.
+    *
+    * CADENCE CONTRACT (VERDICT r18 next #4): the race window is only
+    * recovered by the NEXT takedown batch's full-ledger re-check — a
+    * deployment that stops receiving takedowns would otherwise never
+    * self-heal — so invoke this (a) at every DRAIN, via
+    * [[drainAndReconcile]] (the demos do), and (b) after any curate
+    * outage recovery. `batchId` must be FRESH per invocation (unused
+    * by any prior takedown or reconcile against this silver): a
+    * reused id would dynamically overwrite the earlier run's −1
+    * partition instead of adding its own. A reconcile that finds no
+    * orphan writes nothing, so a fresh id per drain costs no
+    * partitions in the common case. */
   def reconcileTakedowns(spark: SparkSession, silverDir: String,
                          batchId: Long): Unit =
     takedownBatch(
@@ -235,6 +367,138 @@ object ComposedPipeline {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("doc_id", LongType)))),
       batchId, silverDir)
+
+  /** Drain the given queries (process what's available, stop), then
+    * run [[reconcileTakedowns]] once — the shutdown path that makes
+    * the reconcile cadence contract self-enforcing instead of a
+    * docstring: the one unserialized Q1/Q3 window cannot outlive a
+    * session that ends through here. No-op-cheap when there is no
+    * ledger or no orphan. */
+  def drainAndReconcile(spark: SparkSession,
+                        queries: Seq[StreamingQuery], silverDir: String,
+                        epochBatchId: Long): Unit = {
+    queries.foreach { q => try q.processAllAvailable() finally q.stop() }
+    reconcileTakedowns(spark, silverDir, epochBatchId)
+  }
+
+  /** Marker batch_id under which [[compactLedger]]/[[retractTakedown]]
+    * rewrite the ledger's distinct ids — its own space above the
+    * takedown space, so a compacted-ledger partition can never
+    * collide with a replayed takedown batch's ledger partition. */
+  val LedgerCompactBatchId: Long = 1L << 41
+
+  /** Outcome of a ledger rewrite. */
+  final case class LedgerStats(distinctIds: Long, partitionsBefore: Int,
+                               partitionsAfter: Int)
+
+  /** How many ledger batch partitions justify a [[compactLedger]]
+    * run: past this, every curate micro-batch's suppression read
+    * opens that many small files for a takedown-sized id set. */
+  private[graft] val LedgerCompactMinPartitions = 16
+
+  /** Past this many distinct ledgered ids the per-micro-batch
+    * broadcast anti-join in [[curateBatch]] stops being free (~8 B/id
+    * broadcast to every executor every trigger). */
+  private[graft] val LedgerBroadcastWarnIds = 10L * 1000 * 1000
+
+  /** Advice for the ledger's lifecycle (VERDICT r18 next #3 — the
+    * dual of [[graft.operators.ScaleOps.adviseCompaction]]). */
+  final case class LedgerAdvice(compact: Boolean, broadcastRisk: Boolean,
+                                reason: String)
+
+  /** Should the ledger be compacted, and is it approaching a size
+    * where the hot-path broadcast itself is the problem? The ledger
+    * is append-only (one partition per takedown batch) and
+    * [[curateBatch]] reads + broadcasts its full distinct id set
+    * EVERY micro-batch, so both dimensions matter: partition count
+    * (read fan-out, fixed by [[compactLedger]] — always safe, nothing
+    * streams from the ledger) and distinct-id count (broadcast bytes,
+    * which no compaction reduces — past
+    * [[LedgerBroadcastWarnIds]] the advice is LOUD: review retention
+    * via [[retractTakedown]], or accept that suppression must move
+    * off the broadcast path). */
+  def adviseLedger(distinctIds: Long, partitions: Int): LedgerAdvice = {
+    require(distinctIds >= 0 && partitions >= 0, "adviseLedger: negative input")
+    val compact = partitions > LedgerCompactMinPartitions
+    val risk = distinctIds > LedgerBroadcastWarnIds
+    LedgerAdvice(compact, risk,
+      (if (risk)
+        s"LOUD: $distinctIds distinct ledgered ids exceeds " +
+          s"$LedgerBroadcastWarnIds — the per-micro-batch suppression " +
+          "broadcast is no longer free; review retention with " +
+          "retractTakedown (ids with a completed, reconciled takedown " +
+          "and a business guarantee of no re-crawl) or move " +
+          "suppression to a shuffle join. "
+      else "") +
+        (if (compact)
+          s"compact: $partitions ledger partitions > " +
+            s"$LedgerCompactMinPartitions — every curate micro-batch " +
+            "opens that many small files for a takedown-sized id set; " +
+            "compactLedger rewrites them into one (safe: nothing " +
+            "streams from the ledger)"
+        else
+          s"carry: $partitions ledger partitions ≤ " +
+            s"$LedgerCompactMinPartitions and " +
+            s"$distinctIds ids broadcast-safe"))
+  }
+
+  /** Rewrite the ledger to a single distinct-id partition under
+    * [[LedgerCompactBatchId]] (VERDICT r18 next #3). Unlike silver,
+    * the ledger is SAFE to rewrite — no streaming source consumes it;
+    * both readers ([[curateBatch]], [[takedownBatch]]) take
+    * `distinct()` over whatever partitions exist, so even the crash
+    * window (marker written, old partitions not yet deleted — ids
+    * duplicated across partitions) and the replay window (Q3 replays
+    * its newest batch after its partition was compacted away,
+    * recreating it beside the marker) are benign. Run it from
+    * maintenance (queries stopped, or between triggers): the dynamic
+    * overwrite is not atomic for a reader listing files mid-commit.
+    *
+    * IRREVERSIBILITY (ADVICE r18 #3): ledger suppression is PERMANENT
+    * by default — a doc_id ever taken down never re-enters silver,
+    * even if a later crawl legitimately re-publishes it. That is the
+    * deliberate right-to-be-forgotten reading (a takedown is not
+    * undone by the next crawl), and it is now stated at the API level
+    * instead of implied. The maintenance escape hatch for a GENUINE
+    * retraction reversal is [[retractTakedown]]. */
+  def compactLedger(spark: SparkSession, silverDir: String): LedgerStats =
+    rewriteLedger(spark, silverDir, None)
+
+  /** Remove ids from the ledger (retraction reversal — see
+    * [[compactLedger]]'s irreversibility note): after this, a NEW
+    * arrival of the doc is admitted by [[curateBatch]] again. It does
+    * NOT resurrect anything already deleted — the −1 rows stand, and
+    * re-publication happens only when a fresh crawl actually
+    * re-delivers the doc (net count +1 −1 +1 = +1). Same rewrite
+    * mechanics and maintenance contract as [[compactLedger]]. */
+  def retractTakedown(spark: SparkSession, silverDir: String,
+                      removeIds: DataFrame): LedgerStats =
+    rewriteLedger(spark, silverDir, Some(removeIds))
+
+  private def rewriteLedger(spark: SparkSession, silverDir: String,
+                            remove: Option[DataFrame]): LedgerStats = {
+    val dir = takedownLedgerDir(silverDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = parquetIfExists(spark, LedgerSchema, dir)
+      .getOrElse(return LedgerStats(0, 0, 0))
+    def partDirs(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath)
+    val before = partDirs()
+    val kept0 = ledger.select(col("doc_id")).distinct()
+    val kept = remove.fold(kept0)(r => kept0.join(
+        broadcast(r.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+      // cut lineage from the files about to be overwritten/deleted
+      .localCheckpoint()
+    val nKept = kept.count()
+    idempotentAppend(kept, LedgerCompactBatchId, dir)
+    before.filterNot(_.getName == s"batch_id=$LedgerCompactBatchId")
+      .foreach(d => fs.delete(d, true))
+    LedgerStats(nKept, before.size, partDirs().size)
+  }
 
   /** Q3 — takedowns: file-source ingest of takedown id batches →
     * delta=−1 silver rows ([[takedownBatch]]). Chains into the same
@@ -286,9 +550,21 @@ object ComposedPipeline {
   /** Q2 — frontier: silver file source → stateful per-source running
     * tier counters → gold append (Update mode: latest row per source
     * is its current frontier). The gold SINK may differ across
-    * restarts; the checkpoint carries the counter state. */
+    * restarts; the checkpoint carries the counter state.
+    *
+    * REBUILD parameters (the [[SilverCompaction]] fresh-checkpoint
+    * path — see [[SilverCompaction.restartCounts]], which wires
+    * both): `initialState` seeds per-source counters aggregated from
+    * the compacted region; `goldBatchIdBase` offsets this query's
+    * gold batch ids past the existing frontier partitions so gold
+    * readers' last-row-per-source-in-batch-order stays correct across
+    * the reset (and a replayed micro-batch still overwrites its OWN
+    * offset partition — idempotence is preserved under the shift). */
   def startCounts(spark: SparkSession, silverDir: String,
-                  goldDir: String, checkpointDir: String): StreamingQuery = {
+                  goldDir: String, checkpointDir: String,
+                  initialState: Option[
+                    org.apache.spark.sql.Dataset[(String, StageCounts.CountState)]] = None,
+                  goldBatchIdBase: Long = 0L): StreamingQuery = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     StageCounts.running(
@@ -297,12 +573,13 @@ object ComposedPipeline {
           .select(col("source"), col("tier"), col("batch_id"), col("doc_id"),
             // pre-r17 silver lacks the delta column: arrivals are +1
             coalesce(col("delta"), lit(1L)).as("delta"))
-          .as[StageCounts.DocTier])
+          .as[StageCounts.DocTier],
+        initialState)
       .writeStream.outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (ds: org.apache.spark.sql.Dataset[StageCounts.Counts], batchId: Long) =>
-          countsBatch(ds.toDF(), batchId, goldDir); ()
+          countsBatch(ds.toDF(), goldBatchIdBase + batchId, goldDir); ()
       }
       .start()
   }

@@ -139,19 +139,33 @@ object StageCounts {
         .map { case (b, ids) => SeenBatch(b, ids.toSeq.sorted) })
   }
 
-  /** Run the running counters over a (streaming) Dataset[DocTier]. */
-  def running(docs: Dataset[DocTier])(
+  /** Run the running counters over a (streaming) Dataset[DocTier].
+    * `initial` seeds per-source state on a FRESH checkpoint — the
+    * silver-compaction rebuild path ([[SilverCompaction.seedState]]):
+    * counts aggregated from the compacted region, replay memory empty
+    * (no compacted batch can be re-delivered — see
+    * [[SilverCompaction]]'s exclusion argument). Ignored by Spark
+    * when the checkpoint already carries state. */
+  def running(docs: Dataset[DocTier],
+              initial: Option[Dataset[(String, CountState)]] = None)(
       implicit spark: SparkSession): Dataset[Counts] = {
     import spark.implicits._
-    docs
-      .groupByKey(_.source)
-      .flatMapGroupsWithState[CountState, Counts](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (src: String, it: Iterator[DocTier], state: GroupState[CountState]) =>
-          val cur = fold(state.getOption.getOrElse(
-            CountState(Counts(src, 0, 0, 0, 0), Seq.empty)), it)
-          state.update(cur)
-          Iterator.single(cur.counts)
+    val grouped = docs.groupByKey(_.source)
+    val step =
+      (src: String, it: Iterator[DocTier], state: GroupState[CountState]) => {
+        val cur = fold(state.getOption.getOrElse(
+          CountState(Counts(src, 0, 0, 0, 0), Seq.empty)), it)
+        state.update(cur)
+        Iterator.single(cur.counts)
       }
+    initial match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[CountState, Counts](
+          OutputMode.Update, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(step)
+      case None =>
+        grouped.flatMapGroupsWithState[CountState, Counts](
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(step)
+    }
   }
 }
