@@ -107,6 +107,13 @@ object RtbfDemo {
       s"stream applied ${minusNow.size} decrements, audit says " +
         s"${streamAudit.applied.size}")
 
+    // drain-time maintenance (VERDICT r18 next #4): the session ends
+    // through the reconcile contract — a curate/takedown race orphan
+    // would heal here even if no further takedown batch ever arrived
+    // (fresh epoch id per the reconcileTakedowns cadence contract)
+    ComposedPipeline.drainAndReconcile(spark, Nil, silver,
+      epochBatchId = 9L)
+
     Seq(annAudit, prefixAudit, scrubAudit, streamAudit)
   }
 

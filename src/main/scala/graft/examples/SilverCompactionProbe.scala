@@ -1,0 +1,142 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ComposedPipeline, SilverCompaction}
+
+/** Price the silver-compaction protocol at replica scale (VERDICT r18
+  * next #1: "a probe row pricing the rewrite at 10×"). The silver
+  * handoff accumulates one parquet partition per micro-batch; this
+  * probe builds a 10×-documents silver as 24 curate micro-batches plus
+  * one takedown batch, lets Q2 commit it, and measures:
+  *
+  *   1. `read_all_small`    — an aggregate over the 25-partition
+  *                            small-files silver (the read tax the
+  *                            compaction exists to remove);
+  *   2. `compact_wall`      — the [[SilverCompaction.compact]] run
+  *                            itself (plan parse + one-shuffle rewrite
+  *                            + parity counts + stats sidecar +
+  *                            deletes) with files before/after;
+  *   3. `read_all_after`    — the same aggregate over live ∪
+  *                            compacted (few files);
+  *   4. `victim_read_full` / `victim_read_pruned` — the compacted-
+  *                            region read a takedown victim scan does,
+  *                            whole-region vs `_stats`-file-pruned for
+  *                            a 100-id request (the stretch-#6
+  *                            mechanism, isolated; at THIS scale the
+  *                            shipped advisor routes takedownBatch to
+  *                            the plain join — silver is only a few MB
+  *                            — so the pruning delta is measured on
+  *                            the mechanism directly);
+  *   5. `seed_state_wall`   — aggregating the compacted region into
+  *                            the per-source rebuild seed.
+  *
+  * Walls inherit the session's box state; the load-bearing quantities
+  * are the DELTAS between legs within one run (the standing probe
+  * convention).
+  *
+  * Usage: runMain graft.examples.SilverCompactionProbe [sfDir] [out]
+  * Artifact: bench/silver_compaction_r19.jsonl
+  */
+object SilverCompactionProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf10")
+    val outPath = args.lift(1)
+      .getOrElse("/root/repo/bench/silver_compaction_r19.jsonl")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val work = "/root/repo/tmp/scp_work"
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val silver = s"$work/silver"
+    val cp2 = s"$work/cp2"
+    val gold = s"$work/gold"
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val (freq0, scal0) = graft.operators.TextQueries.trainUnigramLm(docs)
+    val freq = freq0.localCheckpoint()
+    val scal = scal0.localCheckpoint()
+
+    def timeMin2(f: () => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    // ---- 24 curate micro-batches + 1 takedown batch, Q2-committed
+    val nBatches = 24L
+    val per = nDocs / nBatches + 1
+    for (b <- 0L until nBatches)
+      ComposedPipeline.curateBatch(
+        docs.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per),
+        b, silver, freq, scal)
+    ComposedPipeline.takedownBatch(
+      spark.range(0L, 2000L).select(col("id").as("doc_id")), 0L, silver)
+    val q2 = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    def aggAll(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.withColumn("delta", coalesce(col("delta"), lit(1L)))
+        .groupBy("source").agg(sum("delta")).collect(); ()
+    }
+    val readSmall = timeMin2(() => aggAll(
+      spark.read.schema(ComposedPipeline.SilverSchema).parquet(silver)))
+    out += f"""{"probe":"silver_compaction","leg":"read_all_small","n_docs":$nDocs,"n_batches":${nBatches + 1},"sec":$readSmall%.3f,"sf":"$sfDir"}"""
+    println(out.last)
+
+    // ---- the compaction run (single-shot wall: the op is one-time
+    // maintenance, not a steady-state path)
+    val t0 = System.nanoTime()
+    val stats = SilverCompaction.compact(spark, silver, cp2).get
+    val compactWall = (System.nanoTime() - t0) / 1e9
+    out += f"""{"probe":"silver_compaction","leg":"compact_wall","sec":$compactWall%.3f,"batches":${stats.batches},"rows":${stats.rows},"files_before":${stats.filesBefore},"files_after":${stats.filesAfter},"bytes":${stats.bytes}}"""
+    println(out.last)
+
+    val compacted = ComposedPipeline.compactedSilverDir(silver)
+    def unionAll(): org.apache.spark.sql.DataFrame = {
+      val live = spark.read.schema(ComposedPipeline.SilverSchema).parquet(silver)
+      SilverCompaction.readCompactedForIds(spark, compacted, None)
+        .map(live.unionByName(_)).getOrElse(live)
+    }
+    val readAfter = timeMin2(() => aggAll(unionAll()))
+    out += f"""{"probe":"silver_compaction","leg":"read_all_after","sec":$readAfter%.3f,"small_files_tax_sec":${readSmall - readAfter}%.3f}"""
+    println(out.last)
+
+    // ---- victim-scan mechanism: whole compacted region vs pruned
+    val reqIds = (100000L until 100100L).toArray
+    val full = timeMin2(() =>
+      SilverCompaction.readCompactedForIds(spark, compacted, None)
+        .foreach(_.filter(col("doc_id").isin(reqIds: _*)).count()))
+    val pruned = timeMin2(() =>
+      SilverCompaction.readCompactedForIds(spark, compacted, Some(reqIds))
+        .foreach(_.filter(col("doc_id").isin(reqIds: _*)).count()))
+    val nSel = SilverCompaction.selectFilesForIds(spark, compacted, reqIds)
+      .map(_.size).getOrElse(-1)
+    out += f"""{"probe":"silver_compaction","leg":"victim_read","full_sec":$full%.3f,"pruned_sec":$pruned%.3f,"files_selected":$nSel,"files_total":${stats.filesAfter}}"""
+    println(out.last)
+
+    // ---- rebuild seed aggregation
+    val seedWall = timeMin2(() =>
+      SilverCompaction.seedState(spark, compacted).foreach(_.collect()))
+    out += f"""{"probe":"silver_compaction","leg":"seed_state_wall","sec":$seedWall%.3f}"""
+    println(out.last)
+
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val txt = out.mkString("\n") + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      txt.getBytes("UTF-8"))
+    print(txt)
+    spark.stop()
+  }
+}

@@ -81,7 +81,13 @@ object StreamingPipelineDemo {
       drop(col("doc_id") >= half / 4 && col("doc_id") < half / 2) // dups
       val q1b = ComposedPipeline.startCurate(spark, schema, in, silver, cp1,
         freqF, scalF, delay = "10 days")
-      try q1b.processAllAvailable() finally q1b.stop()
+      // drain-time maintenance (VERDICT r18 next #4): every session
+      // ends through the reconcile contract — the one unserialized
+      // curate/takedown window heals HERE, before the final counter
+      // drain, instead of waiting for a takedown batch that may never
+      // come (a no-op in this demo: no takedowns were submitted)
+      ComposedPipeline.drainAndReconcile(spark, Seq(q1b), silver,
+        epochBatchId = 1L << 20)
       val q2b = ComposedPipeline.startCounts(spark, silver, gold2, cp2)
       try q2b.processAllAvailable() finally q2b.stop()
       val wall = (System.nanoTime() - t0) / 1e9

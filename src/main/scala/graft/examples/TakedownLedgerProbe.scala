@@ -12,7 +12,8 @@ import graft.streaming.ComposedPipeline
   * takedown-before-curate race), so it gets the same treatment every
   * hot-path change here gets: a measured cost, not an argument.
   *
-  * Legs (min-of-2 each, 10× documents ≈ 50 k docs per micro-batch):
+  * Legs (min-of-2 each, 10× documents = 500 k docs per micro-batch —
+  * the whole replica table driven through curateBatch as one batch):
   *
   *   1. `curate_no_ledger`   — curateBatch before any takedown ever
   *                             ran (the pre-r18 plan: no ledger dir,
@@ -32,7 +33,16 @@ import graft.streaming.ComposedPipeline
   *                             (row-group pruning on doc_id stats);
   *   5. `takedown_large`     — the same scan past the cap: the plain
   *                             broadcast-join branch. Both branches
-  *                             measured so neither ships argued-only.
+  *                             measured so neither ships argued-only;
+  *   6. `curate_ledger_fanout` / `curate_ledger_compacted` (r19) —
+  *                             the same 100 k ids spread over 32
+  *                             ledger partitions (a deployment's
+  *                             append-only fan-out), then rewritten
+  *                             to ONE by
+  *                             [[ComposedPipeline.compactLedger]]:
+  *                             the delta is the per-micro-batch
+  *                             small-files tax the compaction
+  *                             removes.
   *
   * Walls inherit the session's box state; the load-bearing quantities
   * are the DELTAS between legs within one run (the r17 probe
@@ -52,13 +62,14 @@ import graft.streaming.ComposedPipeline
   * TAKEDOWN batch (rare), never per read.
   *
   * Usage: runMain graft.examples.TakedownLedgerProbe [sfDir] [out]
-  * Artifact: bench/takedown_ledger_r18.jsonl
+  * Artifacts: bench/takedown_ledger_r18{,b,c}.jsonl (r18 legs 1–5),
+  * bench/takedown_ledger_r19.jsonl (adds the fan-out/compacted pair)
   */
 object TakedownLedgerProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf10")
     val outPath = args.lift(1)
-      .getOrElse("/root/repo/bench/takedown_ledger_r18.jsonl")
+      .getOrElse("/root/repo/bench/takedown_ledger_r19.jsonl")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -117,7 +128,27 @@ object TakedownLedgerProbe {
       println(out.last)
     }
 
-    // victim-scan branches over the populated 50 k-row silver from
+    // ledger partition FAN-OUT vs compacted (r19): the same 100 k ids
+    // as 32 append-only takedown partitions, then as the single
+    // partition compactLedger rewrites them into — the delta is the
+    // per-curate-batch small-files tax
+    val fanSilver = s"$work/fanout/silver"
+    for (b <- 0L until 32L)
+      ComposedPipeline.takedownBatch(
+        spark.range(10000000L + b * 3125, 10000000L + (b + 1) * 3125)
+          .select(col("id").as("doc_id")),
+        b, fanSilver)
+    val fanSec = timeMin2(() =>
+      ComposedPipeline.curateBatch(docs, 1L, fanSilver, freq, scal))
+    out += f"""{"probe":"takedown_ledger","leg":"curate_ledger_fanout","n_ledger":100000,"n_partitions":32,"sec":$fanSec%.3f,"overhead_vs_base_sec":${fanSec - baseSec}%.3f}"""
+    println(out.last)
+    val lstats = ComposedPipeline.compactLedger(spark, fanSilver)
+    val compSec = timeMin2(() =>
+      ComposedPipeline.curateBatch(docs, 2L, fanSilver, freq, scal))
+    out += f"""{"probe":"takedown_ledger","leg":"curate_ledger_compacted","n_ledger":${lstats.distinctIds},"n_partitions":${lstats.partitionsAfter},"sec":$compSec%.3f,"overhead_vs_base_sec":${compSec - baseSec}%.3f,"fanout_tax_sec":${fanSec - compSec}%.3f}"""
+    println(out.last)
+
+    // victim-scan branches over the populated 500 k-row silver from
     // leg 1 (ledger grows inside the timed call — idempotent rewrite
     // of the same partitions on the second pass)
     val silverA = s"$work/a/silver"
