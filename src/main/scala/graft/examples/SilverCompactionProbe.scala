@@ -74,12 +74,15 @@ object SilverCompactionProbe {
       math.min(once(), once())
     }
 
-    // ---- 24 curate micro-batches + 1 takedown batch, Q2-committed
-    val nBatches = 24L
-    val per = nDocs / nBatches + 1
+    // ---- 200 curate micro-batches + 1 takedown batch, Q2-committed:
+    // enough per-trigger partitions that the live table is genuinely
+    // in the small-files regime the compaction exists for.
+    // Slice by doc_id residue, not range: the replica's ids are sparse
+    // over [0, ~1e9], so range slices would leave most batches empty.
+    val nBatches = 200L
     for (b <- 0L until nBatches)
       ComposedPipeline.curateBatch(
-        docs.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per),
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === b),
         b, silver, freq, scal)
     ComposedPipeline.takedownBatch(
       spark.range(0L, 2000L).select(col("id").as("doc_id")), 0L, silver)
@@ -97,8 +100,14 @@ object SilverCompactionProbe {
 
     // ---- the compaction run (single-shot wall: the op is one-time
     // maintenance, not a steady-state path)
+    // 64 KiB target (not the 128 MiB production default): this silver
+    // is ~500 k skinny metadata rows, and the victim_read pruning leg
+    // needs a multi-file compacted run to have anything to prune —
+    // the scale-relevant readout there is files_selected/files_total
+    // (each skipped file is real I/O once files are 128 MiB)
     val t0 = System.nanoTime()
-    val stats = SilverCompaction.compact(spark, silver, cp2).get
+    val stats = SilverCompaction.compact(spark, silver, cp2,
+      targetFileBytes = 64L << 10).get
     val compactWall = (System.nanoTime() - t0) / 1e9
     out += f"""{"probe":"silver_compaction","leg":"compact_wall","sec":$compactWall%.3f,"batches":${stats.batches},"rows":${stats.rows},"files_before":${stats.filesBefore},"files_after":${stats.filesAfter},"bytes":${stats.bytes}}"""
     println(out.last)
@@ -113,8 +122,13 @@ object SilverCompactionProbe {
     out += f"""{"probe":"silver_compaction","leg":"read_all_after","sec":$readAfter%.3f,"small_files_tax_sec":${readSmall - readAfter}%.3f}"""
     println(out.last)
 
-    // ---- victim-scan mechanism: whole compacted region vs pruned
-    val reqIds = (100000L until 100100L).toArray
+    // ---- victim-scan mechanism: whole compacted region vs pruned.
+    // Request ids that EXIST, clustered in one narrow doc_id band so
+    // the span pruning has something to prune to.
+    val reqIds = docs.select(col("doc_id"))
+      .filter(col("doc_id") >= 500000000L)
+      .orderBy(col("doc_id")).limit(100)
+      .collect().map(_.getLong(0)).sorted
     val full = timeMin2(() =>
       SilverCompaction.readCompactedForIds(spark, compacted, None)
         .foreach(_.filter(col("doc_id").isin(reqIds: _*)).count()))
