@@ -285,6 +285,88 @@ class SilverMaintenanceSpec extends AnyFunSuite {
       "tiny silver must route to the join branch")
   }
 
+  test("SEQUENTIAL compaction cycles: a second run lands in its own " +
+    "run= partition; the rebuild seed sums BOTH runs, victims are " +
+    "found in each, and file pruning spans the whole region") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SilverCompaction
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("compactcycles")
+    val silver = dir.resolve("silver").toString
+    val cp2 = dir.resolve("cp2").toString
+    val gold = dir.resolve("gold").toString
+    val cpFresh = dir.resolve("cpfresh").toString
+    val (docs, freqF, scalF) = lm()
+
+    def drainQ2(): Unit = {
+      val q = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // cycle 1: batches 0..6 committed, 0..2 compacted (run=2)
+    for (b <- 0L to 6L)
+      ComposedPipeline.curateBatch(
+        docs.filter(col("doc_id") >= b * 50 && col("doc_id") < b * 50 + 50),
+        b, silver, freqF, scalF)
+    drainQ2()
+    val s1 = SilverCompaction.compact(spark, silver, cp2,
+      targetFileBytes = 1024L).get
+    assert(s1.runId == 2L && s1.batches == 3, s"cycle 1: $s1")
+
+    // cycle 2: batches 7..9 arrive and commit; 3..5 become compactable
+    for (b <- 7L to 9L)
+      ComposedPipeline.curateBatch(
+        docs.filter(col("doc_id") >= b * 50 && col("doc_id") < b * 50 + 50),
+        b, silver, freqF, scalF)
+    drainQ2()
+    val s2 = SilverCompaction.compact(spark, silver, cp2,
+      targetFileBytes = 1024L).get
+    assert(s2.runId == 5L && s2.batches == 3, s"cycle 2: $s2")
+
+    val compacted = ComposedPipeline.compactedSilverDir(silver)
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=2")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=5")),
+      "each cycle must keep its own run partition")
+
+    // the rebuild seed sums BOTH runs: batches 0..5 = docs [0,300)
+    val seed = SilverCompaction.seedState(spark, compacted).get.collect()
+    assert(seed.map(_._2.counts.n_total).sum == 300L,
+      s"seed must cover both runs: ${seed.toSeq}")
+
+    // victims found in EACH run's region (10 ∈ batch 0/run 2,
+    // 170 ∈ batch 3/run 5), plus one still-live (320 ∈ batch 6)
+    ComposedPipeline.takedownBatch(
+      Seq(10L, 170L, 320L).toDF("doc_id"), 0L, silver)
+    val minus = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(silver).filter(col("delta") < 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minus.sameElements(Array(10L, 170L, 320L)),
+      s"victims across runs + live: ${minus.mkString(",")}")
+
+    // pruning spans the whole region: one id selects a strict subset
+    val sel = SilverCompaction
+      .selectFilesForIds(spark, compacted, Array(170L)).get
+    val total = s1.filesAfter + s2.filesAfter
+    assert(sel.nonEmpty && sel.size < total,
+      s"cross-run pruning: ${sel.size} of $total")
+
+    // and the seeded rebuild over live + both runs lands the oracle
+    val drained = SilverCompaction.restartCounts(spark, silver, gold, cpFresh)
+    try drained.processAllAvailable() finally drained.stop()
+    val last = spark.read.parquet(gold).orderBy(col("batch_id"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_head"),
+          r.getAs[Long]("n_middle"), r.getAs[Long]("n_tail"))).toMap
+    val oracle = ComposedPipeline.batchComposition(
+        docs.filter(col("doc_id") < 500), freqF, scalF,
+        deletedIds = Some(Seq(10L, 170L, 320L).toDF("doc_id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(last == oracle, s"rebuilt frontier:\n$last\nvs\n$oracle")
+  }
+
   test("LEDGER lifecycle (VERDICT r18 next #3): compactLedger " +
     "rewrites to one partition leaving suppression and victim sets " +
     "bit-identical; retractTakedown re-admits ONLY the retracted id; " +
