@@ -30,20 +30,30 @@ import graft.streaming.{ComposedPipeline, SilverCompaction}
   *                            — so the pruning delta is measured on
   *                            the mechanism directly);
   *   5. `seed_state_wall`   — aggregating the compacted region into
-  *                            the per-source rebuild seed.
+  *                            the per-source rebuild seed;
+  *   6. `advise`            — [[SilverCompaction.adviseSilver]] read
+  *                            before the first compact (expect
+  *                            compact) and after (expect carry);
+  *   7. `recompact_runs`    — a second batch wave + second [[
+  *                            SilverCompaction.compact]] cycle leaves
+  *                            TWO `run=` partitions, then
+  *                            [[SilverCompaction.recompactRuns]]
+  *                            merges them (the region's own lifecycle)
+  *                            with the merge wall and file counts.
   *
   * Walls inherit the session's box state; the load-bearing quantities
   * are the DELTAS between legs within one run (the standing probe
   * convention).
   *
   * Usage: runMain graft.examples.SilverCompactionProbe [sfDir] [out]
-  * Artifact: bench/silver_compaction_r19.jsonl
+  * Artifact: bench/silver_compaction_r19.jsonl (legs 1–5, banked);
+  * bench/silver_compaction_r19b.jsonl (this version, legs 1–7)
   */
 object SilverCompactionProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf10")
     val outPath = args.lift(1)
-      .getOrElse("/root/repo/bench/silver_compaction_r19.jsonl")
+      .getOrElse("/root/repo/bench/silver_compaction_r19b.jsonl")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -98,6 +108,12 @@ object SilverCompactionProbe {
     out += f"""{"probe":"silver_compaction","leg":"read_all_small","n_docs":$nDocs,"n_batches":${nBatches + 1},"sec":$readSmall%.3f,"sf":"$sfDir"}"""
     println(out.last)
 
+    // ---- advisor readout on the small-files table (leg 6): ~200
+    // committed skinny files collapse to 1 at the production target
+    val adv1 = SilverCompaction.adviseSilver(spark, silver, cp2)
+    out += s"""{"probe":"silver_compaction","leg":"advise","when":"small_files","compact":${adv1.compact},"files":${adv1.compactableFiles},"files_after":${adv1.filesAfter}}"""
+    println(out.last)
+
     // ---- the compaction run (single-shot wall: the op is one-time
     // maintenance, not a steady-state path)
     // 64 KiB target (not the 128 MiB production default): this silver
@@ -144,6 +160,35 @@ object SilverCompactionProbe {
     val seedWall = timeMin2(() =>
       SilverCompaction.seedState(spark, compacted).foreach(_.collect()))
     out += f"""{"probe":"silver_compaction","leg":"seed_state_wall","sec":$seedWall%.3f}"""
+    println(out.last)
+
+    // ---- advisor after the rewrite: nothing compactable → carry
+    val advAfter = SilverCompaction.adviseSilver(spark, silver, cp2)
+    out += s"""{"probe":"silver_compaction","leg":"advise","when":"compacted","compact":${advAfter.compact},"files":${advAfter.compactableFiles},"files_after":${advAfter.filesAfter}}"""
+    println(out.last)
+
+    // ---- the region's OWN lifecycle (leg 7): a second batch wave +
+    // second compact cycle leaves TWO run= partitions; recompactRuns
+    // merges the region back to one. Q2 resumes its existing
+    // checkpoint across the first compaction — the protocol's
+    // committed-only rule at work, not a test fixture convenience.
+    val nMore = 50L
+    for (b <- nBatches until (nBatches + nMore))
+      ComposedPipeline.curateBatch(
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === (b % nBatches)),
+        b, silver, freq, scal)
+    val q2b = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2b.processAllAvailable() finally q2b.stop()
+    val adv2 = SilverCompaction.adviseSilver(spark, silver, cp2)
+    out += s"""{"probe":"silver_compaction","leg":"advise","when":"second_wave","compact":${adv2.compact},"files":${adv2.compactableFiles},"files_after":${adv2.filesAfter}}"""
+    println(out.last)
+    val stats2 = SilverCompaction.compact(spark, silver, cp2,
+      targetFileBytes = 64L << 10).get
+    val t1 = System.nanoTime()
+    val merged = SilverCompaction.recompactRuns(spark, compacted,
+      targetFileBytes = 64L << 10).get
+    val mergeWall = (System.nanoTime() - t1) / 1e9
+    out += f"""{"probe":"silver_compaction","leg":"recompact_runs","sec":$mergeWall%.3f,"runs_merged":${merged.batches},"rows":${merged.rows},"files_before":${merged.filesBefore},"files_after":${merged.filesAfter},"second_run_files":${stats2.filesAfter}}"""
     println(out.last)
 
     fs.delete(new org.apache.hadoop.fs.Path(work), true)

@@ -372,4 +372,152 @@ object SilverCompaction {
       initialState =
         seedState(spark, ComposedPipeline.compactedSilverDir(silverDir)),
       goldBatchIdBase = nextGoldBatchIdBase(spark, goldDir))
+
+  /** How many live files over the post-compaction count justify a
+    * [[compact]] run (see [[adviseSilver]]): below this multiple the
+    * per-read small-files tax is noise against the one-time rewrite. */
+  private[graft] val CompactFileFanout = 8
+
+  /** Floor under which compaction is never advised — a table this
+    * small reads in a handful of opens regardless of layout. */
+  private[graft] val CompactMinFiles = 16
+
+  /** Advice for when to RUN the compaction (the advisor-pattern dual
+    * of [[ComposedPipeline.adviseLedger]]). */
+  final case class SilverAdvice(compact: Boolean, compactableFiles: Int,
+                                filesAfter: Int, reason: String)
+
+  /** Should a compaction run now? Pure function of the plan's
+    * compactable file count + byte size and the file-size target: the
+    * rewrite pays when it collapses at least [[CompactFileFanout]]×
+    * the post-compaction file count (the r19 probe measured a 23 %
+    * per-read tax already at ~200 skinny-row files —
+    * `bench/silver_compaction_r19.jsonl` — and the tax grows with
+    * file count while the rewrite cost is one-time), and never below
+    * [[CompactMinFiles]] files. */
+  def adviseSilver(compactableFiles: Int, compactableBytes: Long,
+                   targetFileBytes: Long = 128L << 20): SilverAdvice = {
+    require(compactableFiles >= 0 && compactableBytes >= 0 &&
+      targetFileBytes > 0, "adviseSilver: bad input")
+    val after =
+      math.max(1, math.ceil(compactableBytes.toDouble / targetFileBytes).toInt)
+    val compact = compactableFiles >= CompactMinFiles &&
+      compactableFiles >= CompactFileFanout * after
+    SilverAdvice(compact, compactableFiles, after,
+      if (compact)
+        s"compact: $compactableFiles committed files collapse to " +
+          s"$after (≥ ${CompactFileFanout}× fan-out) — every full read " +
+          "and victim scan pays the per-file open+footer tax until the " +
+          "one-time rewrite runs"
+      else if (compactableFiles < CompactMinFiles)
+        s"carry: $compactableFiles committed files < $CompactMinFiles — " +
+          "the table reads in a handful of opens regardless of layout"
+      else
+        s"carry: $compactableFiles files would still be $after after a " +
+          s"rewrite (fan-out < ${CompactFileFanout}×) — the rewrite buys " +
+          "little until more batches commit")
+  }
+
+  /** Gather [[adviseSilver]]'s inputs from a live table: the plan's
+    * compactable partitions' file count + bytes (FS metadata only). */
+  def adviseSilver(spark: SparkSession, silverDir: String,
+                   q2CheckpointDir: String): SilverAdvice = {
+    val p = plan(spark, silverDir, q2CheckpointDir)
+    val (fs, _) = fsFor(spark, silverDir)
+    val files = p.compactable
+      .map(b => new Path(ComposedPipeline.partitionDir(silverDir, b)))
+      .flatMap(d => fs.listStatus(d).toSeq
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)))
+    adviseSilver(files.size, files.map(_.getLen).sum)
+  }
+
+  /** Merge ALL existing `run=` partitions of the compacted region into
+    * ONE (the region itself accumulates one run per [[compact]] cycle
+    * — at a daily cadence that is the small-files problem again, one
+    * level up). Unlike silver, nothing streams from the region, so the
+    * only contract is the maintenance one: run it with the takedown
+    * query stopped (readers mid-merge could see a partial region).
+    *
+    * Crash-safe as a TWO-PHASE rewrite keyed on an underscore-hidden
+    * staging dir (invisible to every data read of the region):
+    *
+    *   1. write the merged rows to `_merge_run=<maxRunId>` — skipped
+    *      on a rerun that finds the stage already complete
+    *      (`_SUCCESS` present), because the source runs may already
+    *      be partially deleted;
+    *   2. delete the old `run=` partitions and the whole `_stats`
+    *      sidecar;
+    *   3. rename the staging dir to `run=<maxRunId>` and regenerate
+    *      `_stats` for it.
+    *
+    * A rerun after a crash anywhere resumes at the first incomplete
+    * step (the staging dir name carries the merged run id). Until
+    * step 3 completes the `_stats` sidecar is absent or partial, so
+    * [[selectFilesForIds]]'s run-set consistency check disables file
+    * pruning rather than missing victims — and a rerun that finds the
+    * single merged run already published but its sidecar missing (the
+    * one crash window past the rename) regenerates the stats before
+    * returning. Returns None when the region has fewer than two runs
+    * and no interrupted merge. */
+  def recompactRuns(spark: SparkSession, compactedDir: String,
+                    targetFileBytes: Long = 128L << 20)
+      : Option[CompactionStats] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (fs, cp) = fsFor(spark, compactedDir)
+    if (!fs.exists(cp)) return None
+    val runs = listRuns(fs, cp).toSeq.sorted
+    val staged = fs.listStatus(cp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_merge_run="))
+      .map(_.getPath).sortBy(_.getName)
+    if (runs.size < 2 && staged.isEmpty) {
+      // heal the crash window between step 3's rename and its stats
+      // regeneration: the merged run is live but unprunable
+      if (runs.size == 1 && listRuns(fs, new Path(cp, "_stats")) != runs.toSet)
+        writeFileStats(spark, compactedDir, runs.head)
+      return None
+    }
+    val (stageDir, mergedId) = staged.headOption match {
+      case Some(d) => (d, d.getName.stripPrefix("_merge_run=").toLong)
+      case None => (new Path(cp, s"_merge_run=${runs.max}"), runs.max)
+    }
+    val srcFiles = runs.map(r => new Path(cp, s"run=$r"))
+      .filter(fs.exists)
+      .flatMap(d => fs.listStatus(d).toSeq
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)))
+    val stageComplete = fs.exists(new Path(stageDir, "_SUCCESS"))
+    if (!stageComplete) {
+      // step 1 — source runs are all still present here, so the merge
+      // reads the complete region
+      val src = spark.read.schema(ComposedPipeline.SilverSchema)
+        .parquet(compactedDir)
+        .select(ComposedPipeline.SilverSchema.fieldNames.map(col).toSeq: _*)
+      val bytes = srcFiles.map(_.getLen).sum
+      val nOut = math.max(1,
+        math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val srcRows = src.count()
+      src.repartitionByRange(nOut, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(stageDir.toString)
+      val stagedRows = spark.read
+        .schema(ComposedPipeline.SilverSchema).parquet(stageDir.toString)
+        .count()
+      require(stagedRows == srcRows,
+        s"run merge parity: staged $stagedRows rows, runs hold $srcRows " +
+          "— nothing deleted")
+    }
+    // step 2: drop the old runs + the whole (now-stale) sidecar
+    runs.foreach(r => fs.delete(new Path(cp, s"run=$r"), true))
+    fs.delete(new Path(cp, "_stats"), true)
+    // step 3: publish the merged run and rebuild its stats
+    val finalDir = new Path(cp, s"run=$mergedId")
+    require(fs.rename(stageDir, finalDir),
+      s"rename $stageDir -> $finalDir failed")
+    writeFileStats(spark, compactedDir, mergedId)
+    val filesAfter = fs.listStatus(finalDir).toSeq
+      .count(s => s.isFile && isDataFile(s.getPath.getName))
+    val rows = spark.read.schema(ComposedPipeline.SilverSchema)
+      .parquet(finalDir.toString).count()
+    Some(CompactionStats(mergedId, runs.size, rows,
+      srcFiles.size, filesAfter, srcFiles.map(_.getLen).sum))
+  }
 }
