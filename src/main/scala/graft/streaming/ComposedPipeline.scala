@@ -381,6 +381,39 @@ object ComposedPipeline {
     reconcileTakedowns(spark, silverDir, epochBatchId)
   }
 
+  /** One-call maintenance readout for a deployment: the three
+    * lifecycle advisors' verdicts over the tables derived from
+    * `silverDir` — [[SilverCompaction.adviseSilver]] (should the live
+    * small-files backlog be rewritten), [[SilverCompaction
+    * .adviseRegion]] (should the compacted region's runs be merged),
+    * and [[adviseLedger]] (should the takedown ledger be compacted /
+    * is its broadcast at risk). FS-metadata-cheap except the ledger's
+    * distinct-id count, a takedown-sized aggregate. Call it at drain
+    * or from a scheduled maintenance entry point; the returned lines
+    * read as the operator's checklist (the demos print them). */
+  def maintenanceChecklist(spark: SparkSession, silverDir: String,
+                           q2CheckpointDir: String): Seq[String] = {
+    val silver =
+      SilverCompaction.adviseSilver(spark, silverDir, q2CheckpointDir)
+    val region =
+      SilverCompaction.adviseRegion(spark, compactedSilverDir(silverDir))
+    val dir = takedownLedgerDir(silverDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = parquetIfExists(spark, LedgerSchema, dir) match {
+      case None => adviseLedger(0, 0)
+      case Some(df) =>
+        val parts = fs.listStatus(p).toSeq.count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        adviseLedger(df.select(col("doc_id")).distinct().count(), parts)
+    }
+    Seq(
+      s"[maintenance] silver compact=${silver.compact}: ${silver.reason}",
+      s"[maintenance] region merge=${region.merge}: ${region.reason}",
+      s"[maintenance] ledger compact=${ledger.compact} " +
+        s"broadcastRisk=${ledger.broadcastRisk}: ${ledger.reason}")
+  }
+
   /** Marker batch_id under which [[compactLedger]]/[[retractTakedown]]
     * rewrite the ledger's distinct ids — its own space above the
     * takedown space, so a compacted-ledger partition can never

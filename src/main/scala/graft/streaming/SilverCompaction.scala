@@ -431,6 +431,62 @@ object SilverCompaction {
     adviseSilver(files.size, files.map(_.getLen).sum)
   }
 
+  /** Runs the compacted region may hold before a [[recompactRuns]]
+    * merge is advised regardless of file fan-out: each run carries its
+    * own doc_id sort, so one victim id's span can intersect one file
+    * PER RUN — the `_stats` pruning bound (and every full read's open
+    * count) degrades linearly with run count. */
+  private[graft] val RegionMaxRuns = 4
+
+  /** Advice for the compacted region's own lifecycle (the
+    * [[recompactRuns]] dual of [[adviseSilver]]). */
+  final case class RegionAdvice(merge: Boolean, runs: Int, files: Int,
+                                filesAfter: Int, reason: String)
+
+  /** Should the region's runs be merged? Two independent triggers:
+    * run count past [[RegionMaxRuns]] (each run is a separate doc_id
+    * sort, so victim-scan pruning reads ≥ one file per run whatever
+    * the spans say), or the same file fan-out economics as
+    * [[adviseSilver]] (≥ [[CompactFileFanout]]× collapse past the
+    * [[CompactMinFiles]] floor). Never with fewer than two runs —
+    * there is nothing to merge. */
+  def adviseRegion(runs: Int, files: Int, bytes: Long,
+                   targetFileBytes: Long = 128L << 20): RegionAdvice = {
+    require(runs >= 0 && files >= 0 && bytes >= 0 && targetFileBytes > 0,
+      "adviseRegion: bad input")
+    val after =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val byRuns = runs > RegionMaxRuns
+    val byFanout = files >= CompactMinFiles && files >= CompactFileFanout * after
+    val merge = runs >= 2 && (byRuns || byFanout)
+    RegionAdvice(merge, runs, files, after,
+      if (merge && byRuns)
+        s"merge: $runs runs > $RegionMaxRuns — every victim scan reads " +
+          "at least one file per run regardless of span pruning; " +
+          "recompactRuns restores one global doc_id sort"
+      else if (merge)
+        s"merge: $files region files collapse to $after " +
+          s"(≥ ${CompactFileFanout}× fan-out)"
+      else if (runs < 2)
+        s"carry: $runs run(s) — nothing to merge"
+      else
+        s"carry: $runs runs, $files files → $after after a merge — " +
+          "below both the run-count and fan-out thresholds")
+  }
+
+  /** Gather [[adviseRegion]]'s inputs from a live region (FS metadata
+    * only). */
+  def adviseRegion(spark: SparkSession, compactedDir: String): RegionAdvice = {
+    val (fs, cp) = fsFor(spark, compactedDir)
+    if (!fs.exists(cp)) return RegionAdvice(merge = false, 0, 0, 0,
+      "carry: no compacted region")
+    val runs = listRuns(fs, cp)
+    val files = runs.toSeq.map(r => new Path(cp, s"run=$r"))
+      .flatMap(d => fs.listStatus(d).toSeq
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)))
+    adviseRegion(runs.size, files.size, files.map(_.getLen).sum)
+  }
+
   /** Merge ALL existing `run=` partitions of the compacted region into
     * ONE (the region itself accumulates one run per [[compact]] cycle
     * — at a daily cadence that is the small-files problem again, one

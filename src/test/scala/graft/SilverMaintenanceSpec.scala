@@ -421,6 +421,29 @@ class SilverMaintenanceSpec extends AnyFunSuite {
     assert(!SilverCompaction.adviseSilver(32, 32L << 20,
         targetFileBytes = 1L << 20).compact,
       "fan-out below the threshold must carry")
+
+    // ---- adviseRegion routing (the recompactRuns dual) + the
+    // one-call drain-time checklist
+    assert(!SilverCompaction.adviseRegion(1, 40, 40L << 20).merge,
+      "a single run has nothing to merge, whatever its fan-out")
+    val rc1 = SilverCompaction.adviseRegion(5, 10, 10L * 1024)
+    assert(rc1.merge, s"run-count trigger: ${rc1.reason}")
+    val rc2 = SilverCompaction.adviseRegion(2, 200, 200L * 1024,
+      targetFileBytes = 1L << 20)
+    assert(rc2.merge && rc2.filesAfter == 1,
+      s"fan-out trigger: ${rc2.reason}")
+    assert(!SilverCompaction.adviseRegion(2, 8, 8L * 1024).merge,
+      "two small runs must carry")
+    val rcLive = SilverCompaction.adviseRegion(spark, compacted)
+    assert(!rcLive.merge && rcLive.runs == 1, rcLive.reason)
+    val checklist =
+      ComposedPipeline.maintenanceChecklist(spark, silver, cp2)
+    assert(checklist.size == 3 &&
+      checklist.forall(_.startsWith("[maintenance]")),
+      checklist.mkString("\n"))
+    assert(checklist(1).contains("merge=false"), checklist(1))
+    assert(checklist(2).contains("compact=false") &&
+      checklist(2).contains("broadcastRisk=false"), checklist(2))
   }
 
   test("LEDGER lifecycle (VERDICT r18 next #3): compactLedger " +
