@@ -397,21 +397,74 @@ object ComposedPipeline {
       SilverCompaction.adviseSilver(spark, silverDir, q2CheckpointDir)
     val region =
       SilverCompaction.adviseRegion(spark, compactedSilverDir(silverDir))
+    val ledger = ledgerAdvice(spark, silverDir)
+    Seq(
+      s"[maintenance] silver compact=${silver.compact}: ${silver.reason}",
+      s"[maintenance] region merge=${region.merge}: ${region.reason}",
+      s"[maintenance] ledger compact=${ledger.compact} " +
+        s"broadcastRisk=${ledger.broadcastRisk}: ${ledger.reason}")
+  }
+
+  /** [[adviseLedger]] over a live ledger: distinct-id count (a
+    * takedown-sized aggregate) + partition fan-out (FS metadata). */
+  def ledgerAdvice(spark: SparkSession, silverDir: String): LedgerAdvice = {
     val dir = takedownLedgerDir(silverDir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = parquetIfExists(spark, LedgerSchema, dir) match {
+    parquetIfExists(spark, LedgerSchema, dir) match {
       case None => adviseLedger(0, 0)
       case Some(df) =>
         val parts = fs.listStatus(p).toSeq.count(s =>
           s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         adviseLedger(df.select(col("doc_id")).distinct().count(), parts)
     }
-    Seq(
-      s"[maintenance] silver compact=${silver.compact}: ${silver.reason}",
-      s"[maintenance] region merge=${region.merge}: ${region.reason}",
-      s"[maintenance] ledger compact=${ledger.compact} " +
-        s"broadcastRisk=${ledger.broadcastRisk}: ${ledger.reason}")
+  }
+
+  /** What [[runMaintenance]] did: each field is Some only when its
+    * advisor said act (and the op then ran), plus the POST-action
+    * checklist — which should read all-carry, making the outcome
+    * self-verifying in the maintenance log. */
+  final case class MaintenanceOutcome(
+      silverCompacted: Option[SilverCompaction.CompactionStats],
+      runsMerged: Option[SilverCompaction.CompactionStats],
+      ledgerCompacted: Option[LedgerStats],
+      checklist: Seq[String])
+
+  /** Execute whatever the advisors advise, in dependency order:
+    * compact the silver backlog (which may land a new `run=`), then
+    * merge the region's runs, then compact the ledger. The one
+    * maintenance entry point a deployment schedules — each action
+    * runs ONLY on its advisor's say-so, so calling this on a healthy
+    * deployment is FS-metadata-cheap and writes nothing.
+    *
+    * CONTRACT: call from a maintenance window (streaming queries
+    * stopped, e.g. right after [[drainAndReconcile]], or between
+    * triggers). [[SilverCompaction.compact]] is safe even online —
+    * the committed-only rule — but the run merge and the ledger
+    * rewrite are not atomic for a concurrent reader listing files
+    * mid-commit. `targetFileBytes` sizes the rewrites AND the
+    * advisors' collapse math (default 128 MiB). */
+  def runMaintenance(spark: SparkSession, silverDir: String,
+                     q2CheckpointDir: String,
+                     targetFileBytes: Long = 128L << 20)
+      : MaintenanceOutcome = {
+    val sAdv = SilverCompaction.adviseSilver(spark, silverDir,
+      q2CheckpointDir, targetFileBytes)
+    val compacted = if (sAdv.compact)
+      SilverCompaction.compact(spark, silverDir, q2CheckpointDir,
+        targetFileBytes)
+    else None
+    val compactedDir = compactedSilverDir(silverDir)
+    val rAdv =
+      SilverCompaction.adviseRegion(spark, compactedDir, targetFileBytes)
+    val merged = if (rAdv.merge)
+      SilverCompaction.recompactRuns(spark, compactedDir, targetFileBytes)
+    else None
+    val ledger = if (ledgerAdvice(spark, silverDir).compact)
+      Some(compactLedger(spark, silverDir))
+    else None
+    MaintenanceOutcome(compacted, merged, ledger,
+      maintenanceChecklist(spark, silverDir, q2CheckpointDir))
   }
 
   /** Marker batch_id under which [[compactLedger]]/[[retractTakedown]]

@@ -421,14 +421,21 @@ object SilverCompaction {
   /** Gather [[adviseSilver]]'s inputs from a live table: the plan's
     * compactable partitions' file count + bytes (FS metadata only). */
   def adviseSilver(spark: SparkSession, silverDir: String,
-                   q2CheckpointDir: String): SilverAdvice = {
+                   q2CheckpointDir: String): SilverAdvice =
+    adviseSilver(spark, silverDir, q2CheckpointDir, 128L << 20)
+
+  /** [[adviseSilver]] over a live table at an explicit file-size
+    * target (overloads cannot share the pure form's default). */
+  def adviseSilver(spark: SparkSession, silverDir: String,
+                   q2CheckpointDir: String,
+                   targetFileBytes: Long): SilverAdvice = {
     val p = plan(spark, silverDir, q2CheckpointDir)
     val (fs, _) = fsFor(spark, silverDir)
     val files = p.compactable
       .map(b => new Path(ComposedPipeline.partitionDir(silverDir, b)))
       .flatMap(d => fs.listStatus(d).toSeq
         .filter(s => s.isFile && isDataFile(s.getPath.getName)))
-    adviseSilver(files.size, files.map(_.getLen).sum)
+    adviseSilver(files.size, files.map(_.getLen).sum, targetFileBytes)
   }
 
   /** Runs the compacted region may hold before a [[recompactRuns]]
@@ -476,7 +483,13 @@ object SilverCompaction {
 
   /** Gather [[adviseRegion]]'s inputs from a live region (FS metadata
     * only). */
-  def adviseRegion(spark: SparkSession, compactedDir: String): RegionAdvice = {
+  def adviseRegion(spark: SparkSession, compactedDir: String): RegionAdvice =
+    adviseRegion(spark, compactedDir, 128L << 20)
+
+  /** [[adviseRegion]] over a live region at an explicit file-size
+    * target (overloads cannot share the pure form's default). */
+  def adviseRegion(spark: SparkSession, compactedDir: String,
+                   targetFileBytes: Long): RegionAdvice = {
     val (fs, cp) = fsFor(spark, compactedDir)
     if (!fs.exists(cp)) return RegionAdvice(merge = false, 0, 0, 0,
       "carry: no compacted region")
@@ -484,7 +497,8 @@ object SilverCompaction {
     val files = runs.toSeq.map(r => new Path(cp, s"run=$r"))
       .flatMap(d => fs.listStatus(d).toSeq
         .filter(s => s.isFile && isDataFile(s.getPath.getName)))
-    adviseRegion(runs.size, files.size, files.map(_.getLen).sum)
+    adviseRegion(runs.size, files.size, files.map(_.getLen).sum,
+      targetFileBytes)
   }
 
   /** Merge ALL existing `run=` partitions of the compacted region into

@@ -590,4 +590,78 @@ class SilverMaintenanceSpec extends AnyFunSuite {
     assert(perDoc.values.forall(_ >= 0L),
       s"negative net after drain: ${perDoc.filter(_._2 < 0)}")
   }
+
+  test("runMaintenance executes exactly what the advisors say: a " +
+    "fresh deployment is a no-op; a small-files backlog compacts, a " +
+    "5-run region merges, a fanned-out ledger rewrites to one " +
+    "partition; the post-action checklist reads all-carry and a " +
+    "second call acts on nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SilverCompaction
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("maint")
+    val silver = dir.resolve("silver").toString
+    val cp2 = dir.resolve("cp2").toString
+    val gold = dir.resolve("gold").toString
+    val (docs, freqF, scalF) = lm()
+
+    // healthy (empty) deployment: metadata-cheap, writes nothing
+    val idle = ComposedPipeline.runMaintenance(spark, silver, cp2)
+    assert(idle.silverCompacted.isEmpty && idle.runsMerged.isEmpty &&
+      idle.ledgerCompacted.isEmpty, idle.checklist.mkString("\n"))
+
+    // 24 committed curate batches: 20 compactable files at a 1 MiB
+    // target (past the 16-file floor, collapsing to 1 ≥ 8×)
+    for (b <- 0L until 24L)
+      ComposedPipeline.curateBatch(
+        docs.filter(col("doc_id") >= b * 20 && col("doc_id") < b * 20 + 20),
+        b, silver, freqF, scalF)
+    val q2 = ComposedPipeline.startCounts(spark, silver, gold, cp2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // 17 takedown batches (absent ids — the ledger still records
+    // every one) push the ledger past its partition fan-out threshold
+    for (i <- 0 until 17)
+      ComposedPipeline.takedownBatch(
+        Seq(1000L + i).toDF("doc_id"), i.toLong, silver)
+
+    // fabricate 4 extra region runs (data layout only, 10 rows each)
+    // so the run-count trigger fires once the compact lands run 19
+    val compacted = ComposedPipeline.compactedSilverDir(silver)
+    for (r <- 100L to 103L)
+      spark.range(10).select(
+          (col("id") + 5000L + r * 10).as("doc_id"),
+          lit("fab").as("source"), lit("middle").as("tier"),
+          lit(1L).as("delta"), lit(r).as("batch_id"))
+        .coalesce(1).write.parquet(s"$compacted/run=$r")
+
+    val out = ComposedPipeline.runMaintenance(spark, silver, cp2,
+      targetFileBytes = 1L << 20)
+    assert(out.silverCompacted.exists(s =>
+        s.batches == 20 && s.runId == 19L),
+      s"silver compact: ${out.silverCompacted}")
+    assert(out.runsMerged.exists(m => m.runId == 103L && m.batches == 5),
+      s"run merge: ${out.runsMerged}")
+    assert(out.ledgerCompacted.exists(l =>
+        l.distinctIds == 17L && l.partitionsAfter == 1),
+      s"ledger: ${out.ledgerCompacted}")
+    assert(out.checklist.exists(_.contains("silver compact=false")) &&
+      out.checklist.exists(_.contains("region merge=false")) &&
+      out.checklist.exists(_.contains("ledger compact=false")),
+      s"post-action checklist not all-carry:\n${out.checklist.mkString("\n")}")
+
+    // the merged region carries every row: 20 compacted batches of 20
+    // docs + 4 fabricated runs of 10 — and the rebuild seed sees them
+    val seed = SilverCompaction.seedState(spark, compacted).get.collect()
+    assert(seed.map(_._2.counts.n_total).sum == 20L * 20 + 40,
+      s"seed total: ${seed.map(_._2.counts.n_total).sum}")
+
+    // second call: everything already maintained — acts on nothing
+    val again = ComposedPipeline.runMaintenance(spark, silver, cp2,
+      targetFileBytes = 1L << 20)
+    assert(again.silverCompacted.isEmpty && again.runsMerged.isEmpty &&
+      again.ledgerCompacted.isEmpty,
+      s"second maintenance acted: $again")
+  }
 }
