@@ -457,9 +457,23 @@ object ComposedPipeline {
     val compactedDir = compactedSilverDir(silverDir)
     val rAdv =
       SilverCompaction.adviseRegion(spark, compactedDir, targetFileBytes)
-    val merged = if (rAdv.merge)
-      SilverCompaction.recompactRuns(spark, compactedDir, targetFileBytes)
-    else None
+    // merge the size-TIERED subset, not the whole region: a full
+    // rewrite per cycle is O(region) writes each time — the tiered
+    // policy leaves big base runs alone until the tail grows to a
+    // fixed fraction of them, bounding total rewrite I/O to
+    // O(n log n) over the deployment's life. When the advisor demands
+    // action but no natural tier exists (a clean geometric tower),
+    // the cheapest run-count reduction — the two smallest runs —
+    // honors it without touching the base.
+    val merged = if (rAdv.merge) {
+      val sizes = SilverCompaction.runSizes(spark, compactedDir)
+      val tiered = SilverCompaction.selectRunsForMerge(sizes)
+      val members =
+        if (tiered.size >= 2) tiered
+        else sizes.sortBy { case (id, b) => (b, id) }.take(2).map(_._1)
+      SilverCompaction.recompactRuns(spark, compactedDir, targetFileBytes,
+        members)
+    } else None
     val ledger = if (ledgerAdvice(spark, silverDir).compact)
       Some(compactLedger(spark, silverDir))
     else None

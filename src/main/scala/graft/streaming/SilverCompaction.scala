@@ -501,65 +501,153 @@ object SilverCompaction {
       targetFileBytes)
   }
 
-  /** Merge ALL existing `run=` partitions of the compacted region into
-    * ONE (the region itself accumulates one run per [[compact]] cycle
-    * — at a daily cadence that is the small-files problem again, one
-    * level up). Unlike silver, nothing streams from the region, so the
-    * only contract is the maintenance one: run it with the takedown
-    * query stopped (readers mid-merge could see a partial region).
+  /** A kept run must be at least this many × the combined size of all
+    * smaller runs for [[selectRunsForMerge]] to leave it alone — the
+    * size-tiered merge ratio. 4 bounds live run count to
+    * O(log₄(region/target)) and total rewrite I/O to O(n·log n) over
+    * a deployment's life (each byte is rewritten only when its run
+    * graduates a tier). */
+  private[graft] val MergeTierRatio = 4L
+
+  /** Which runs a tiered merge should rewrite — the size-tiered (LSM-
+    * style) policy that keeps [[recompactRuns]] from rewriting the
+    * whole region every cycle: at a per-maintenance cadence a full
+    * merge is O(region) writes per cycle, O(n²) over a deployment's
+    * life, which does not survive 100 TB. Sort runs by size
+    * descending and KEEP each run that is ≥ [[MergeTierRatio]] × the
+    * combined size of all smaller runs; the first run that is not
+    * (comparable to its smaller siblings) starts the MERGE SUFFIX —
+    * it and everything smaller rewrite into one run. Big base runs
+    * are untouched until the tail grows to a fixed fraction of them,
+    * so each byte is rewritten O(log) times total. Returns Nil when
+    * fewer than two runs would merge (a lone small run waits for
+    * siblings). Ties in size are ordered by run id so the result is
+    * deterministic. */
+  def selectRunsForMerge(runSizes: Seq[(Long, Long)],
+                         tierRatio: Long = MergeTierRatio): Seq[Long] = {
+    require(tierRatio >= 2, "tierRatio must be at least 2")
+    require(runSizes.forall(_._2 >= 0), "selectRunsForMerge: negative size")
+    val desc = runSizes.sortBy { case (id, bytes) => (-bytes, id) }
+    var smaller = desc.map(_._2).sum
+    var keep = 0
+    while (keep < desc.size && {
+        val b = desc(keep)._2
+        b >= tierRatio * (smaller - b)
+      }) { smaller -= desc(keep)._2; keep += 1 }
+    val merge = desc.drop(keep).map(_._1)
+    if (merge.size < 2) Nil else merge.sorted
+  }
+
+  /** Per-run byte sizes of a live region (FS metadata only) — the
+    * input [[selectRunsForMerge]] wants. */
+  def runSizes(spark: SparkSession, compactedDir: String)
+      : Seq[(Long, Long)] = {
+    val (fs, cp) = fsFor(spark, compactedDir)
+    if (!fs.exists(cp)) return Nil
+    listRuns(fs, cp).toSeq.sorted.map { r =>
+      r -> fs.listStatus(new Path(cp, s"run=$r")).toSeq
+        .filter(s => s.isFile && isDataFile(s.getPath.getName))
+        .map(_.getLen).sum
+    }
+  }
+
+  /** Regenerate `_stats` entries for runs missing them and drop
+    * entries for runs that no longer exist — the repair for any crash
+    * window that left the sidecar behind the data (until it runs,
+    * [[selectFilesForIds]] safely disables pruning). */
+  private def healStats(spark: SparkSession, compactedDir: String,
+                        fs: FileSystem, cp: Path): Unit = {
+    val dataRuns = listRuns(fs, cp)
+    val statsRuns = listRuns(fs, new Path(cp, "_stats"))
+    (statsRuns -- dataRuns).foreach(r =>
+      fs.delete(new Path(cp, s"_stats/run=$r"), true))
+    (dataRuns -- statsRuns).foreach(r =>
+      writeFileStats(spark, compactedDir, r))
+  }
+
+  /** Merge ALL existing `run=` partitions of the compacted region
+    * into one. Fine for small regions and tests; a production-cadence
+    * deployment should merge the tiered subset instead
+    * ([[selectRunsForMerge]] — what [[ComposedPipeline
+    * .runMaintenance]] does) so the big base runs are not rewritten
+    * every cycle. */
+  def recompactRuns(spark: SparkSession, compactedDir: String,
+                    targetFileBytes: Long = 128L << 20)
+      : Option[CompactionStats] = {
+    val (fs, cp) = fsFor(spark, compactedDir)
+    val all = if (fs.exists(cp)) listRuns(fs, cp).toSeq.sorted else Nil
+    recompactRuns(spark, compactedDir, targetFileBytes, all)
+  }
+
+  /** Merge the given `run=` partitions of the compacted region into
+    * ONE (the region accumulates one run per [[compact]] cycle — at a
+    * production cadence that is the small-files problem again, one
+    * level up). Unlike silver, nothing streams from the region, so
+    * the only contract is the maintenance one: run it with the
+    * takedown query stopped (readers mid-merge could see a partial
+    * region).
     *
     * Crash-safe as a TWO-PHASE rewrite keyed on an underscore-hidden
     * staging dir (invisible to every data read of the region):
     *
-    *   1. write the merged rows to `_merge_run=<maxRunId>` — skipped
-    *      on a rerun that finds the stage already complete
-    *      (`_SUCCESS` present), because the source runs may already
-    *      be partially deleted;
-    *   2. delete the old `run=` partitions and the whole `_stats`
-    *      sidecar;
-    *   3. rename the staging dir to `run=<maxRunId>` and regenerate
-    *      `_stats` for it.
+    *   1. write the merged rows to `_merge_run=<maxMemberId>`, then a
+    *      `_members` manifest naming the merged runs — the stage is
+    *      complete only when BOTH the write's `_SUCCESS` and the
+    *      manifest exist (the manifest is written last because the
+    *      data write wipes the staging dir); an incomplete stage is
+    *      discarded and redone (its source runs are all still
+    *      present), a complete one is reused verbatim because its
+    *      members may already be partially deleted;
+    *   2. delete the member `run=` partitions and their `_stats`
+    *      entries (kept runs and their stats are untouched);
+    *   3. rename the staging dir to `run=<maxMemberId>` and
+    *      regenerate `_stats` for it.
     *
     * A rerun after a crash anywhere resumes at the first incomplete
-    * step (the staging dir name carries the merged run id). Until
-    * step 3 completes the `_stats` sidecar is absent or partial, so
-    * [[selectFilesForIds]]'s run-set consistency check disables file
-    * pruning rather than missing victims — and a rerun that finds the
-    * single merged run already published but its sidecar missing (the
-    * one crash window past the rename) regenerates the stats before
-    * returning. Returns None when the region has fewer than two runs
-    * and no interrupted merge. */
+    * step — an interrupted merge's `_members` manifest is
+    * authoritative over the argument, so the resume finishes the OLD
+    * merge. Until step 3 completes the `_stats` sidecar lags the
+    * data, so [[selectFilesForIds]]'s run-set consistency check
+    * disables file pruning rather than missing victims — and any call
+    * that finds nothing to merge first heals the sidecar
+    * ([[healStats]]). Returns None when fewer than two member runs
+    * exist and no interrupted merge is pending. */
   def recompactRuns(spark: SparkSession, compactedDir: String,
-                    targetFileBytes: Long = 128L << 20)
+                    targetFileBytes: Long, mergeRunIds: Seq[Long])
       : Option[CompactionStats] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val (fs, cp) = fsFor(spark, compactedDir)
     if (!fs.exists(cp)) return None
-    val runs = listRuns(fs, cp).toSeq.sorted
     val staged = fs.listStatus(cp).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_merge_run="))
       .map(_.getPath).sortBy(_.getName)
-    if (runs.size < 2 && staged.isEmpty) {
-      // heal the crash window between step 3's rename and its stats
-      // regeneration: the merged run is live but unprunable
-      if (runs.size == 1 && listRuns(fs, new Path(cp, "_stats")) != runs.toSet)
-        writeFileStats(spark, compactedDir, runs.head)
-      return None
+    def stageComplete(d: Path): Boolean =
+      fs.exists(new Path(d, "_SUCCESS")) && fs.exists(new Path(d, "_members"))
+    // an incomplete stage (crash mid-write, or before its manifest
+    // landed) is unusable and its sources are intact — discard it
+    staged.filterNot(stageComplete).foreach(d => fs.delete(d, true))
+    val resumable = staged.filter(stageComplete)
+    val (members, stageDir, mergedId, resumed) = resumable.headOption match {
+      case Some(d) =>
+        (readLines(fs, new Path(d, "_members")).map(_.trim)
+           .filter(_.nonEmpty).map(_.toLong),
+         d, d.getName.stripPrefix("_merge_run=").toLong, true)
+      case None =>
+        val live = listRuns(fs, cp)
+        val m = mergeRunIds.distinct.filter(live.contains).sorted
+        if (m.size < 2) {
+          healStats(spark, compactedDir, fs, cp)
+          return None
+        }
+        (m, new Path(cp, s"_merge_run=${m.max}"), m.max, false)
     }
-    val (stageDir, mergedId) = staged.headOption match {
-      case Some(d) => (d, d.getName.stripPrefix("_merge_run=").toLong)
-      case None => (new Path(cp, s"_merge_run=${runs.max}"), runs.max)
-    }
-    val srcFiles = runs.map(r => new Path(cp, s"run=$r"))
-      .filter(fs.exists)
-      .flatMap(d => fs.listStatus(d).toSeq
-        .filter(s => s.isFile && isDataFile(s.getPath.getName)))
-    val stageComplete = fs.exists(new Path(stageDir, "_SUCCESS"))
-    if (!stageComplete) {
-      // step 1 — source runs are all still present here, so the merge
-      // reads the complete region
+    val srcDirs = members.map(r => new Path(cp, s"run=$r")).filter(fs.exists)
+    val srcFiles = srcDirs.flatMap(d => fs.listStatus(d).toSeq
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)))
+    if (!resumed) {
+      // step 1 — member runs are all still present here
       val src = spark.read.schema(ComposedPipeline.SilverSchema)
-        .parquet(compactedDir)
+        .parquet(srcDirs.map(_.toString): _*)
         .select(ComposedPipeline.SilverSchema.fieldNames.map(col).toSeq: _*)
       val bytes = srcFiles.map(_.getLen).sum
       val nOut = math.max(1,
@@ -572,22 +660,34 @@ object SilverCompaction {
         .schema(ComposedPipeline.SilverSchema).parquet(stageDir.toString)
         .count()
       require(stagedRows == srcRows,
-        s"run merge parity: staged $stagedRows rows, runs hold $srcRows " +
-          "— nothing deleted")
+        s"run merge parity: staged $stagedRows rows, members hold " +
+          s"$srcRows — nothing deleted")
+      val out = fs.create(new Path(stageDir, "_members"), true)
+      try out.write(members.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
     }
-    // step 2: drop the old runs + the whole (now-stale) sidecar
-    runs.foreach(r => fs.delete(new Path(cp, s"run=$r"), true))
-    fs.delete(new Path(cp, "_stats"), true)
-    // step 3: publish the merged run and rebuild its stats
+    // step 2: drop the member runs and THEIR sidecar entries only
+    members.foreach { r =>
+      fs.delete(new Path(cp, s"run=$r"), true)
+      fs.delete(new Path(cp, s"_stats/run=$r"), true)
+    }
+    // step 3: publish the merged run and rebuild its stats. The
+    // manifest travels WITH the rename (deleting it first would make
+    // a crash here read as an incomplete stage and discard the only
+    // copy of the merged rows); it is removed after, and a stray
+    // leftover is harmless — underscore files are invisible to every
+    // parquet read.
     val finalDir = new Path(cp, s"run=$mergedId")
     require(fs.rename(stageDir, finalDir),
       s"rename $stageDir -> $finalDir failed")
+    fs.delete(new Path(finalDir, "_members"), false)
     writeFileStats(spark, compactedDir, mergedId)
+    healStats(spark, compactedDir, fs, cp)
     val filesAfter = fs.listStatus(finalDir).toSeq
       .count(s => s.isFile && isDataFile(s.getPath.getName))
     val rows = spark.read.schema(ComposedPipeline.SilverSchema)
       .parquet(finalDir.toString).count()
-    Some(CompactionStats(mergedId, runs.size, rows,
+    Some(CompactionStats(mergedId, members.size, rows,
       srcFiles.size, filesAfter, srcFiles.map(_.getLen).sum))
   }
 }

@@ -626,12 +626,14 @@ class SilverMaintenanceSpec extends AnyFunSuite {
       ComposedPipeline.takedownBatch(
         Seq(1000L + i).toDF("doc_id"), i.toLong, silver)
 
-    // fabricate 4 extra region runs (data layout only, 10 rows each)
-    // so the run-count trigger fires once the compact lands run 19
+    // fabricate 4 extra region runs (data layout only, 100 rows each
+    // — comparable in size to the compact's run 19, so the tiered
+    // selection deterministically merges all five) so the run-count
+    // trigger fires once the compact lands run 19
     val compacted = ComposedPipeline.compactedSilverDir(silver)
     for (r <- 100L to 103L)
-      spark.range(10).select(
-          (col("id") + 5000L + r * 10).as("doc_id"),
+      spark.range(100).select(
+          (col("id") + 5000L + r * 1000).as("doc_id"),
           lit("fab").as("source"), lit("middle").as("tier"),
           lit(1L).as("delta"), lit(r).as("batch_id"))
         .coalesce(1).write.parquet(s"$compacted/run=$r")
@@ -652,9 +654,9 @@ class SilverMaintenanceSpec extends AnyFunSuite {
       s"post-action checklist not all-carry:\n${out.checklist.mkString("\n")}")
 
     // the merged region carries every row: 20 compacted batches of 20
-    // docs + 4 fabricated runs of 10 — and the rebuild seed sees them
+    // docs + 4 fabricated runs of 100 — and the rebuild seed sees them
     val seed = SilverCompaction.seedState(spark, compacted).get.collect()
-    assert(seed.map(_._2.counts.n_total).sum == 20L * 20 + 40,
+    assert(seed.map(_._2.counts.n_total).sum == 20L * 20 + 400,
       s"seed total: ${seed.map(_._2.counts.n_total).sum}")
 
     // second call: everything already maintained — acts on nothing
@@ -663,5 +665,107 @@ class SilverMaintenanceSpec extends AnyFunSuite {
     assert(again.silverCompacted.isEmpty && again.runsMerged.isEmpty &&
       again.ledgerCompacted.isEmpty,
       s"second maintenance acted: $again")
+  }
+
+  test("TIERED run merge: selectRunsForMerge keeps base runs that " +
+    "dwarf their smaller siblings (O(log) write amplification); a " +
+    "subset recompactRuns merges only the tail, preserving the base " +
+    "and pruning; a complete interrupted stage's _members manifest " +
+    "is authoritative on resume") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SilverCompaction
+
+    // ---- pure policy pins
+    assert(SilverCompaction.selectRunsForMerge(Nil).isEmpty)
+    assert(SilverCompaction.selectRunsForMerge(Seq(1L -> 100L)).isEmpty,
+      "a lone run has nothing to merge")
+    assert(SilverCompaction.selectRunsForMerge(
+        Seq(1L -> 1000L, 2L -> 10L, 3L -> 12L, 4L -> 9L)) == Seq(2L, 3L, 4L),
+      "a comparable small tail merges under an untouched base")
+    assert(SilverCompaction.selectRunsForMerge(
+        Seq(1L -> 1000L, 2L -> 100L, 3L -> 10L)).isEmpty,
+      "a clean geometric tower has no natural tier to merge")
+    assert(SilverCompaction.selectRunsForMerge(
+        Seq(1L -> 50L, 2L -> 50L, 3L -> 50L)) == Seq(1L, 2L, 3L),
+      "equal-size runs all merge")
+    assert(SilverCompaction.selectRunsForMerge(
+        Seq(1L -> 1000L, 2L -> 10L)).isEmpty,
+      "a lone small run under a base waits for siblings")
+
+    // ---- live subset merge: base run=1 (5000 rows) dwarfs tail
+    // runs 2 and 3 (50 rows each)
+    val dir = Files.createTempDirectory("tiered")
+    val compacted = dir.resolve("region").toString
+    def writeRun(r: Long, base: Long, n: Long): Unit =
+      spark.range(n).select((col("id") + base).as("doc_id"),
+          lit("t").as("source"), lit("middle").as("tier"),
+          lit(1L).as("delta"), lit(r).as("batch_id"))
+        .coalesce(1).write.parquet(s"$compacted/run=$r")
+    writeRun(1L, 0L, 5000L)
+    writeRun(2L, 10000L, 50L)
+    writeRun(3L, 20000L, 50L)
+    // a no-op call (empty subset) heals the absent stats sidecar
+    assert(SilverCompaction
+      .recompactRuns(spark, compacted, 1L << 20, Nil).isEmpty)
+    assert(SilverCompaction
+      .selectFilesForIds(spark, compacted, Array(10005L)).isDefined,
+      "healStats must make the fabricated region prunable")
+    val sizes = SilverCompaction.runSizes(spark, compacted)
+    val members = SilverCompaction.selectRunsForMerge(sizes)
+    assert(members == Seq(2L, 3L), s"tiered members $members from $sizes")
+    val mstats = SilverCompaction
+      .recompactRuns(spark, compacted, 1L << 20, members).get
+    assert(mstats.runId == 3L && mstats.batches == 2 &&
+      mstats.rows == 100L, s"subset merge: $mstats")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=1")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=2")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=3")),
+      "subset merge must leave the base untouched")
+    assert(spark.read.schema(ComposedPipeline.SilverSchema)
+        .parquet(compacted).count() == 5100L,
+      "subset merge lost rows")
+    val sel = SilverCompaction
+      .selectFilesForIds(spark, compacted, Array(20005L))
+    assert(sel.isDefined, "stats must stay consistent across a subset merge")
+
+    // ---- resume: a COMPLETE interrupted stage (data + _SUCCESS +
+    // _members) overrides the argument — the rerun finishes the OLD
+    // merge of runs {1, 3} whose staged rows are the only copy
+    spark.range(60).select((col("id") + 30000L).as("doc_id"),
+        lit("t").as("source"), lit("middle").as("tier"),
+        lit(1L).as("delta"), lit(99L).as("batch_id"))
+      .coalesce(1).write.parquet(s"$compacted/_merge_run=99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(compacted, "_merge_run=99", "_members"),
+      "1\n3".getBytes("UTF-8"))
+    val resumed = SilverCompaction
+      .recompactRuns(spark, compacted, 1L << 20, Nil).get
+    assert(resumed.runId == 99L && resumed.batches == 2,
+      s"resume must honor the manifest: $resumed")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=1")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compacted, "run=99")),
+      "resume must delete the manifest's members and publish its run")
+    assert(spark.read.schema(ComposedPipeline.SilverSchema)
+        .parquet(compacted).count() == 60L,
+      "after resume the region is exactly the staged rows")
+    assert(SilverCompaction
+        .selectFilesForIds(spark, compacted, Array(30005L)).isDefined,
+      "stats must be regenerated for the resumed merge")
+
+    // ---- an INCOMPLETE stage (no _members) is discarded, sources
+    // intact, and a fresh no-op call just heals
+    val stray = java.nio.file.Paths.get(compacted, "_merge_run=100")
+    java.nio.file.Files.createDirectory(stray)
+    assert(SilverCompaction
+      .recompactRuns(spark, compacted, 1L << 20, Nil).isEmpty)
+    assert(!java.nio.file.Files.exists(stray),
+      "an incomplete stage must be discarded")
+    assert(spark.read.schema(ComposedPipeline.SilverSchema)
+        .parquet(compacted).count() == 60L)
   }
 }
