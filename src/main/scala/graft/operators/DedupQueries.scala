@@ -429,8 +429,13 @@ ORDER BY d.doc_id"""
       ScaleOps.widenIfAbove(df, np, keys: _*)
     def withSets(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), shingleSetFast(col("text")).as("s"))
-    val bs = withSets(batch)
-    val cs = withSets(corpus)
+    // pin both shingle-set tables once (r19, same rationale as
+    // prefixFilterPairs): the batch sets feed its prefix pipeline +
+    // the verify attach, the corpus sets feed the df table, the live
+    // postings, and the verify attach — each arm re-shingled the full
+    // text before the pin. Physical only; DedupSpec pins results.
+    val bs = ScaleOps.materializePinned(withSets(batch))
+    val cs = ScaleOps.materializePinned(withSets(corpus))
     val corpusInv = cs.select(col("doc_id"), explode(col("s")).as("sh"))
     // df over the FULL corpus — stale under tombstones, by design (see
     // the Scaladoc's order-consistency argument)
@@ -503,11 +508,19 @@ ORDER BY d.doc_id"""
     // at any np (DedupSpec pins this).
     def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
       ScaleOps.widenIfAbove(df, np, keys: _*)
-    val setsA = widen(docs, col("doc_id"))
+    // pin the per-doc shingle-set table ONCE (r19, guide §1.2): the
+    // plan consumes it from four arms (df table, prefix pipeline, both
+    // verify set-attaches), and before the pin each arm re-evaluated
+    // shingleSetFast over the full corpus text — the dominant map cost
+    // of the whole query. Columnar MEMORY_AND_DISK cache, released by
+    // the harness' per-query hook; results unchanged (same sets, now
+    // computed once).
+    val sets = ScaleOps.materializePinned(widen(docs, col("doc_id")))
+    val setsA = sets
       .select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val setsB = widen(docs, col("doc_id"))
+    val setsB = sets
       .select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    widen(prefixFilterCandidates(docs, thr, np), col("doc_a"))
+    widen(prefixFilterCandidates(sets, thr, np), col("doc_a"))
       .join(setsA, "doc_a")
       .transform(d => widen(d, col("doc_b")))
       .join(setsB, "doc_b")
@@ -599,6 +612,14 @@ ORDER BY d.doc_id"""
 
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
+    // NOT pinned (r19 measured): the two verify attaches re-evaluate
+    // shingleSetFast, but their subtrees overlap other stages of the
+    // same job on idle task slots — a materializePinned barrier plus
+    // the columnar encode/decode of the set arrays measured SLOWER
+    // (q_dedup_minhash 0.87 → 1.37 s, family total 14.4 → ~16.4 s
+    // contention-normalized) than the duplicate map work it removed.
+    // Contrast prefixFilterPairs, where FOUR arms consume the sets and
+    // the pin wins large.
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingleSetFast(col("text")).as("s"))
     val cand = bandCandidates(t(s, dir, "documents")).distinct()

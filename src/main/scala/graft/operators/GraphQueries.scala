@@ -73,9 +73,15 @@ object GraphQueries {
     * results (lineage rebuilds the cache). Bench/Verify run queries
     * strictly one at a time, which is the supported mode; a harness
     * that interleaves graph queries must scope releases itself. */
-  def unpersistAll(): Unit = synchronized {
-    persisted.foreach(_.unpersist(blocking = false))
-    persisted.clear()
+  def unpersistAll(): Unit = {
+    synchronized {
+      persisted.foreach(_.unpersist(blocking = false))
+      persisted.clear()
+    }
+    // the generic per-query pins (shingle-set / LM-score caches, r19)
+    // share this release hook — Bench/Verify/specs already call it in
+    // their per-query finally, so one call site frees every pin family
+    ScaleOps.unpersistPinned()
   }
 
   /** Materialize a SHARED edge table with the same registry lifecycle
@@ -116,6 +122,17 @@ object GraphQueries {
     */
   def pageRank(edges: DataFrame, iters: Int,
                checkpointEvery: Int = 4): DataFrame = {
+    // Callers pass the edge list PRE-HASH-PARTITIONED by src (r19, guide
+    // §2.4 "remove shuffles outright"): the cache then reports
+    // hashpartitioning(src) and EVERY iteration's ranks join streams the
+    // edges straight off the cache — the r18 executed plan paid one
+    // Exchange hashpartitioning(src) of the full cached edge list PER
+    // ITERATION (plan_ids 598/415/368 in plans/r19/…_before capture)
+    // because the cache carried the distinct's (src, dst) partitioning,
+    // which no per-round operator could consume. The deg aggregate
+    // below also becomes exchange-free (clustered by src already) and
+    // deg's cache inherits hash(src), so the per-round deg attach is
+    // exchange-free too. Results are bit-identical — partitioning only.
     val e = materialize(edges.select(col("src"), col("dst")))
     val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
@@ -167,8 +184,16 @@ object GraphQueries {
     val PackShift = 4294967296L // 2^32
     val sym = edges.select(col("src"), col("dst"))
     val nodes = sym.select(col("src")).distinct()
+    // hash(src)-partitioned cache (r19, guide §2.4): rounds 2+ join
+    // labels onto edges by src — with the cache partitioned by src the
+    // join consumes the cached partitioning and no round re-shuffles
+    // the |E|+|V| self-looped edge list (the r18 executed plan carried
+    // one Exchange hashpartitioning(src) over the cache for the label
+    // joins). The union output had no usable partitioning before, so
+    // the repartition replaces a per-query shuffle, not adds one.
     val e = materialize(
-      sym.union(nodes.select(col("src"), col("src").as("dst"))))
+      sym.union(nodes.select(col("src"), col("src").as("dst")))
+        .repartition(col("src")))
     val bounds = e.agg(max(col("src")).as("mx"), count(lit(1)).as("n")).head()
     require(bounds.getLong(0) >= 0 && bounds.getLong(0) < PackShift - 1 &&
       bounds.getLong(1) < (1L << 31),
@@ -231,9 +256,17 @@ object GraphQueries {
     // (identical canonical subtrees), so everything between e and the
     // final aggregate pipelines as one job instead of three blocking
     // materializations
+    // SHUFFLE_HASH on the deg side of both attach joins (r19, guide
+    // §3.1): the r18 executed plan ran these as SortMergeJoins, which
+    // SORT the |E|-sized edge stream twice (plus the deg side) just to
+    // attach a count; hashing the |V|-sized deg side per partition
+    // (|V|/np rows — bounded the same way as the wedge builds below)
+    // streams the edges unsorted. Build side is deg by the hint.
     val o = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .join(deg.select(col("n").as("u"), col("d").as("du"))
+        .hint("SHUFFLE_HASH"), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv"))
+        .hint("SHUFFLE_HASH"), "v")
       .select(
         when(smallerFirst, col("u")).otherwise(col("v")).as("s"),
         when(smallerFirst, col("v")).otherwise(col("u")).as("t"))
@@ -334,7 +367,10 @@ object GraphQueries {
         // never equal a swapped row — the union is already
         // duplicate-free and the extra 2|E|-row shuffle would be
         // pure waste
+        // pre-partition by src so the iteration cache is join-consumable
+        // (see pageRank's scaladoc note; physical only, result unchanged)
         val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src"))
         pageRank(e, PageRankIters)
           .orderBy(col("r").desc, col("node"))
           .limit(100)
