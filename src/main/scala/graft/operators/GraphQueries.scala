@@ -209,6 +209,12 @@ object GraphQueries {
         if (k == 1) e.select(col("dst"), col("src").as("lab"))
         else e.join(labs, e("src") === labs("node"))
           .select(col("dst"), col("lab"))
+      // NOT fused to one exchange (r19 measured): repartitioning the
+      // raw contributions by dst would satisfy both aggregates'
+      // clustering and drop the second exchange, but it also forfeits
+      // the map-side partial counts — measured a wash at gate scale
+      // (5.27 vs 5.11 s) and partial aggregation is the safer shape
+      // under hub skew at 100 TB, so the two-exchange form stays.
       labs = contrib
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("c"))

@@ -37,16 +37,41 @@ object WarehouseQueries {
   def profileColumns(df: org.apache.spark.sql.DataFrame,
                      cols: Seq[String],
                      exact: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // STRING-buffered aggregates (min/max over string columns) are
+    // split into their own grouping-free aggregate (r19, guide §7.2
+    // "read the plan"): HashAggregate requires mutable fixed-size
+    // buffer types, so one string min anywhere in the aggregate list
+    // demotes the WHOLE aggregate — including the exact mode's
+    // multi-countDistinct Expand — to SortAggregate, which SORTS the
+    // ×|cols|-expanded row stream twice (measured as the entire cost
+    // of the profile gate rows: the executed plan carried Sort+
+    // SortAggregate pairs over the Expand). Split, the distinct/null
+    // leg stays in HashAggregate (long buffers only) and the string
+    // min/max leg is a grouping-free SortAggregate that never sorts;
+    // the two 1-row results glue with the same broadcast crossJoin the
+    // sketch leg already uses. Values and schema are identical —
+    // min-then-cast equals the old cast-inside-agg expression.
+    val strCols = cols.filter(c => df.schema(c).dataType ==
+      org.apache.spark.sql.types.StringType).toSet
+    val mainAggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c), 0.01)).as(s"dist_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
+         else approx_count_distinct(col(c), 0.01)).as(s"dist_$c")) ++
+        (if (strCols(c)) Nil
+         else Seq(min(col(c)).cast("string").as(s"min_$c"),
+           max(col(c)).cast("string").as(s"max_$c")))
+    }
+    val strAggs = cols.filter(strCols).flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
     val stackArgs = cols.map(c =>
       s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
+    val main = df.agg(mainAggs.head, mainAggs.tail: _*)
+    val joined =
+      if (strAggs.isEmpty) main
+      else main.crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
+    joined
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_null, n_distinct, min_v, max_v)")
       .orderBy(col("col_name"))
@@ -242,10 +267,21 @@ object WarehouseQueries {
       (s, dir) => {
         val cols = ProfiledOrderCols
         val orders = t(s, dir, "orders")
+        // string min/max split out of the exact aggregate for the same
+        // SortAggregate-demotion reason as profileColumns (r19) — one
+        // string buffer would drag the countDistinct Expand into
+        // sort-based aggregation
+        val strCols = cols.filter(c => orders.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType).toSet
         val exactAggs = cols.flatMap { c =>
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-            countDistinct(col(c)).as(s"dist_$c"),
-            min(col(c)).cast("string").as(s"min_$c"),
+            countDistinct(col(c)).as(s"dist_$c")) ++
+            (if (strCols(c)) Nil
+             else Seq(min(col(c)).cast("string").as(s"min_$c"),
+               max(col(c)).cast("string").as(s"max_$c")))
+        }
+        val strAggs = cols.filter(strCols).flatMap { c =>
+          Seq(min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c"))
         }
         val sketchAggs = cols.map(c =>
@@ -254,6 +290,7 @@ object WarehouseQueries {
           s"'$c', null_$c, dist_$c, approx_$c, min_$c, max_$c")
           .mkString(", ")
         orders.agg(exactAggs.head, exactAggs.tail: _*)
+          .crossJoin(broadcast(orders.agg(strAggs.head, strAggs.tail: _*)))
           .crossJoin(orders.agg(sketchAggs.head, sketchAggs.tail: _*))
           .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
             "(col_name, n_null, n_distinct, approx, min_v, max_v)")
