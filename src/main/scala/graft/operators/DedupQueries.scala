@@ -508,19 +508,21 @@ ORDER BY d.doc_id"""
     // at any np (DedupSpec pins this).
     def widen(df: org.apache.spark.sql.DataFrame, keys: Column*) =
       ScaleOps.widenIfAbove(df, np, keys: _*)
-    // pin the per-doc shingle-set table ONCE (r19, guide §1.2): the
-    // plan consumes it from four arms (df table, prefix pipeline, both
-    // verify set-attaches), and before the pin each arm re-evaluated
-    // shingleSetFast over the full corpus text — the dominant map cost
-    // of the whole query. Columnar MEMORY_AND_DISK cache, released by
-    // the harness' per-query hook; results unchanged (same sets, now
-    // computed once).
-    val sets = ScaleOps.materializePinned(widen(docs, col("doc_id")))
-    val setsA = sets
+    // NOT pinned (r19 measured, unlike prefixFilterIncremental): the
+    // SELF-join form's two prefix-pipeline sides are canonically
+    // identical subtrees that AQE stage reuse executes once at
+    // runtime; a materializePinned of the set table here measured a
+    // gate-scale wash (3.1–3.3 s vs the 3.21 s quiet record) and a
+    // ~1.5× REGRESSION on the 10× replica (7.2 → 11–15 s, both with
+    // the widened and the narrow cache) — the columnar array
+    // decode + lost subtree overlap outweigh the saved shingling.
+    // The batch-vs-corpus form keeps its pin: there the four arms are
+    // NOT mutually reusable subtrees and the pin wins at both scales.
+    val setsA = widen(docs, col("doc_id"))
       .select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val setsB = sets
+    val setsB = widen(docs, col("doc_id"))
       .select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    widen(prefixFilterCandidates(sets, thr, np), col("doc_a"))
+    widen(prefixFilterCandidates(docs, thr, np), col("doc_a"))
       .join(setsA, "doc_a")
       .transform(d => widen(d, col("doc_b")))
       .join(setsB, "doc_b")
