@@ -298,7 +298,12 @@ class PlanAssertSpec extends AnyFunSuite {
       "q_pmi_bigrams",        // 1-row token-total and bigram-total crossJoins
       "q_rolling_distinct",   // 1-row broadcast max-day crossJoin
       "q_exact_quantile",     // tiny broadcast p-table crossJoin
-      "q_profile_columns_approx") // 1x1 crossJoin gluing exact+sketch agg rows
+      "q_profile_columns_approx", // 1x1 crossJoins gluing exact+string+sketch agg rows
+      "q_profile_columns",    // 1x1 crossJoin gluing the string-min/max agg
+                              // row back onto the distinct/null row (r19:
+                              // string buffers split out so the Expand
+                              // stays in HashAggregate)
+      "q_warehouse_composed") // embeds the q_profile_columns member above
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
